@@ -1,0 +1,332 @@
+"""ArrowSpace and ArrowItem: core containers and λ-aware search.
+
+TPU-native re-design of the reference's core module (reference:
+core.rs:84-1006).  ArrowSpace keeps the N×F item matrix and the per-item λ
+vector resident on device as JAX arrays; searches are batched matmul +
+top-k programs (see ops/search.py) instead of per-item scans.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import default_dtype
+from .ops.search import (batched_lambda_aware_topk, cosine_scores,
+                         hybrid_search_device)
+from .reduction import ImplicitProjection
+from .taumode import TauMode, TAUDEFAULT, select_tau, synthetic_lambda_single
+from .utils.log import get_logger
+
+logger = get_logger("arrowspace.core")
+
+__all__ = ["ArrowItem", "ArrowFeature", "ArrowSpace", "TAUDEFAULT"]
+
+
+class ArrowItem:
+    """A single owned row with an associated spectral score λ
+    (reference: core.rs:84-317)."""
+
+    __slots__ = ("item", "lambda_")
+
+    def __init__(self, item, lambda_: float):
+        self.item = np.asarray(item, dtype=np.float64)
+        self.lambda_ = float(lambda_)
+
+    def __len__(self) -> int:
+        return self.item.shape[0]
+
+    def is_empty(self) -> bool:
+        return self.item.size == 0
+
+    def lambda_component_similarity(self, other: "ArrowItem") -> float:
+        """1 - min(|Δλ|, 1) (reference: core.rs:135-138)."""
+        return 1.0 - min(abs(self.lambda_ - other.lambda_), 1.0)
+
+    def lambda_similarity(self, other: "ArrowItem", alpha: float) -> float:
+        """α·cos + (1-α)·λ-proximity (reference: core.rs:156-175)."""
+        assert len(self) == len(other), "items should be of the same length"
+        return alpha * self.cosine_similarity(other.item) \
+            + (1.0 - alpha) * self.lambda_component_similarity(other)
+
+    def dot(self, other: "ArrowItem") -> float:
+        assert len(self) == len(other), "Dimension mismatch"
+        return float(np.dot(self.item, other.item))
+
+    @staticmethod
+    def norm(a) -> float:
+        a = np.asarray(a, dtype=np.float64)
+        return float(np.sqrt(np.sum(a * a)))
+
+    def cosine_similarity(self, other) -> float:
+        other = np.asarray(other, dtype=np.float64)
+        denom = ArrowItem.norm(self.item) * ArrowItem.norm(other)
+        if denom > 0.0:
+            return float(np.dot(self.item, other)) / denom
+        logger.warning("Zero vector encountered in cosine similarity computation")
+        return 0.0
+
+    def euclidean_distance(self, other: "ArrowItem") -> float:
+        assert len(self) == len(other), "Dimension mismatch"
+        d = self.item - other.item
+        return float(np.sqrt(np.sum(d * d)))
+
+    def add_inplace(self, other: "ArrowItem") -> None:
+        assert len(self) == len(other), "Dimension mismatch"
+        self.item += other.item
+
+    def mul_inplace(self, other: "ArrowItem") -> None:
+        assert len(self) == len(other), "Dimension mismatch"
+        self.item *= other.item
+
+    def scale(self, scalar: float) -> None:
+        self.item *= scalar
+
+    def __iter__(self):
+        return iter(self.item)
+
+
+class ArrowFeature:
+    """A feature column (reference: core.rs:91-94)."""
+
+    __slots__ = ("feature",)
+
+    def __init__(self, feature):
+        self.feature = np.asarray(feature, dtype=np.float64)
+
+
+@dataclass
+class ArrowSpace:
+    """Dense N×F item matrix with per-item spectral scores
+    (reference: core.rs:366-385)."""
+
+    nfeatures: int = 0
+    nitems: int = 0
+    data: Optional[jax.Array] = None          # (N, F)
+    signals: Optional[jax.Array] = None       # dense F'×F' or None
+    lambdas: Optional[jax.Array] = None       # (N,)
+    taumode: TauMode = TAUDEFAULT
+
+    n_clusters: int = 0
+    # -1 encodes the reference's None (outlier / unassigned)
+    cluster_assignments: Optional[np.ndarray] = None
+    cluster_sizes: Optional[np.ndarray] = None
+    cluster_radius: float = 0.0
+
+    projection_matrix: Optional[ImplicitProjection] = None
+    reduced_dim: Optional[int] = None
+
+    _signals_nnz: int = 0
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def new(items: Sequence[Sequence[float]],
+            taumode: TauMode = TAUDEFAULT,
+            dtype=None) -> "ArrowSpace":
+        """Construct from a list of equal-length rows
+        (reference: core.rs:415-439)."""
+        items = np.asarray(items, dtype=np.float64)
+        assert items.size > 0, "items cannot be empty"
+        assert items.shape[0] > 1, "cannot create a arrowspace of one arrow only"
+        n_items, n_features = items.shape
+        dt = dtype or default_dtype()
+        return ArrowSpace(
+            nfeatures=n_features,
+            nitems=n_items,
+            data=jnp.asarray(items, dtype=dt),
+            signals=None,
+            lambdas=jnp.zeros((n_items,), dtype=dt),
+            taumode=taumode,
+            cluster_assignments=np.full((0,), -1, dtype=np.int64),
+            cluster_sizes=np.zeros((0,), dtype=np.int64),
+        )
+
+    from_items = new  # test-path alias (core.rs:444-453)
+
+    @staticmethod
+    def from_items_default(items) -> "ArrowSpace":
+        return ArrowSpace.new(items, TAUDEFAULT)
+
+    # ------------------------------------------------------------------
+    def project_query(self, query) -> np.ndarray:
+        """Project an F-dim query into the index space if a projection was
+        used at build time (reference: core.rs:509-529)."""
+        query = np.asarray(query, dtype=np.float64)
+        assert query.shape[0] == self.nfeatures, (
+            f"Query dimension {query.shape[0]} doesn't match index original "
+            f"dimension {self.nfeatures}")
+        if self.projection_matrix is not None:
+            return np.asarray(self.projection_matrix.project(query),
+                              dtype=np.float64)
+        return query
+
+    def prepare_query_item(self, item, gl) -> float:
+        """Compute the query's synthetic λ (reference: core.rs:533-549):
+        project if needed, select τ from the (projected) coordinates, then
+        run the fused λ kernel against the graph matrix."""
+        item = np.asarray(item, dtype=np.float64)
+        assert np.all(np.isfinite(item)), (
+            "Query item contains invalid values (NaN or infinity). "
+            "All values must be finite.")
+        if self.projection_matrix is not None:
+            item = self.project_query(item)
+        tau = select_tau(item, self.taumode)
+        mat = gl.matrix
+        return synthetic_lambda_single(
+            jnp.asarray(item, dtype=mat.dtype), mat, tau)
+
+    # ------------------------------------------------------------------
+    def lambdas_list(self) -> np.ndarray:
+        return np.asarray(self.lambdas)
+
+    def cluster_of(self, i: int) -> Optional[int]:
+        if self.cluster_assignments is None or i >= len(self.cluster_assignments):
+            return None
+        v = int(self.cluster_assignments[i])
+        return None if v < 0 else v
+
+    def get_feature(self, i: int) -> ArrowFeature:
+        assert i < self.nfeatures, "feature index out of bounds"
+        return ArrowFeature(np.asarray(self.data[:, i]))
+
+    def set_feature(self, f: int, values: ArrowFeature) -> None:
+        assert f < self.nfeatures, "feature index out of bounds"
+        self.data = self.data.at[:, f].set(
+            jnp.asarray(values.feature, dtype=self.data.dtype))
+
+    def get_item(self, i: int) -> ArrowItem:
+        assert i < self.nitems, "item index out of bounds"
+        return ArrowItem(np.asarray(self.data[i]), float(self.lambdas[i]))
+
+    def set_item(self, i: int, values: ArrowItem) -> None:
+        assert i < self.nitems, "item index out of bounds"
+        self.data = self.data.at[i, :].set(
+            jnp.asarray(values.item, dtype=self.data.dtype))
+
+    # --- in-place algebra with λ maintenance (core.rs:614-727) ----------
+    def _check_gl(self, gl) -> None:
+        assert gl.nnodes == self.nitems, \
+            "Laplacian nodes must match number of items"
+
+    def add_items(self, a: int, b: int, gl) -> None:
+        assert a < self.nitems and b < self.nitems, (
+            f"Item indices out of bounds: a={a}, b={b}, ncols={self.nitems}")
+        self._check_gl(gl)
+        item_a, item_b = self.get_item(a), self.get_item(b)
+        item_a.add_inplace(item_b)
+        self.set_item(a, item_a)
+        self.recompute_lambdas(gl)
+
+    def mul_items(self, a: int, b: int, gl) -> None:
+        assert a < self.nitems and b < self.nitems, (
+            f"Item indices out of bounds: a={a}, b={b}, ncols={self.nitems}")
+        self._check_gl(gl)
+        item_a, item_b = self.get_item(a), self.get_item(b)
+        item_a.mul_inplace(item_b)
+        self.set_item(a, item_a)
+        self.recompute_lambdas(gl)
+
+    def scale_item(self, a: int, scalar: float, gl) -> None:
+        assert a < self.nitems, (
+            f"Item index out of bounds: a={a}, ncols={self.nitems}")
+        self._check_gl(gl)
+        item_a = self.get_item(a)
+        item_a.scale(scalar)
+        self.set_item(a, item_a)
+        self.recompute_lambdas(gl)
+
+    def recompute_lambdas(self, gl) -> None:
+        """Full λτ batch recompute (reference: core.rs:711-727)."""
+        from .taumode import compute_taumode_lambdas
+        graph = self.signals if (self.signals is not None
+                                 and self.signals.shape[0] > 0) else gl.matrix
+        self.lambdas = compute_taumode_lambdas(self.data, graph, self.taumode)
+
+    def update_lambdas(self, new_lambdas) -> None:
+        new_lambdas = jnp.asarray(new_lambdas, dtype=self.lambdas.dtype)
+        assert new_lambdas.shape == self.lambdas.shape, \
+            "New lambdas length must match existing lambdas length"
+        self.lambdas = new_lambdas
+
+    # ------------------------------------------------------------------
+    # Search
+    # ------------------------------------------------------------------
+    def search_lambda_aware(self, query: ArrowItem, k: int,
+                            alpha: float) -> List[Tuple[int, float]]:
+        """λ-aware top-k (reference: core.rs:760-798).  One matmul +
+        lax.top_k instead of the reference's sequential scan."""
+        assert query.lambda_ != 0.0, (
+            "Lambda of the item is 0.0, prepare the item before searching")
+        k_eff = min(k, self.nitems)
+        dt = self.data.dtype
+        q = jnp.asarray(query.item, dtype=dt)[None, :]
+        qlam = jnp.asarray([query.lambda_], dtype=dt)
+        scores, idx = batched_lambda_aware_topk(
+            q, qlam, self.data, self.lambdas, jnp.asarray(alpha, dtype=dt),
+            k=k_eff)
+        return [(int(i), float(s)) for i, s in
+                zip(np.asarray(idx[0]), np.asarray(scores[0]))]
+
+    def search_lambda_aware_batch(self, queries, query_lambdas, k: int,
+                                  alpha: float):
+        """Batched variant: (B, F) queries -> (scores (B,k), indices (B,k)).
+        This is the TPU-native entry point for throughput benchmarks."""
+        k_eff = min(k, self.nitems)
+        dt = self.data.dtype
+        q = jnp.asarray(queries, dtype=dt)
+        qlam = jnp.asarray(query_lambdas, dtype=dt)
+        return batched_lambda_aware_topk(
+            q, qlam, self.data, self.lambdas, jnp.asarray(alpha, dtype=dt),
+            k=k_eff)
+
+    def search_lambda_aware_hybrid(self, query: ArrowItem, k: int,
+                                   alpha: float) -> List[Tuple[int, float]]:
+        """Hybrid search mixing cosine-only evidence
+        (reference: core.rs:802-928): union of the λ-aware top-k, the
+        high-cosine set (> 0.9999, scored by cosine), and the semantic
+        top-1; sorted desc and truncated to k."""
+        if k == 0:
+            return []
+        k_eff = min(k, self.nitems)
+        dt = self.data.dtype
+        top_scores, top_idx, sem_idx, cos, high_mask = hybrid_search_device(
+            jnp.asarray(query.item, dtype=dt),
+            jnp.asarray(query.lambda_, dtype=dt),
+            self.data, self.lambdas, jnp.asarray(alpha, dtype=dt), k=k_eff)
+
+        score_map = {}
+        cos_np = np.asarray(cos)
+        # high-cosine matches keep their cosine score (inserted first)
+        for i in np.nonzero(np.asarray(high_mask))[0]:
+            score_map[int(i)] = float(cos_np[i])
+        # λ top-k entries fill in where not already present
+        for i, s in zip(np.asarray(top_idx), np.asarray(top_scores)):
+            score_map.setdefault(int(i), float(s))
+        # semantic top-1 is always included
+        score_map.setdefault(int(sem_idx), float(cos_np[int(sem_idx)]))
+
+        final = sorted(score_map.items(), key=lambda t: -t[1])[:k]
+        return [(i, s) for i, s in final]
+
+    def range_search(self, query: ArrowItem, gl,
+                     eps: float) -> List[Tuple[int, float]]:
+        """λ-band range search with the reference's signed one-sided test
+        query.λ - item.λ <= eps (reference: core.rs:944-976; quirk kept
+        deliberately, see SURVEY.md §2)."""
+        if math.isclose(query.lambda_, 0.0, rel_tol=1e-9, abs_tol=1e-9):
+            qlam = self.prepare_query_item(query.item, gl)
+        else:
+            qlam = query.lambda_
+        diff = qlam - np.asarray(self.lambdas, dtype=np.float64)
+        hits = np.nonzero(diff <= eps)[0]
+        return [(int(i), float(diff[i])) for i in hits]
+
+
+def densematrix_to_vecvec(matrix) -> List[List[float]]:
+    """Utility parity with core.rs:1042-1047."""
+    return np.asarray(matrix, dtype=np.float64).tolist()

@@ -1,0 +1,92 @@
+// Incremental clustering hot loop — native C++ port of the reference's
+// sequential (deterministic) scan semantics (clustering.rs:547-910):
+//   - first row creates the first centroid;
+//   - new centroid iff n_c < max_clusters and d2 > radius*0.5;
+//   - running-mean assignment iff d2 <= radius;
+//   - soft-outlier assignment (no centroid move) iff d2 <= radius*1.5
+//     after saturation; otherwise drop.
+//
+// Sampling keep-decisions arrive as a precomputed byte mask (or NULL when
+// sampling is disabled); the RNG and its stats stay on the Python side.
+//
+// Build: make -C arrowspace_tpu/native
+
+#include <cmath>
+#include <cstdint>
+#include <limits>
+
+extern "C" {
+
+// Returns the number of centroids created (<= max_clusters), or 0 if no
+// clusters were created (caller raises, matching clustering.rs:869-877).
+long long incremental_clustering(
+    const double* rows,      // n * f, row-major
+    long long n,
+    long long f,
+    long long max_clusters,
+    double radius,
+    const unsigned char* keep_mask,  // n entries or NULL
+    double* out_centroids,   // max_clusters * f
+    long long* out_counts,   // max_clusters
+    long long* out_assign    // n, -1 encodes dropped/skipped
+) {
+    long long n_c = 0;
+    const double relaxed_radius = radius * 1.5;
+
+    for (long long r = 0; r < n; ++r) {
+        const double* row = rows + r * f;
+        out_assign[r] = -1;
+
+        // keep-decision already made by the (Python-side) sampler; skipped
+        // rows never touch cluster state, so the distance scan is elided
+        if (keep_mask != nullptr && !keep_mask[r]) continue;
+
+        // nearest centroid over the current state (sequential scan: the
+        // snapshot and the current state coincide)
+        long long best_idx = 0;
+        double best_d2 = std::numeric_limits<double>::infinity();
+        for (long long c = 0; c < n_c; ++c) {
+            const double* cent = out_centroids + c * f;
+            double d2 = 0.0;
+            for (long long j = 0; j < f; ++j) {
+                const double diff = row[j] - cent[j];
+                d2 += diff * diff;
+            }
+            if (d2 < best_d2) { best_d2 = d2; best_idx = c; }
+        }
+
+        if (n_c == 0) {
+            double* cent = out_centroids;
+            for (long long j = 0; j < f; ++j) cent[j] = row[j];
+            out_counts[0] = 1;
+            out_assign[r] = 0;
+            n_c = 1;
+            continue;
+        }
+
+        if (n_c < max_clusters && best_d2 > radius * 0.5) {
+            double* cent = out_centroids + n_c * f;
+            for (long long j = 0; j < f; ++j) cent[j] = row[j];
+            out_counts[n_c] = 1;
+            out_assign[r] = n_c;
+            ++n_c;
+        } else if (best_d2 <= radius) {
+            double* cent = out_centroids + best_idx * f;
+            const double k_new = static_cast<double>(out_counts[best_idx] + 1);
+            for (long long j = 0; j < f; ++j) {
+                cent[j] += (row[j] - cent[j]) / k_new;
+            }
+            out_counts[best_idx] += 1;
+            out_assign[r] = best_idx;
+        } else if (best_d2 <= relaxed_radius) {
+            // soft outlier: counted, centroid unchanged (eta = 0)
+            out_counts[best_idx] += 1;
+            out_assign[r] = best_idx;
+        }
+        // else: drop
+    }
+
+    return n_c;
+}
+
+}  // extern "C"

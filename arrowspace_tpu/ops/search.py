@@ -1,0 +1,84 @@
+"""Batched λ-aware search kernels.
+
+The reference scans all N items per query, computing
+α·cos(q, x_i) + (1-α)·(1 - min(|λ_q - λ_i|, 1)) and sorting
+(reference: core.rs:760-798).  On TPU this becomes one normalized matmul
+(Q̂ @ X̂ᵀ) on the MXU plus elementwise λ-proximity and ``lax.top_k`` —
+the per-thread-heap merge of the hybrid variant (core.rs:818-888) is
+subsumed by a single fused top-k.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["cosine_scores", "lambda_aware_scores", "batched_lambda_aware_topk"]
+
+
+def _safe_unit(rows: jax.Array) -> jax.Array:
+    norms = jnp.sqrt(jnp.sum(rows * rows, axis=-1, keepdims=True))
+    return jnp.where(norms > 0.0, rows / jnp.where(norms > 0.0, norms, 1.0), 0.0)
+
+
+@jax.jit
+def cosine_scores(queries: jax.Array, items: jax.Array) -> jax.Array:
+    """(B, F) x (N, F) -> (B, N) cosine similarity; zero vectors score 0
+    (reference: core.rs:229-239)."""
+    q = _safe_unit(queries)
+    x = _safe_unit(items)
+    return jnp.dot(q, x.T, preferred_element_type=queries.dtype)
+
+
+@jax.jit
+def lambda_aware_scores(
+    queries: jax.Array,       # (B, F)
+    query_lambdas: jax.Array,  # (B,)
+    items: jax.Array,          # (N, F)
+    item_lambdas: jax.Array,   # (N,)
+    alpha: jax.Array,          # scalar
+) -> jax.Array:
+    """score = α·cos + (1-α)·(1 - min(|Δλ|, 1))  (core.rs:135-175)."""
+    cos = cosine_scores(queries, items)
+    dl = jnp.abs(query_lambdas[:, None] - item_lambdas[None, :])
+    lam_sim = 1.0 - jnp.minimum(dl, 1.0)
+    return alpha * cos + (1.0 - alpha) * lam_sim
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def batched_lambda_aware_topk(
+    queries: jax.Array,
+    query_lambdas: jax.Array,
+    items: jax.Array,
+    item_lambdas: jax.Array,
+    alpha: jax.Array,
+    *,
+    k: int,
+):
+    """Fused scoring + top-k. Returns (scores (B,k), indices (B,k))."""
+    scores = lambda_aware_scores(queries, query_lambdas, items,
+                                 item_lambdas, alpha)
+    return jax.lax.top_k(scores, k)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def hybrid_search_device(
+    query: jax.Array,        # (F,)
+    query_lambda: jax.Array,  # scalar
+    items: jax.Array,
+    item_lambdas: jax.Array,
+    alpha: jax.Array,
+    *,
+    k: int,
+):
+    """Device part of search_lambda_aware_hybrid (core.rs:802-928):
+    λ-aware top-k, cosine top-1, and the high-cosine mask (> 0.9999)."""
+    cos = cosine_scores(query[None, :], items)[0]
+    dl = jnp.abs(query_lambda - item_lambdas)
+    lam_score = alpha * cos + (1.0 - alpha) * (1.0 - jnp.minimum(dl, 1.0))
+    top_scores, top_idx = jax.lax.top_k(lam_score, k)
+    sem_idx = jnp.argmax(cos)
+    high_mask = cos > 0.9999
+    return top_scores, top_idx, sem_idx, cos, high_mask
