@@ -58,8 +58,9 @@ def protein_like_block() -> np.ndarray:
     rng = np.random.default_rng(1234)
     base = rng.uniform(0.2, 0.8, f)
     for i in range(n):
-        drift = 0.01 * (i % 16) * np.where(np.arange(f) % 2 == 0, 1.0, -1.0)
-        wave = 0.1 * np.sin(2 * np.pi * (np.arange(f) + i) / f)
+        drift = (0.01 * (i % 16) + 0.0031 * (i // 16)) \
+            * np.where(np.arange(f) % 2 == 0, 1.0, -1.0)
+        wave = 0.1 * np.sin(2 * np.pi * (np.arange(f) / f + i / n))
         out[i] = np.clip(base + drift + wave, 0.0, 1.0)
     return out
 

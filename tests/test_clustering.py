@@ -1,0 +1,138 @@
+"""Clustering heuristics + incremental clustering, mirroring
+tests/test_clustering.rs."""
+
+import numpy as np
+import pytest
+
+from arrowspace_tpu import clustering
+from arrowspace_tpu.builder import ArrowSpaceBuilder
+from arrowspace_tpu.sampling import SamplerType
+from data import make_gaussian_blob, make_moons_hd
+
+
+def test_euclidean_and_nearest_centroid():
+    assert clustering.euclidean_dist([1.0, 1.0], [4.0, 5.0]) == pytest.approx(5.0)
+    cents = [[0.0, 0.0], [10.0, 0.0]]
+    idx, d2 = clustering.nearest_centroid([9.0, 0.0], cents)
+    assert idx == 1 and d2 == pytest.approx(1.0)
+
+
+def test_kmeans_basic_and_edge_cases():
+    blob1 = make_gaussian_blob(20, dims=4, spread=0.1, seed=1)
+    blob2 = make_gaussian_blob(20, dims=4, spread=0.1, seed=2) + 10.0
+    rows = np.concatenate([blob1, blob2])
+    labels = clustering.kmeans_lloyd(rows, 2, 20, seed=7)
+    assert set(labels) == {0, 1}
+    # cluster purity: first 20 together, last 20 together
+    assert len(set(labels[:20])) == 1
+    assert len(set(labels[20:])) == 1
+    # k > n clamps
+    labels = clustering.kmeans_lloyd(rows[:3], 10, 5, seed=1)
+    assert len(labels) == 3
+    # empty input
+    assert clustering.kmeans_lloyd([], 3, 5, seed=1).size == 0
+
+
+def test_calinski_harabasz_separated_blobs():
+    b1 = make_gaussian_blob(30, dims=3, spread=0.05, seed=3)
+    b2 = make_gaussian_blob(30, dims=3, spread=0.05, seed=4) + 20.0
+    rows = np.concatenate([b1, b2])
+    good = np.array([0] * 30 + [1] * 30)
+    bad = np.array([0, 1] * 30)
+    assert clustering.calinski_harabasz_score(rows, good, 2) > \
+        clustering.calinski_harabasz_score(rows, bad, 2)
+    # degenerate k
+    assert clustering.calinski_harabasz_score(rows, good, 1) == 0.0
+
+
+def test_intrinsic_dimension_line_plane_full():
+    rng = np.random.default_rng(0)
+    t = rng.uniform(0, 10, 200)
+    line = np.stack([t, 2 * t, -t, 0.5 * t], axis=1)
+    id_line = clustering.estimate_intrinsic_dimension(line, 200, 4, 128)
+    assert id_line <= 2
+
+    full = rng.normal(size=(200, 6))
+    id_full = clustering.estimate_intrinsic_dimension(full, 200, 6, 128)
+    assert id_full >= 3
+
+    # tiny datasets fall back to min(f, 2)
+    assert clustering.estimate_intrinsic_dimension(full[:5], 5, 6, 128) == 2
+
+
+def test_compute_optimal_k_bounds_and_determinism():
+    rows = make_moons_hd(300, noise=0.05, hd_noise=0.02, dims=12, seed=9)
+    k1, r1, id1 = clustering.compute_optimal_k(rows, 300, 12, 42)
+    k2, r2, id2 = clustering.compute_optimal_k(rows, 300, 12, 42)
+    assert (k1, r1, id1) == (k2, r2, id2)
+    assert 2 <= k1 <= 150
+    assert r1 > 0
+
+
+def _run_incremental(rows, max_clusters, radius, sampling=None, seed=None):
+    b = ArrowSpaceBuilder()
+    b.sampling = sampling
+    if seed is not None:
+        b.with_seed(seed)
+    sampler = (sampling or SamplerType.simple(1.0)).make(seed=seed)
+    return clustering.run_incremental_clustering_with_sampling(
+        b, rows, rows.shape[1], max_clusters, radius, sampler)
+
+
+def test_incremental_clustering_no_sampling():
+    b1 = make_gaussian_blob(25, dims=5, spread=0.05, seed=5)
+    b2 = make_gaussian_blob(25, dims=5, spread=0.05, seed=6) + 5.0
+    rows = np.concatenate([b1, b2])
+    cents, assigns, sizes = _run_incremental(rows, 10, radius=1.0)
+    assert cents.shape[1] == 5
+    assert 2 <= cents.shape[0] <= 10
+    assert len(assigns) == 50
+    assert sum(sizes) == sum(1 for a in assigns if a is not None)
+
+
+def test_incremental_clustering_seeded_deterministic():
+    rows = make_moons_hd(200, noise=0.1, hd_noise=0.05, dims=8, seed=21)
+    out1 = _run_incremental(rows, 15, 0.5, SamplerType.simple(0.6), seed=99)
+    out2 = _run_incremental(rows, 15, 0.5, SamplerType.simple(0.6), seed=99)
+    np.testing.assert_array_equal(out1[0], out2[0])
+    assert out1[1] == out2[1]
+    assert out1[2] == out2[2]
+
+
+def test_incremental_clustering_respects_cap():
+    rng = np.random.default_rng(11)
+    rows = rng.uniform(-100, 100, (300, 4))  # spread-out -> wants many clusters
+    cents, assigns, sizes = _run_incremental(rows, 7, radius=1.0)
+    assert cents.shape[0] <= 7
+
+
+def test_native_matches_numpy():
+    """The C++ native path must agree exactly with the NumPy path."""
+    from arrowspace_tpu.clustering import _incremental_clustering_numpy
+    from arrowspace_tpu.native import native_incremental_clustering
+
+    rows = make_moons_hd(150, noise=0.08, hd_noise=0.04, dims=6, seed=31)
+    b = ArrowSpaceBuilder()
+    b.sampling = SamplerType.simple(0.7)
+    b.with_seed(123)
+
+    s1 = SamplerType.simple(0.7).make(seed=123)
+    out_native = native_incremental_clustering(b, rows, 6, 12, 0.4, s1)
+    if out_native is None:
+        pytest.skip("native library not built")
+    s2 = SamplerType.simple(0.7).make(seed=123)
+    out_numpy = _incremental_clustering_numpy(b, rows, 6, 12, 0.4, s2)
+
+    np.testing.assert_allclose(out_native[0], out_numpy[0], rtol=1e-12)
+    assert out_native[1] == out_numpy[1]
+    assert out_native[2] == out_numpy[2]
+
+
+def test_zero_clusters_raises():
+    b = ArrowSpaceBuilder()
+    b.sampling = SamplerType.simple(0.0)  # rejects everything
+    sampler = SamplerType.simple(0.0).make(seed=1)
+    rows = make_gaussian_blob(20, dims=3, seed=1)
+    with pytest.raises(RuntimeError, match="No clusters created"):
+        clustering.run_incremental_clustering_with_sampling(
+            b, rows, 3, 5, 1.0, sampler)

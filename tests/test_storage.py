@@ -1,0 +1,122 @@
+"""Storage round-trips, mirroring storage/test_storage.rs:76-552 and the
+inline tests in storage/parquet.rs:801-905."""
+
+import json
+import os
+
+import numpy as np
+import pyarrow.parquet as pq_reader
+import pytest
+
+from arrowspace_tpu.builder import ArrowSpaceBuilder
+from arrowspace_tpu.storage import StorageError
+from arrowspace_tpu.storage import parquet as pq
+from arrowspace_tpu.taumode import TauMode
+from data import make_moons_hd
+
+
+def test_dense_roundtrip(tmp_path):
+    m = np.random.default_rng(0).normal(size=(13, 7))
+    pq.save_dense_matrix(m, tmp_path, "dense_test")
+    back = pq.load_dense_matrix(tmp_path / "dense_test.parquet")
+    np.testing.assert_array_equal(m, back)
+
+
+def test_dense_schema_matches_reference(tmp_path):
+    """Column names/types must match storage/parquet.rs:203-217."""
+    m = np.arange(12, dtype=float).reshape(4, 3)
+    pq.save_dense_matrix(m, tmp_path, "schema_test")
+    table = pq_reader.read_table(tmp_path / "schema_test.parquet")
+    names = table.schema.names
+    assert names[:3] == ["name_id", "n_rows", "n_cols"]
+    assert names[3:] == ["col_0", "col_1", "col_2"]
+    assert str(table.schema.field("n_rows").type) == "uint64"
+    assert str(table.schema.field("col_0").type) == "double"
+    assert table.column("name_id")[0].as_py() == "schema_test"
+
+
+def test_sparse_roundtrip(tmp_path):
+    m = np.zeros((9, 9))
+    m[0, 3] = -0.5
+    m[3, 0] = -0.5
+    m[0, 0] = 0.5
+    m[3, 3] = 0.5
+    pq.save_sparse_matrix(m, tmp_path, "sparse_test")
+    back = pq.load_sparse_matrix(tmp_path / "sparse_test.parquet")
+    np.testing.assert_array_equal(m, back)
+    # COO schema parity (storage/parquet.rs:377-385)
+    table = pq_reader.read_table(tmp_path / "sparse_test.parquet")
+    assert table.schema.names == ["name_id", "n_rows", "n_cols", "nnz",
+                                  "row", "col", "value"]
+
+
+def test_lambda_roundtrip(tmp_path):
+    lam = np.array([0.1, 0.5, 0.25, 0.75])
+    pq.save_lambda(lam, tmp_path, "lambda_test")
+    back = pq.load_lambda(tmp_path / "lambda_test.parquet")
+    np.testing.assert_array_equal(lam, back)
+    table = pq_reader.read_table(tmp_path / "lambda_test.parquet")
+    assert table.schema.names == ["name_id", "n_values", "row_index",
+                                  "lambda"]
+
+
+def test_empty_lambda_rejected(tmp_path):
+    with pytest.raises(StorageError):
+        pq.save_lambda(np.array([]), tmp_path, "empty")
+
+
+def test_metadata_with_builder(tmp_path):
+    b = (ArrowSpaceBuilder()
+         .with_lambda_graph(0.5, 8, 4, 3.0, 0.1)
+         .with_synthesis(TauMode.percentile(0.9)))
+    m = np.ones((5, 4))
+    pq.save_dense_matrix_with_builder(m, tmp_path, "withmeta", b)
+    md = pq.load_metadata(tmp_path, "withmeta")
+    assert md.lambda_eps() == 0.5
+    assert md.lambda_k() == 8
+    assert md.synthesis() == TauMode.percentile(0.9)
+    assert md.files["matrix"]["file_type"] == "dense"
+    # raw JSON embeds the typed config (storage/parquet.rs:29-126)
+    raw = json.loads((tmp_path / "withmeta_metadata.json").read_text())
+    assert "builder_config" in raw and "lambda_eps" in raw["builder_config"]
+
+
+def test_checkpoint_multi_artifact(tmp_path):
+    b = ArrowSpaceBuilder()
+    raw = np.random.default_rng(1).normal(size=(10, 6))
+    adjacency = np.abs(np.random.default_rng(2).normal(size=(6, 6)))
+    centroids = raw[:4]
+    lap = np.eye(6)
+    signals = np.zeros((6, 6))
+    pq.save_arrowspace_checkpoint_with_builder(
+        tmp_path / "ckpt", "test", raw, adjacency, centroids, lap, signals, b)
+    md = pq.load_metadata(tmp_path / "ckpt", "test")
+    assert set(md.files) == {"raw_data", "adjacency", "centroids",
+                             "laplacian", "signals"}
+    back = pq.load_dense_matrix(tmp_path / "ckpt" / "test_raw_data.parquet")
+    np.testing.assert_array_equal(raw, back)
+
+
+def test_unwritable_dir_fails(tmp_path):
+    # (the reference test uses a read-only dir; running as root that is not
+    # enforceable, so a nonexistent directory exercises the same error path)
+    with pytest.raises(StorageError):
+        pq.save_dense_matrix(np.ones((3, 3)),
+                             tmp_path / "does" / "not" / "exist", "nope")
+
+
+def test_builder_persistence_hooks(tmp_path):
+    """builder.rs:271-432: four artifacts saved during build."""
+    rows = make_moons_hd(60, noise=0.1, hd_noise=0.05, dims=10, seed=10)
+    aspace, gl = (ArrowSpaceBuilder()
+                  .with_seed(13)
+                  .with_persistence(tmp_path, "bench")
+                  .build(rows.tolist()))
+    for suffix in ("raw_input", "clustered-dm", "laplacian-input",
+                   "gl-matrix", "lambdas"):
+        assert (tmp_path / f"bench-{suffix}.parquet").exists(), suffix
+    lam_back = pq.load_lambda(tmp_path / "bench-lambdas.parquet")
+    np.testing.assert_allclose(lam_back, np.asarray(aspace.lambdas),
+                               rtol=1e-12)
+    gl_back = pq.load_sparse_matrix(tmp_path / "bench-gl-matrix.parquet")
+    np.testing.assert_allclose(gl_back, np.asarray(gl.matrix), rtol=1e-12)
