@@ -1,0 +1,459 @@
+"""Energy-first (cosine-free) pipeline: optical compression, diffusion,
+sub-centroid splitting, energy-distance kNN graph, and energy search.
+
+TPU-native re-design of the reference's energymaps module (reference:
+energymaps.rs:28-896).  Stage mapping:
+
+- optical compression  -> seeded 2D projection (matmul) + host grid binning
+  (energymaps.rs:151-245);
+- bootstrap L₀         -> the standard dense graph build over centroid ROWS
+  (X×X, un-transposed — the deliberate orientation difference from the
+  canonical F′×F′ path, energymaps.rs:247-280);
+- heat diffusion       -> X ← X - η·(L@X) as a lax.scan of matmuls
+  (energymaps.rs:283-311);
+- splitting            -> dispersion quantile + gather/concat
+  (energymaps.rs:313-366);
+- energy-distance kNN  -> pairwise matmuls + top-k + max-symmetrise
+  (energymaps.rs:706-817);
+- search_energy        -> batched λ-proximity + projected-Dirichlet scores
+  (energymaps.rs:368-407).
+
+Documented divergence: the reference's ``node_energy_and_dispersion``
+computes edge weights as ``-(L_ij.max(0))`` (energymaps.rs:576), which is
+identically zero for any true Laplacian (off-diagonals are ≤ 0), so its
+dispersion G is always 0 and every node is split.  That contradicts both
+the module's own docs and taumode.rs:580 (which uses ``(-L_ij).max(0)``).
+We implement the intended semantics w = max(-L_ij, 0); the reference
+behaviour can be recovered with ``EnergyParams.reference_dispersion_bug=True``.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .core import ArrowSpace
+from .graph import GraphLaplacian, GraphParams
+from .laplacian import build_laplacian_matrix
+from .reduction import ImplicitProjection
+from .utils.log import get_logger
+
+logger = get_logger("arrowspace.energymaps")
+
+__all__ = ["EnergyParams", "optical_compress_centroids",
+           "bootstrap_centroid_laplacian", "diffuse_and_split_subcentroids",
+           "node_energy_and_dispersion", "build_energy_laplacian",
+           "search_energy", "build_energy", "robust_scale",
+           "bounded_l2_energy", "ProjectedEnergyParams"]
+
+
+@dataclass
+class EnergyParams:
+    """Energy-pipeline parameters (reference: energymaps.rs:28-71)."""
+
+    optical_tokens: Optional[int] = None
+    trim_quantile: float = 0.1
+    eta: float = 0.1
+    steps: int = 4
+    split_quantile: float = 0.9
+    neighbor_k: int = 8
+    split_tau: float = 0.15
+    w_lambda: float = 1.0
+    w_disp: float = 0.5
+    w_dirichlet: float = 0.25
+    candidate_m: int = 32
+    # opt-in reproduction of the reference's zero-dispersion behaviour
+    reference_dispersion_bug: bool = False
+
+
+@dataclass
+class ProjectedEnergyParams:
+    """Projection-aware scoring weights (reference: energymaps.rs:825-836)."""
+    w_lambda: float = 1.0
+    w_dirichlet: float = 0.5
+    eps_norm: float = 1e-9
+
+
+def robust_scale(x) -> float:
+    """1.4826·MAD robust scale, floored at 1e-9
+    (reference: energymaps.rs:525-539)."""
+    x = np.asarray(x, dtype=np.float64)
+    if x.size == 0:
+        return 1.0
+    v = np.sort(x)
+    median = v[v.size // 2]
+    devs = np.sort(np.abs(v - median))
+    mad = devs[devs.size // 2]
+    return max(1.4826 * mad, 1e-9)
+
+
+def bounded_l2_energy(diff) -> float:
+    """‖d‖/(1+‖d‖), capped at 1 (reference: energymaps.rs:844-847)."""
+    num = float(np.linalg.norm(np.asarray(diff, dtype=np.float64)))
+    return min(num / (1.0 + num), 1.0)
+
+
+# ---------------------------------------------------------------------------
+# Optical compression (energymaps.rs:151-245)
+# ---------------------------------------------------------------------------
+
+def optical_compress_centroids(centroids, token_budget: int,
+                               trim_quantile: float,
+                               seed: Optional[int] = None) -> jnp.ndarray:
+    """2D spatial binning with low-activation pooling.  The 2D projection is
+    seed-deterministic when a seed is supplied (the reference always draws a
+    fresh OS seed — recorded divergence for reproducibility)."""
+    cent = np.asarray(centroids, dtype=np.float64)
+    x, f = cent.shape
+    if token_budget == 0 or token_budget >= x:
+        logger.info("Optical compression skipped: budget %d >= centroids %d",
+                    token_budget, x)
+        return jnp.asarray(centroids)
+
+    proj = ImplicitProjection(f, 2, **({"seed": seed} if seed is not None else {}))
+    xy = np.asarray(proj.project_device(jnp.asarray(cent)))  # (x, 2)
+
+    g = math.ceil(math.sqrt(token_budget))
+    minx, maxx = xy[:, 0].min(), xy[:, 0].max()
+    miny, maxy = xy[:, 1].min(), xy[:, 1].max()
+    bx = np.clip(np.floor((xy[:, 0] - minx) / (maxx - minx + 1e-9) * g),
+                 0, g - 1).astype(int)
+    by = np.clip(np.floor((xy[:, 1] - miny) / (maxy - miny + 1e-9) * g),
+                 0, g - 1).astype(int)
+    bin_ids = by * g + bx
+
+    norms = np.linalg.norm(cent, axis=1)
+    out_rows = []
+    for b in range(g * g):
+        members = np.nonzero(bin_ids == b)[0]
+        if members.size == 0:
+            continue
+        if members.size > 4:
+            # trim the top trim_quantile by norm (energymaps.rs:431-448)
+            order = members[np.argsort(norms[members], kind="stable")]
+            cut = int(np.clip(round(members.size * (1.0 - trim_quantile)),
+                              1, members.size))
+            members = order[:cut]
+        out_rows.append(cent[members].mean(axis=0))
+        if len(out_rows) >= token_budget:
+            break
+
+    if len(out_rows) < token_budget:
+        # top-up with lowest-norm original centroids (energymaps.rs:217-240)
+        order = np.argsort(norms, kind="stable")
+        for i in order:
+            if len(out_rows) >= token_budget:
+                break
+            out_rows.append(cent[i])
+
+    out = np.stack(out_rows, axis=0)
+    logger.info("Optical compression complete: %d -> %d centroids", x,
+                out.shape[0])
+    return jnp.asarray(out)
+
+
+# ---------------------------------------------------------------------------
+# Bootstrap Laplacian (energymaps.rs:247-280)
+# ---------------------------------------------------------------------------
+
+def bootstrap_centroid_laplacian(centroids, k: int, normalise: bool,
+                                 sparsity_check: bool) -> GraphLaplacian:
+    """L₀ over centroid ROWS (X×X, un-transposed — energymaps.rs:270)."""
+    centroids = jnp.asarray(centroids)
+    x = centroids.shape[0]
+    params = GraphParams(
+        eps=1e-3,
+        k=min(k, x - 1),
+        topk=min(k, 4, x - 1),
+        p=2.0,
+        sigma=None,
+        normalise=normalise,
+        sparsity_check=False,  # disabled for small matrices
+    )
+    gl = build_laplacian_matrix(centroids, params, n_items=x)
+    assert gl.nnodes == x, f"L0 must be in centroid space ({x}x{x})"
+    return gl
+
+
+# ---------------------------------------------------------------------------
+# Diffusion + splitting (energymaps.rs:283-366)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("steps",))
+def _diffuse(work: jax.Array, lap: jax.Array, eta: jax.Array, *, steps: int):
+    """x ← x - η·Lx for `steps` iterations, as a lax.scan of matmuls."""
+    def body(carry, _):
+        out = carry - eta * jnp.dot(lap, carry,
+                                    preferred_element_type=carry.dtype)
+        return out, None
+    out, _ = jax.lax.scan(body, work, None, length=steps)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("k", "bug_compat"))
+def _energy_dispersion_jit(x: jax.Array, lap: jax.Array, *, k: int,
+                           bug_compat: bool):
+    """Vectorised node energy (Rayleigh per node row) and dispersion over the
+    k-NN by L2 (energymaps.rs:550-596)."""
+    n = x.shape[0]
+    dt = x.dtype
+    lx = jnp.dot(lap, x, preferred_element_type=dt)          # (n, f)
+    denom = jnp.maximum(jnp.sum(x * x, axis=1), 1e-9)
+    lam = jnp.sum(x * lx, axis=1) / denom
+
+    # pairwise L2² for neighbour selection
+    sq = jnp.sum(x * x, axis=1)
+    d2 = sq[:, None] - 2.0 * jnp.dot(x, x.T, preferred_element_type=dt) \
+        + sq[None, :]
+    d2 = d2.at[jnp.arange(n), jnp.arange(n)].set(jnp.inf)
+    kk = min(k, n - 1)
+    neg, nbr = jax.lax.top_k(-d2, kk)                        # (n, kk)
+    nd2 = jnp.maximum(-neg, 0.0)
+
+    if bug_compat:
+        # reference: w = -(L_ij.max(0)) -> 0 for true Laplacians
+        w = -jnp.maximum(lap[jnp.arange(n)[:, None], nbr], 0.0)
+    else:
+        w = jnp.maximum(-lap[jnp.arange(n)[:, None], nbr], 0.0)
+    parts = jnp.maximum(w * nd2, 0.0)
+    s = jnp.sum(parts, axis=1)
+    shares = jnp.where(s[:, None] > 0.0, parts / jnp.maximum(s[:, None], 1e-30),
+                       0.0)
+    gini = jnp.where(s > 0.0, jnp.sum(shares * shares, axis=1), 0.0)
+    return lam, gini
+
+
+def node_energy_and_dispersion(x, gl: GraphLaplacian, k: int,
+                               bug_compat: bool = False):
+    """(lambda, gini) per node (reference: energymaps.rs:550-596)."""
+    xa = jnp.asarray(x)
+    lam, gini = _energy_dispersion_jit(xa, gl.matrix.astype(xa.dtype),
+                                       k=k, bug_compat=bug_compat)
+    return np.asarray(lam), np.asarray(gini)
+
+
+def diffuse_and_split_subcentroids(centroids, l0: GraphLaplacian,
+                                   p: EnergyParams) -> jnp.ndarray:
+    """Diffusion smoothing + split of high-dispersion nodes
+    (reference: energymaps.rs:283-366)."""
+    cent = jnp.asarray(centroids)
+    x, f = cent.shape
+    work = _diffuse(cent, l0.matrix.astype(cent.dtype),
+                    jnp.asarray(p.eta, dtype=cent.dtype), steps=p.steps)
+
+    lam, gini = node_energy_and_dispersion(
+        work, l0, p.neighbor_k, bug_compat=p.reference_dispersion_bug)
+
+    g_sorted = np.sort(gini)
+    q_idx = int(np.floor((g_sorted.size - 1) * p.split_quantile + 0.5))
+    thresh = g_sorted[q_idx]
+
+    work_np = np.asarray(work, dtype=np.float64)
+    rows = [work_np]
+    split_idx = np.nonzero(gini >= thresh)[0]
+    # neighbour stats for every split node (vectorised on device)
+    if split_idx.size:
+        sq = np.sum(work_np * work_np, axis=1)
+        d2 = sq[:, None] - 2.0 * work_np @ work_np.T + sq[None, :]
+        np.fill_diagonal(d2, np.inf)
+        kk = min(p.neighbor_k, x - 1)
+        c1s, c2s = [], []
+        for i in split_idx:
+            nbrs = np.argpartition(d2[i], kk - 1)[:kk]
+            mean = work_np[nbrs].mean(axis=0)
+            diff = work_np[i] - mean
+            nrm = max(float(np.linalg.norm(diff)), 1e-9)
+            direction = diff / nrm
+            d_mean = diff.mean()
+            std_loc = float(np.sqrt(np.mean((diff - d_mean) ** 2)))
+            tau = p.split_tau * max(std_loc, 1e-6)
+            c1s.append(work_np[i] + tau * direction)
+            c2s.append(work_np[i] - tau * direction)
+        rows.append(np.stack(c1s))
+        rows.append(np.stack(c2s))
+
+    out = np.concatenate(rows, axis=0)
+    logger.info("Sub-centroid generation: %d -> %d centroids (%d splits)",
+                x, out.shape[0], split_idx.size)
+    return jnp.asarray(out, dtype=cent.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Energy Laplacian (energymaps.rs:706-817)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("m", "keep_k"))
+def _energy_knn_jit(xs: jax.Array, lam: jax.Array, gini: jax.Array,
+                    s_l: jax.Array, s_g: jax.Array, w_lambda: jax.Array,
+                    w_disp: jax.Array, w_dirichlet: jax.Array,
+                    *, m: int, keep_k: int):
+    """Energy-distance kNN with candidate-M pruning, w = exp(-d),
+    max-symmetrisation, L = D - A. One XLA program."""
+    n = xs.shape[0]
+    dt = xs.dtype
+    sq = jnp.sum(xs * xs, axis=1)
+    d2 = sq[:, None] - 2.0 * jnp.dot(xs, xs.T, preferred_element_type=dt) \
+        + sq[None, :]
+    d2 = d2.at[jnp.arange(n), jnp.arange(n)].set(jnp.inf)
+    mm = min(m, n - 1)
+    _, cand = jax.lax.top_k(-d2, mm)                         # (n, mm)
+
+    d_lambda = jnp.abs(lam[:, None] - lam[cand]) / s_l
+    d_gini = jnp.abs(gini[:, None] - gini[cand]) / s_g
+    # bounded L2 over the candidate pairs
+    l2 = jnp.sqrt(jnp.maximum(
+        d2[jnp.arange(n)[:, None], cand], 0.0))
+    r_pair = jnp.minimum(l2 / (1.0 + l2), 1.0)
+    dist = w_lambda * d_lambda + w_disp * d_gini + w_dirichlet * r_pair
+
+    kk = min(keep_k, mm)
+    neg, sel = jax.lax.top_k(-dist, kk)                      # keep k smallest
+    sel_j = cand[jnp.arange(n)[:, None], sel]
+    w = jnp.exp(neg)                                         # exp(-dist)
+
+    adj = jnp.zeros((n, n), dtype=dt)
+    adj = adj.at[jnp.arange(n)[:, None].repeat(kk, 1).reshape(-1),
+                 sel_j.reshape(-1)].max(w.reshape(-1))
+    adj = jnp.maximum(adj, adj.T)                            # max-symmetrise
+    adj = adj * (1.0 - jnp.eye(n, dtype=dt))
+    lap = jnp.diag(jnp.sum(adj, axis=1)) - adj
+    return adj, lap, jnp.sum(adj > 0)
+
+
+def build_energy_laplacian(builder, sub_centroids, energy_params: EnergyParams
+                           ) -> Tuple[GraphLaplacian, np.ndarray, np.ndarray]:
+    """Energy-distance kNN Laplacian (reference: energymaps.rs:706-817)."""
+    xs = jnp.asarray(sub_centroids)
+    x = xs.shape[0]
+    logger.info("build_energy_laplacian: %d sub-centroids, k=%d", x,
+                builder.lambda_k)
+
+    l_boot = bootstrap_centroid_laplacian(
+        xs, max(energy_params.neighbor_k, builder.lambda_k),
+        builder.normalise, builder.sparsity_check)
+    lam, gini = node_energy_and_dispersion(
+        xs, l_boot, max(energy_params.neighbor_k, builder.lambda_k),
+        bug_compat=energy_params.reference_dispersion_bug)
+    s_l = max(robust_scale(lam), 1e-9)
+    s_g = max(robust_scale(gini), 1e-9)
+
+    dt = xs.dtype
+    m = max(energy_params.candidate_m, builder.lambda_k)
+    _, lap, nnz_off = _energy_knn_jit(
+        xs, jnp.asarray(lam, dtype=dt), jnp.asarray(gini, dtype=dt),
+        jnp.asarray(s_l, dtype=dt), jnp.asarray(s_g, dtype=dt),
+        jnp.asarray(energy_params.w_lambda, dtype=dt),
+        jnp.asarray(energy_params.w_disp, dtype=dt),
+        jnp.asarray(energy_params.w_dirichlet, dtype=dt),
+        m=m, keep_k=builder.lambda_k)
+
+    gl = GraphLaplacian(
+        init_data=xs,
+        matrix=lap,
+        nnodes=x,
+        graph_params=GraphParams(
+            eps=builder.lambda_eps, k=builder.lambda_k,
+            topk=builder.lambda_topk, p=2.0, sigma=None,
+            normalise=builder.normalise,
+            sparsity_check=builder.sparsity_check),
+        structural_nnz=x + int(nnz_off),
+    )
+    logger.info("Energy Laplacian built: %dx%d, %d nnz", x, x, gl.nnz())
+    return gl, lam, gini
+
+
+# ---------------------------------------------------------------------------
+# Energy search (energymaps.rs:368-407, 849-896)
+# ---------------------------------------------------------------------------
+
+def _projected_dirichlet_batch(aspace: ArrowSpace, diffs: jax.Array
+                               ) -> jax.Array:
+    """Batched projected Dirichlet: signals SpMV if shapes line up, else
+    bounded L2 (reference: energymaps.rs:865-881)."""
+    if (aspace.signals is not None and aspace.signals.shape[0] > 0
+            and aspace.signals.shape[1] == diffs.shape[1]):
+        y = jnp.dot(diffs, aspace.signals.T,
+                    preferred_element_type=diffs.dtype)
+        num = jnp.sqrt(jnp.sum(y * y, axis=1))
+    else:
+        num = jnp.sqrt(jnp.sum(diffs * diffs, axis=1))
+    return jnp.minimum(num / (1.0 + num), 1.0)
+
+
+def search_energy(aspace: ArrowSpace, query, gl_energy: GraphLaplacian,
+                  k: int, w_lambda: float, w_dirichlet: float):
+    """Energy-only ranking: score = -(wλ·|Δλ| + wD·Dirichlet)
+    (reference: energymaps.rs:368-407).  The reference recomputes the query
+    λ per item (energymaps.rs:884); we compute it once — same value, N×
+    cheaper."""
+    lambda_q = aspace.prepare_query_item(query, gl_energy)
+
+    q_proj = aspace.project_query(np.asarray(query, dtype=np.float64)) \
+        if aspace.projection_matrix is not None else np.asarray(query)
+    dt = aspace.data.dtype
+    if aspace.projection_matrix is not None:
+        items_proj = aspace.projection_matrix.project_device(aspace.data)
+    else:
+        items_proj = aspace.data
+    diffs = jnp.asarray(q_proj, dtype=dt)[None, :] - items_proj
+    d_dir = _projected_dirichlet_batch(aspace, diffs)
+    d_lambda = jnp.abs(lambda_q - aspace.lambdas)
+    scores = -(w_lambda * d_lambda + w_dirichlet * d_dir)
+    k_eff = min(k, aspace.nitems)
+    top_scores, top_idx = jax.lax.top_k(scores, k_eff)
+    return [(int(i), float(s)) for i, s in
+            zip(np.asarray(top_idx), np.asarray(top_scores))]
+
+
+# ---------------------------------------------------------------------------
+# Builder entry point (energymaps.rs:677-704)
+# ---------------------------------------------------------------------------
+
+def build_energy(builder, rows, energy_params: EnergyParams
+                 ) -> Tuple[ArrowSpace, GraphLaplacian]:
+    """Energy-only build (reference: energymaps.rs:677-704).  2-3× slower
+    than the canonical build, as in the reference."""
+    from . import eigenmaps as em
+
+    assert builder.use_dims_reduction, \
+        "When using build energy, dim reduction is needed"
+    clustered = em.start_clustering(builder, rows)
+    aspace, centroids = clustered.aspace, clustered.centroids
+
+    if energy_params.optical_tokens is not None:
+        centroids = optical_compress_centroids(
+            centroids, energy_params.optical_tokens,
+            energy_params.trim_quantile, seed=builder.clustering_seed)
+
+    l0 = bootstrap_centroid_laplacian(
+        centroids, max(energy_params.neighbor_k, builder.lambda_k),
+        builder.normalise, builder.sparsity_check)
+
+    sub_centroids = diffuse_and_split_subcentroids(centroids, l0,
+                                                   energy_params)
+    if energy_params.optical_tokens is not None:
+        sub_centroids = optical_compress_centroids(
+            sub_centroids, energy_params.optical_tokens,
+            energy_params.trim_quantile, seed=builder.clustering_seed)
+
+    gl_energy, _, _ = build_energy_laplacian(builder, sub_centroids,
+                                             energy_params)
+    em.compute_taumode(aspace, gl_energy)
+    return aspace, gl_energy
+
+
+# Attach trait-like methods, mirroring the Rust impls.
+ArrowSpace.optical_compress_centroids = staticmethod(optical_compress_centroids)
+ArrowSpace.bootstrap_centroid_laplacian = staticmethod(bootstrap_centroid_laplacian)
+ArrowSpace.diffuse_and_split_subcentroids = staticmethod(diffuse_and_split_subcentroids)
+ArrowSpace.search_energy = search_energy
+
+from .builder import ArrowSpaceBuilder  # noqa: E402
+ArrowSpaceBuilder.build_energy = build_energy
+ArrowSpaceBuilder.build_energy_laplacian = build_energy_laplacian

