@@ -1,0 +1,134 @@
+"""Distributed λτ build and query over a sharded corpus.
+
+Design (SURVEY.md §2 "TPU mapping"):
+- the graph matrix is tiny (F′×F′) and replicated on every device;
+- the N-items axis is sharded; the λτ batch is embarrassingly data-parallel
+  (each shard runs the same fused matmuls on its rows — no collectives);
+- query scoring is data-parallel over item shards; the top-k merge is a
+  per-shard ``lax.top_k`` followed by an ``all_gather`` of the k·D
+  candidates and a final top-k — a 1:1 mapping of the reference's
+  per-thread-heap fold/reduce (core.rs:818-888) onto ICI collectives.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..ops.search import lambda_aware_scores
+from ..taumode import TauMode, select_tau_batch, synthetic_lambda_batch
+from .mesh import ITEMS_AXIS, items_sharding, replicated_sharding
+
+__all__ = ["sharded_compute_taumode_lambdas",
+           "distributed_lambda_aware_topk", "distributed_index_step"]
+
+
+def sharded_compute_taumode_lambdas(
+    items: jax.Array,          # (N, F) — will be sharded over the mesh
+    laplacian: jax.Array,      # (n, n) — replicated
+    taumode: TauMode,
+    mesh: Mesh,
+) -> jax.Array:
+    """λτ batch with the items axis sharded across the mesh.  XLA sees
+    replicated small matmul operands and a sharded N axis; no collectives
+    are inserted in the forward pass."""
+    items = jax.device_put(items, items_sharding(mesh))
+    laplacian = jax.device_put(laplacian, replicated_sharding(mesh))
+
+    @functools.partial(jax.jit, static_argnames=("mode",),
+                       out_shardings=items_sharding(mesh, ndim=1))
+    def _run(x, lap, *, mode):
+        taus = select_tau_batch(x, mode)
+        return synthetic_lambda_batch(x, lap, taus)
+
+    return _run(items, laplacian, mode=taumode)
+
+
+def distributed_lambda_aware_topk(
+    queries: jax.Array,        # (B, F) — replicated
+    query_lambdas: jax.Array,  # (B,)
+    items: jax.Array,          # (N, F) — sharded over mesh
+    item_lambdas: jax.Array,   # (N,)  — sharded over mesh
+    alpha,
+    k: int,
+    mesh: Mesh,
+) -> Tuple[jax.Array, jax.Array]:
+    """Per-shard top-k + all_gather merge (the heap-merge analogue).
+
+    Returns (scores (B, k), global indices (B, k)).
+    """
+    n = items.shape[0]
+    n_dev = mesh.devices.size
+    assert n % n_dev == 0, (
+        f"N={n} must be padded to a multiple of the mesh size {n_dev}")
+    shard_n = n // n_dev
+    k_local = min(k, shard_n)
+
+    queries = jax.device_put(queries, replicated_sharding(mesh))
+    query_lambdas = jax.device_put(query_lambdas, replicated_sharding(mesh))
+    items = jax.device_put(items, items_sharding(mesh))
+    item_lambdas = jax.device_put(item_lambdas,
+                                  items_sharding(mesh, ndim=1))
+    alpha = jnp.asarray(alpha, dtype=items.dtype)
+
+    def _shard_fn(q, qlam, x, xlam, a):
+        # local scores for this shard's rows: (B, shard_n)
+        scores = lambda_aware_scores(q, qlam, x, xlam, a)
+        local_scores, local_idx = jax.lax.top_k(scores, k_local)
+        # globalise indices by shard offset
+        shard_id = jax.lax.axis_index(ITEMS_AXIS)
+        global_idx = local_idx + shard_id * shard_n
+        # gather all shards' candidates: (B, n_dev * k_local)
+        all_scores = jax.lax.all_gather(local_scores, ITEMS_AXIS,
+                                        axis=1, tiled=True)
+        all_idx = jax.lax.all_gather(global_idx, ITEMS_AXIS,
+                                     axis=1, tiled=True)
+        top_scores, pos = jax.lax.top_k(all_scores, min(k, n))
+        top_idx = jnp.take_along_axis(all_idx, pos, axis=1)
+        return top_scores, top_idx
+
+    fn = shard_map(
+        _shard_fn, mesh=mesh,
+        in_specs=(P(), P(), P(ITEMS_AXIS, None), P(ITEMS_AXIS), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)(queries, query_lambdas, items, item_lambdas, alpha)
+
+
+def distributed_index_step(
+    items: jax.Array,       # (N, F) sharded
+    centroids: jax.Array,   # (X, F) replicated (from host clustering)
+    queries: jax.Array,     # (B, F) replicated
+    taumode: TauMode,
+    graph_params,
+    k: int,
+    mesh: Mesh,
+):
+    """One full device-side index+query step over the mesh — the
+    "training step" analogue used by the multi-chip dry run:
+
+    1. build the F′×F′ λτ-graph from the (replicated) centroids;
+    2. compute λτ for every (sharded) item;
+    3. prepare query λ and run the distributed top-k.
+    """
+    from ..laplacian import build_laplacian_matrix
+
+    gl = build_laplacian_matrix(centroids.T, graph_params,
+                                n_items=items.shape[0])
+    lap = jax.device_put(gl.matrix, replicated_sharding(mesh))
+
+    lambdas = sharded_compute_taumode_lambdas(items, lap, taumode, mesh)
+
+    q_taus = select_tau_batch(queries, taumode)
+    q_lambdas = synthetic_lambda_batch(queries, lap, q_taus)
+
+    scores, idx = distributed_lambda_aware_topk(
+        queries, q_lambdas, items, lambdas,
+        jnp.asarray(0.9, dtype=items.dtype), k, mesh)
+    return lambdas, scores, idx

@@ -1,0 +1,87 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from arrowspace_tpu.graph import GraphParams
+from arrowspace_tpu.parallel import (distributed_index_step,
+                                     distributed_lambda_aware_topk,
+                                     make_mesh,
+                                     sharded_compute_taumode_lambdas)
+from arrowspace_tpu.ops.search import batched_lambda_aware_topk
+from arrowspace_tpu.taumode import TauMode, compute_taumode_lambdas
+from helpers import oracle_adjacency, oracle_laplacian
+from data import make_moons_hd
+
+
+@pytest.fixture(scope="module")
+def mesh(request):
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return make_mesh(8)
+
+
+def _setup(n=128, f=16, seed=0):
+    rows = make_moons_hd(n, noise=0.08, hd_noise=0.05, dims=f, seed=seed)
+    adj = oracle_adjacency(rows[:12], eps=1.0, topk=4, p=2.0, sigma=None)
+    lap = oracle_laplacian(adj)[:f, :f] if adj.shape[0] >= f else None
+    # build a graph over features instead (canonical shape): use transpose
+    adjf = oracle_adjacency(rows.T[:, :32], eps=1.0, topk=4, p=2.0,
+                            sigma=None)
+    lapf = oracle_laplacian(adjf)
+    return jnp.asarray(rows), jnp.asarray(lapf)
+
+
+def test_sharded_lambdas_match_single_device(mesh):
+    items, lap = _setup()
+    single = compute_taumode_lambdas(items, lap, TauMode.median())
+    sharded = sharded_compute_taumode_lambdas(items, lap, TauMode.median(),
+                                              mesh)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
+                               rtol=1e-12)
+    # result is actually sharded over the mesh
+    assert len(sharded.sharding.device_set) == 8
+
+
+def test_distributed_topk_matches_single_device(mesh):
+    items, lap = _setup(n=256)
+    lambdas = compute_taumode_lambdas(items, lap, TauMode.median())
+    queries = items[:4] * 1.01
+    q_lam = compute_taumode_lambdas(queries, lap, TauMode.median())
+    alpha = jnp.asarray(0.8, dtype=items.dtype)
+
+    s_single, i_single = batched_lambda_aware_topk(
+        queries, q_lam, items, lambdas, alpha, k=10)
+    s_dist, i_dist = distributed_lambda_aware_topk(
+        queries, q_lam, items, lambdas, 0.8, 10, mesh)
+
+    np.testing.assert_allclose(np.asarray(s_dist), np.asarray(s_single),
+                               rtol=1e-12)
+    # indices may differ only on exact ties; verify score-set equality and
+    # index agreement away from ties
+    np.testing.assert_array_equal(np.asarray(i_dist), np.asarray(i_single))
+
+
+def test_distributed_index_step_runs(mesh):
+    """The full device-side step compiles and executes over the mesh."""
+    items, _ = _setup(n=128, f=16)
+    centroids = items[:10]
+    queries = items[:2] * 1.02
+    params = GraphParams(eps=1.0, k=5, topk=3, p=2.0, sigma=None,
+                         normalise=False, sparsity_check=False)
+    lambdas, scores, idx = distributed_index_step(
+        items, centroids, queries, TauMode.median(), params, 5, mesh)
+    assert lambdas.shape == (128,)
+    assert scores.shape == (2, 5)
+    assert idx.shape == (2, 5)
+    assert np.all(np.isfinite(np.asarray(scores)))
+
+
+def test_uneven_shard_raises(mesh):
+    items, lap = _setup(n=130)
+    lambdas = compute_taumode_lambdas(items, lap, TauMode.median())
+    with pytest.raises(AssertionError, match="padded"):
+        distributed_lambda_aware_topk(items[:2], lambdas[:2], items,
+                                      lambdas, 0.8, 5, mesh)
