@@ -273,13 +273,25 @@ class ArrowSpace:
                 zip(np.asarray(idx[0]), np.asarray(scores[0]))]
 
     def search_lambda_aware_batch(self, queries, query_lambdas, k: int,
-                                  alpha: float):
+                                  alpha: float, use_pallas: bool = None):
         """Batched variant: (B, F) queries -> (scores (B,k), indices (B,k)).
-        This is the TPU-native entry point for throughput benchmarks."""
+        This is the TPU-native entry point for throughput benchmarks.
+
+        On TPU with a large corpus the fused Pallas streaming-top-k kernel
+        is used automatically: it never materialises the (B, N) score
+        matrix in HBM (pass use_pallas=False to force the XLA path)."""
         k_eff = min(k, self.nitems)
         dt = self.data.dtype
         q = jnp.asarray(queries, dtype=dt)
         qlam = jnp.asarray(query_lambdas, dtype=dt)
+
+        if use_pallas is None:
+            use_pallas = (jax.default_backend() == "tpu"
+                          and self.nitems >= 65536)
+        if use_pallas:
+            from .ops.pallas_topk import fused_lambda_topk
+            return fused_lambda_topk(q, qlam, self.data, self.lambdas,
+                                     alpha, k=k_eff)
         return batched_lambda_aware_topk(
             q, qlam, self.data, self.lambdas, jnp.asarray(alpha, dtype=dt),
             k=k_eff)

@@ -1,0 +1,212 @@
+"""Pallas TPU kernel: fused λ-aware scoring + streaming top-k.
+
+Why a kernel: XLA's matmul+top_k materialises the full (B, N) score matrix
+in HBM (B=256, N=1M -> 1 GB written and re-read per batch).  This kernel
+tiles the items axis, computes the score tile on the MXU, and folds it
+into a running top-k held in VMEM scratch — items are read exactly once
+and nothing but the (B, k) result ever leaves the chip.
+
+This is the TPU replacement for the reference's per-thread top-k heaps
+(core.rs:818-888): the heap becomes a (B, k) running buffer, the merge
+becomes k iterations of masked max-extraction (Mosaic has no sort/top_k
+primitive, so selection is done with max+mask passes — k is small).
+
+Score (core.rs:135-175): α·cos(q, x) + (1-α)·(1 - min(|λ_q - λ_x|, 1)).
+Inputs are pre-normalised unit rows so cos is a plain dot product.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["fused_lambda_topk", "pallas_available"]
+
+NEG_INF = float(np.finfo(np.float32).min)
+
+
+def pallas_available() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def _extract_topk(scores, idx, k: int):
+    """Top-k of (B, W) scores/indices via k masked max-extraction passes
+    (no sort primitive on Mosaic).  First occurrence wins ties, matching
+    lax.top_k's stable ordering."""
+    bsz, width = scores.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (bsz, width), 1)
+    out_s, out_i = [], []
+    for _ in range(k):
+        cur = jnp.max(scores, axis=1)                      # (B,)
+        eq = scores == cur[:, None]
+        pos = jnp.min(jnp.where(eq, col, width), axis=1)
+        chosen = col == pos[:, None]
+        sel = jnp.min(jnp.where(chosen, idx, jnp.iinfo(jnp.int32).max),
+                      axis=1)
+        out_s.append(cur)
+        out_i.append(sel)
+        scores = jnp.where(chosen, NEG_INF, scores)
+    return jnp.stack(out_s, axis=1), jnp.stack(out_i, axis=1)
+
+
+def _merge_topk(run_s, run_i, tile_s, tile_i, k: int):
+    """Exact merge of the running (B, k) top-k with a (B, T) tile: reduce
+    the tile to its own (B, k) first (passes over the large tile touch only
+    the already-materialised score buffer — no (B, k+T) concatenation, which
+    would double peak VMEM), then select over the (B, 2k) union.
+
+    Tie order note: the running buffer is listed before the tile, and tile
+    indices are strictly increasing across grid steps, so equal scores
+    resolve to the lowest global index — identical to lax.top_k over the
+    full score row."""
+    ts, ti = _extract_topk(tile_s, tile_i, k)
+    comb_s = jnp.concatenate([run_s, ts], axis=1)          # (B, 2k)
+    comb_i = jnp.concatenate([run_i, ti], axis=1)
+    return _extract_topk(comb_s, comb_i, k)
+
+
+def _kernel(qhat_ref, qlam_ref, xhat_ref, xlam_ref, alpha_ref,
+            out_s_ref, out_i_ref, run_s, run_i, *, k: int, tile: int,
+            n_items: int):
+    t = pl.program_id(0)
+    n_tiles = pl.num_programs(0)
+
+    @pl.when(t == 0)
+    def _init():
+        run_s[:] = jnp.full_like(run_s, NEG_INF)
+        run_i[:] = jnp.zeros_like(run_i)
+
+    alpha = alpha_ref[0, 0]
+    qhat = qhat_ref[:]                       # (B, F), f32 or bf16
+    xhat = xhat_ref[:]                       # (T, F) current tile
+    cos = jax.lax.dot_general(
+        qhat, xhat, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (B, T) f32 accumulation
+
+    dl = jnp.abs(qlam_ref[:].reshape(-1, 1) - xlam_ref[:].reshape(1, -1))
+    lam_sim = 1.0 - jnp.minimum(dl, 1.0)
+    scores = alpha * cos + (1.0 - alpha) * lam_sim
+
+    # mask padding rows beyond N
+    base = t * tile
+    local = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    gidx = local + base
+    scores = jnp.where(gidx < n_items, scores, NEG_INF)
+
+    # Threshold gate: after the running buffer warms up, most tiles cannot
+    # beat any row's current kth score — skip the merge entirely then.
+    # (The analogue of the reference heap's `score > heap.peek()` early-out,
+    # core.rs:852-859, lifted to whole tiles.)
+    tile_best = jnp.max(scores, axis=1)          # (B,)
+    kth = run_s[:, k - 1]                        # (B,)
+    need = jnp.any(tile_best > kth)
+
+    @pl.when(need)
+    def _merge():
+        s, i = _merge_topk(run_s[:], run_i[:], scores, gidx, k)
+        run_s[:] = s
+        run_i[:] = i
+
+    @pl.when(t == n_tiles - 1)
+    def _flush():
+        out_s_ref[:] = run_s[:]
+        out_i_ref[:] = run_i[:]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "tile", "interpret", "use_bf16"))
+def fused_lambda_topk(
+    queries: jax.Array,       # (B, F) — raw, normalised inside
+    query_lambdas: jax.Array,  # (B,)
+    items: jax.Array,          # (N, F) — raw
+    item_lambdas: jax.Array,   # (N,)
+    alpha,
+    *,
+    k: int,
+    tile: int = 4096,
+    interpret: bool = False,
+    use_bf16: bool = False,   # bf16 matmul inputs, f32 accumulation:
+                              # 4x MXU rate + half the HBM traffic
+):
+    """Returns (scores (B, k), indices (B, k)) — bit-stable vs. the XLA
+    matmul+top_k path up to tie ordering."""
+    bsz, f = queries.shape
+    n = items.shape[0]
+    dt = jnp.float32
+
+    # VMEM budget: chunk the query batch so per-step buffers stay within
+    # the ~16 MB scoped-vmem limit.
+    max_b = 128
+    if bsz > max_b:
+        outs = [fused_lambda_topk(queries[i:i + max_b],
+                                  query_lambdas[i:i + max_b],
+                                  items, item_lambdas, alpha,
+                                  k=k, tile=tile, interpret=interpret,
+                                  use_bf16=use_bf16)
+                for i in range(0, bsz, max_b)]
+        return (jnp.concatenate([o[0] for o in outs], axis=0),
+                jnp.concatenate([o[1] for o in outs], axis=0))
+
+    mm_dt = jnp.bfloat16 if use_bf16 else dt
+
+    def unit(rows):
+        nrm = jnp.sqrt(jnp.sum(rows * rows, axis=-1, keepdims=True))
+        return jnp.where(nrm > 0.0, rows / jnp.where(nrm > 0.0, nrm, 1.0),
+                         0.0).astype(mm_dt)
+
+    qhat = unit(queries)
+    xhat = unit(items)
+    qlam = query_lambdas.astype(dt)
+    xlam = item_lambdas.astype(dt)
+
+    n_pad = ((n + tile - 1) // tile) * tile
+    if n_pad != n:
+        xhat = jnp.pad(xhat, ((0, n_pad - n), (0, 0)))
+        xlam = jnp.pad(xlam, (0, n_pad - n))
+    n_tiles = n_pad // tile
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_tiles,),
+        scratch_shapes=[pltpu.VMEM((bsz, k), dt),
+                        pltpu.VMEM((bsz, k), jnp.int32)],
+        in_specs=[
+            pl.BlockSpec((bsz, f), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),      # qhat (replicated)
+            pl.BlockSpec((bsz,), lambda t: (0,),
+                         memory_space=pltpu.VMEM),      # qlam
+            pl.BlockSpec((tile, f), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),      # xhat tile
+            pl.BlockSpec((tile,), lambda t: (t,),
+                         memory_space=pltpu.VMEM),      # xlam tile
+            pl.BlockSpec((1, 1), lambda t: (0, 0),
+                         memory_space=pltpu.SMEM),      # alpha
+        ],
+        out_specs=(
+            pl.BlockSpec((bsz, k), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bsz, k), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+    )
+
+    kernel = functools.partial(_kernel, k=k, tile=tile, n_items=n)
+    out_s, out_i = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((bsz, k), dt),
+                   jax.ShapeDtypeStruct((bsz, k), jnp.int32)),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bsz * n_pad * f,
+            bytes_accessed=n_pad * f * 4 + bsz * f * 4 + bsz * k * 8,
+            transcendentals=0,
+        ),
+    )(qhat, qlam, xhat, xlam,
+      jnp.asarray(alpha, dtype=dt).reshape(1, 1))
+    return out_s, out_i

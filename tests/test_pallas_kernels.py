@@ -1,0 +1,49 @@
+"""Pallas kernel correctness on CPU (interpret mode) — the TPU path is
+exercised by bench.py on real hardware."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from arrowspace_tpu.ops.pallas_topk import fused_lambda_topk
+from arrowspace_tpu.ops.search import batched_lambda_aware_topk
+
+
+def _data(n, f, b, seed=0):
+    rng = np.random.default_rng(seed)
+    return (jnp.asarray(rng.uniform(0.1, 1.0, (b, f)), jnp.float32),
+            jnp.asarray(rng.uniform(0, 1, (b,)), jnp.float32),
+            jnp.asarray(rng.uniform(0.1, 1.0, (n, f)), jnp.float32),
+            jnp.asarray(rng.uniform(0, 1, (n,)), jnp.float32))
+
+
+@pytest.mark.parametrize("n,tile", [(1000, 256), (2048, 512), (777, 256)])
+def test_fused_topk_matches_xla(n, tile):
+    q, qlam, x, xlam = _data(n, 64, 4)
+    k = 8
+    s1, i1 = fused_lambda_topk(q, qlam, x, xlam, 0.9, k=k, tile=tile,
+                               interpret=True)
+    s2, i2 = batched_lambda_aware_topk(q, qlam, x, xlam,
+                                       jnp.float32(0.9), k=k)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_fused_topk_query_chunking():
+    # B > 128 triggers the internal VMEM-budget chunking
+    q, qlam, x, xlam = _data(512, 32, 130)
+    s1, i1 = fused_lambda_topk(q, qlam, x, xlam, 0.7, k=5, tile=256,
+                               interpret=True)
+    s2, i2 = batched_lambda_aware_topk(q, qlam, x, xlam,
+                                       jnp.float32(0.7), k=5)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_fused_topk_k_larger_than_tile_tail():
+    # padding rows must never appear in the results
+    q, qlam, x, xlam = _data(300, 16, 2)
+    s, i = fused_lambda_topk(q, qlam, x, xlam, 1.0, k=20, tile=256,
+                             interpret=True)
+    assert np.asarray(i).max() < 300
