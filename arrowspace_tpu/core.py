@@ -35,7 +35,8 @@ class ArrowItem:
     __slots__ = ("item", "lambda_")
 
     def __init__(self, item, lambda_: float):
-        self.item = np.asarray(item, dtype=np.float64)
+        # owned copy: sources may be read-only device-array views
+        self.item = np.array(item, dtype=np.float64)
         self.lambda_ = float(lambda_)
 
     def __len__(self) -> int:

@@ -1,0 +1,134 @@
+"""Hypergraph clique-expansion overlays and λτ-graph ensembles.
+
+The reference *documents* these capabilities (README.md:112-113,
+builder.rs:241-247 "Priority order ... hypergraph clique/normalized",
+graph.rs:142 "Ensembles vary λτ-graph parameters (k, eps) and/or overlay
+hypergraph operations") but ships no implementation (SURVEY.md §2
+"Dead/doc-only items").  BASELINE.json's GloVe config nevertheless calls
+for "hypergraph clique-expansion overlay + ensembles (k-adjust,
+ε-expand)", so this module supplies the capability:
+
+- clique expansion: each hyperedge S with weight w contributes
+  w/(|S|-1) to every unordered pair in S (the standard clique-expansion
+  weighting), accumulated into a dense adjacency overlay;
+- Laplacian overlay: L' = L + mix·(D_h - A_h) — still a valid Laplacian
+  (row sums 0, PSD as a sum of PSD matrices);
+- ensembles: build several λτ graphs with perturbed (k, eps), score a
+  query against each, and fuse rankings by mean score (k-adjust /
+  ε-expand per graph.rs:142's description).
+
+All device work is dense scatter + matmuls; overlays compose with every
+downstream λτ/search kernel unchanged.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .graph import GraphLaplacian, GraphParams
+from .utils.log import get_logger
+
+logger = get_logger("arrowspace.hypergraph")
+
+__all__ = ["clique_expansion_adjacency", "overlay_laplacian",
+           "ensemble_params", "ensemble_search"]
+
+
+def clique_expansion_adjacency(
+    hyperedges: Sequence[Sequence[int]],
+    n_nodes: int,
+    weights: Optional[Sequence[float]] = None,
+) -> np.ndarray:
+    """Dense clique-expansion adjacency: hyperedge S adds w/(|S|-1) to
+    every pair in S.  Hyperedges with fewer than 2 nodes are ignored."""
+    adj = np.zeros((n_nodes, n_nodes))
+    if weights is None:
+        weights = [1.0] * len(hyperedges)
+    for edge, w in zip(hyperedges, weights):
+        edge = sorted(set(int(v) for v in edge))
+        if len(edge) < 2:
+            continue
+        share = w / (len(edge) - 1)
+        idx = np.asarray(edge)
+        adj[np.ix_(idx, idx)] += share
+    np.fill_diagonal(adj, 0.0)
+    return adj
+
+
+def overlay_laplacian(gl: GraphLaplacian, hyper_adj,
+                      mix: float = 1.0) -> GraphLaplacian:
+    """L' = L + mix·(D_h - A_h): overlay the clique-expanded hypergraph on
+    an existing λτ-graph Laplacian."""
+    a = jnp.asarray(hyper_adj, dtype=gl.matrix.dtype)
+    assert a.shape == gl.matrix.shape, (
+        f"overlay shape {a.shape} != laplacian shape {gl.matrix.shape}")
+    l_h = jnp.diag(jnp.sum(a, axis=1)) - a
+    new_matrix = gl.matrix + mix * l_h
+    offdiag = new_matrix - jnp.diag(jnp.diagonal(new_matrix))
+    nnz = int(new_matrix.shape[0]) + int(jnp.sum(offdiag != 0))
+    out = dataclasses.replace(gl, matrix=new_matrix, structural_nnz=nnz)
+    logger.info("Hypergraph overlay applied: mix=%.3f, nnz %d -> %d",
+                mix, gl.nnz(), nnz)
+    return out
+
+
+def ensemble_params(base: GraphParams,
+                    k_adjust: Sequence[int] = (-1, 0, 1),
+                    eps_expand: Sequence[float] = (1.0, 1.5),
+                    ) -> List[GraphParams]:
+    """Parameter grid for λτ-graph ensembles (k-adjust, ε-expand)."""
+    out = []
+    for dk in k_adjust:
+        for fe in eps_expand:
+            k = max(base.k + dk, 1)
+            out.append(dataclasses.replace(base, k=k, eps=base.eps * fe,
+                                           topk=max(base.topk, 1)))
+    return out
+
+
+def ensemble_search(
+    aspace,
+    centroids,
+    query,
+    params_list: Sequence[GraphParams],
+    k: int,
+    alpha: float,
+) -> List[Tuple[int, float]]:
+    """Build one λτ graph per parameter set, compute per-variant lambdas
+    and query λ, score, and fuse by mean score across variants."""
+    from .laplacian import build_laplacian_matrix
+    from .ops.search import lambda_aware_scores
+    from .taumode import compute_taumode_lambdas, select_tau, \
+        synthetic_lambda_single
+
+    centroids = jnp.asarray(centroids)
+    query = np.asarray(query, dtype=np.float64)
+    dt = aspace.data.dtype
+    total = jnp.zeros((aspace.nitems,), dtype=dt)
+
+    for params in params_list:
+        gl = build_laplacian_matrix(centroids.T, params,
+                                    n_items=aspace.nitems)
+        lambdas = compute_taumode_lambdas(aspace.data, gl.matrix,
+                                          aspace.taumode)
+        q = aspace.project_query(query) if aspace.projection_matrix \
+            else query
+        tau = select_tau(q, aspace.taumode)
+        qlam = synthetic_lambda_single(jnp.asarray(q, dtype=dt),
+                                       gl.matrix, tau)
+        scores = lambda_aware_scores(
+            jnp.asarray(q, dtype=dt)[None, :],
+            jnp.asarray([qlam], dtype=dt),
+            aspace.data, lambdas, jnp.asarray(alpha, dtype=dt))[0]
+        total = total + scores
+
+    total = total / len(params_list)
+    k_eff = min(k, aspace.nitems)
+    top_s, top_i = jax.lax.top_k(total, k_eff)
+    return [(int(i), float(s)) for i, s in
+            zip(np.asarray(top_i), np.asarray(top_s))]

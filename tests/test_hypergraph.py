@@ -1,0 +1,77 @@
+"""Hypergraph clique-expansion overlay + ensemble tests (capability from
+reference docs: README.md:112-113, graph.rs:142; BASELINE.json config #4)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from arrowspace_tpu.builder import ArrowSpaceBuilder
+from arrowspace_tpu.graph import GraphParams
+from arrowspace_tpu.hypergraph import (clique_expansion_adjacency,
+                                       ensemble_params, ensemble_search,
+                                       overlay_laplacian)
+from arrowspace_tpu import eigenmaps as em
+from data import make_moons_hd
+
+
+def test_clique_expansion_weights():
+    adj = clique_expansion_adjacency([[0, 1, 2], [2, 3]], 5)
+    # 3-edge: share 1/2 to each pair
+    assert adj[0, 1] == pytest.approx(0.5)
+    assert adj[1, 2] == pytest.approx(0.5)
+    # 2-edge: full weight, accumulated on top of the 3-edge pair
+    assert adj[2, 3] == pytest.approx(1.0)
+    assert adj[0, 3] == 0.0
+    np.testing.assert_allclose(adj, adj.T)
+    assert np.all(np.diag(adj) == 0.0)
+    # degenerate edges ignored
+    adj2 = clique_expansion_adjacency([[1], []], 3)
+    assert adj2.sum() == 0.0
+
+
+def test_overlay_preserves_laplacian_properties():
+    rows = make_moons_hd(60, noise=0.1, hd_noise=0.05, dims=10, seed=1)
+    b = ArrowSpaceBuilder().with_seed(3)
+    aspace, gl = b.build(rows.tolist())
+    n = gl.shape()[0]
+    hyper = clique_expansion_adjacency([[0, 1, 2], [3, 4]], n)
+    gl2 = overlay_laplacian(gl, hyper, mix=0.5)
+    val = gl2.verify_properties(1e-8)
+    assert val.is_valid
+    # Rayleigh still non-negative (sum of PSD matrices)
+    rng = np.random.default_rng(0)
+    for _ in range(5):
+        x = rng.normal(size=n)
+        assert gl2.rayleigh_quotient(x) >= -1e-9
+
+
+def test_ensemble_params_grid():
+    base = GraphParams(eps=0.5, k=5, topk=3, p=2.0, sigma=None,
+                       normalise=False, sparsity_check=False)
+    grid = ensemble_params(base)
+    assert len(grid) == 6
+    ks = {p.k for p in grid}
+    assert ks == {4, 5, 6}
+    eps = {round(p.eps, 6) for p in grid}
+    assert eps == {0.5, 0.75}
+
+
+def test_ensemble_search_fuses_rankings():
+    rows = make_moons_hd(80, noise=0.08, hd_noise=0.04, dims=12, seed=5)
+    b = ArrowSpaceBuilder().with_lambda_graph(1.0, 5, 3, 2.0, None) \
+        .with_seed(11)
+    b.define_result_k()
+    clustered = em.start_clustering(b, rows.tolist())
+    aspace = clustered.aspace
+    gl = em.eigenmaps(aspace, b, clustered.centroids, clustered.n_items)
+    em.compute_taumode(aspace, gl)
+
+    base = gl.graph_params
+    grid = ensemble_params(base, k_adjust=(0, 1), eps_expand=(1.0,))
+    q = rows[20] * 1.02
+    res = ensemble_search(aspace, clustered.centroids, q, grid, 10, 0.9)
+    assert len(res) == 10
+    scores = [s for _, s in res]
+    assert scores == sorted(scores, reverse=True)
+    # the perturbed source item should rank at the top
+    assert res[0][0] == 20
