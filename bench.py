@@ -113,13 +113,14 @@ def main() -> None:
             f"(reference: 1.53/5.39/20.2/84.9 ms at 50/100/200/400)")
 
     # ---- supplementary: large-corpus λτ + query QPS ----------------------
+    # NOTE: block_until_ready can return early through the axon tunnel;
+    # fetching a tiny output slice is the reliable completion barrier.
     from arrowspace_tpu.taumode import TauMode, compute_taumode_lambdas
-    n_big, f_big = 100_000, 128
+    from arrowspace_tpu.ops.pallas_topk import fused_lambda_topk
+    n_big, f_big = 1_000_000, 128
     big = jnp.asarray(
-        np.random.default_rng(0).uniform(0.1, 1.0, (n_big, f_big)),
-        dtype=jnp.float32)
-    lap_small = np.asarray(gl.matrix, dtype=np.float32)
-    # reuse a small synthetic 128-node laplacian for the big sweep
+        np.random.default_rng(0).uniform(0.1, 1.0, (n_big, f_big))
+        .astype(np.float32))
     a = np.random.default_rng(1).uniform(0, 1, (f_big, f_big))
     a = np.maximum(a, a.T) * (a > 0.9)
     np.fill_diagonal(a, 0)
@@ -127,24 +128,30 @@ def main() -> None:
 
     def lam_batch():
         out = compute_taumode_lambdas(big, lap_big, TauMode.median())
-        jax.block_until_ready(out)
+        np.asarray(out[:1])
 
     t_lam = median_time(lam_batch, warmup=2, iters=5)
-    log(f"λτ batch 100k x 128: {t_lam * 1e3:.1f} ms "
+    log(f"λτ batch 1M x 128: {t_lam * 1e3:.1f} ms "
         f"({n_big / t_lam / 1e6:.2f}M items/s)")
 
     big_lam = compute_taumode_lambdas(big, lap_big, TauMode.median())
     qb = big[:256] * 1.01
     qlam_b = compute_taumode_lambdas(qb, lap_big, TauMode.median())
 
-    def big_query():
+    def big_query_xla():
         s, i = batched_lambda_aware_topk(qb, qlam_b, big, big_lam,
                                          jnp.asarray(0.9, jnp.float32), k=10)
-        jax.block_until_ready((s, i))
+        np.asarray(s[:1, :1])
 
-    t_q = median_time(big_query, warmup=2, iters=5)
-    log(f"query batch256 over 100k x 128: {t_q * 1e3:.2f} ms "
-        f"({256 / t_q:.0f} QPS)")
+    def big_query_pallas():
+        s, i = fused_lambda_topk(qb, qlam_b, big, big_lam, 0.9, k=10)
+        np.asarray(s[:1, :1])
+
+    t_q = median_time(big_query_xla, warmup=2, iters=5)
+    t_p = median_time(big_query_pallas, warmup=2, iters=5)
+    log(f"query batch256 over 1M x 128: xla {t_q * 1e3:.2f} ms "
+        f"({256 / t_q:.0f} QPS), pallas {t_p * 1e3:.2f} ms "
+        f"({256 / t_p:.0f} QPS)")
 
     print(json.dumps({
         "metric": "lookup_topk3_batch256_latency",
