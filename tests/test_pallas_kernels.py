@@ -47,3 +47,36 @@ def test_fused_topk_k_larger_than_tile_tail():
     s, i = fused_lambda_topk(q, qlam, x, xlam, 1.0, k=20, tile=256,
                              interpret=True)
     assert np.asarray(i).max() < 300
+
+
+# --- fused lambda batch kernel ----------------------------------------------
+
+def test_fused_lambda_batch_matches_xla():
+    from arrowspace_tpu.ops.pallas_lambda import fused_lambda_batch
+    from arrowspace_tpu.taumode import (TauMode, select_tau_batch,
+                                        synthetic_lambda_batch)
+    from helpers import oracle_adjacency, oracle_laplacian
+
+    rng = np.random.default_rng(3)
+    n_nodes, f, n_items = 24, 40, 700
+    rows = rng.uniform(0.1, 1.0, (n_items, f)).astype(np.float32)
+    graph_rows = rng.uniform(0.1, 1.0, (n_nodes, 8))
+    lap = oracle_laplacian(
+        oracle_adjacency(graph_rows, eps=1.0, topk=4, p=2.0, sigma=None)
+    ).astype(np.float32)
+
+    x = jnp.asarray(rows)
+    lapj = jnp.asarray(lap)
+    taus = select_tau_batch(x, TauMode.median())
+    l_pallas = fused_lambda_batch(x, lapj, taus, tile=256, interpret=True)
+    l_xla = synthetic_lambda_batch(x, lapj, taus)
+    np.testing.assert_allclose(np.asarray(l_pallas), np.asarray(l_xla),
+                               rtol=2e-5, atol=1e-7)
+
+
+def test_fused_lambda_batch_rejects_oversized_graph():
+    from arrowspace_tpu.ops.pallas_lambda import fused_lambda_batch
+    with pytest.raises(ValueError):
+        fused_lambda_batch(jnp.ones((4, 3), jnp.float32),
+                           jnp.eye(5, dtype=jnp.float32),
+                           jnp.ones((4,), jnp.float32), interpret=True)
