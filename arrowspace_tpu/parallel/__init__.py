@@ -1,6 +1,9 @@
-from .mesh import make_mesh, items_sharding, replicated_sharding  # noqa: F401
+from .mesh import (  # noqa: F401
+    make_mesh, make_mesh_2d, items_sharding, replicated_sharding,
+)
 from .distributed import (  # noqa: F401
     sharded_compute_taumode_lambdas,
     distributed_lambda_aware_topk,
+    distributed_lambda_aware_topk_2d,
     distributed_index_step,
 )

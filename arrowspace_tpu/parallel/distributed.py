@@ -101,6 +101,70 @@ def distributed_lambda_aware_topk(
     return jax.jit(fn)(queries, query_lambdas, items, item_lambdas, alpha)
 
 
+def distributed_lambda_aware_topk_2d(
+    queries: jax.Array,
+    query_lambdas: jax.Array,
+    items: jax.Array,          # (N, F) — sharded over BOTH mesh axes
+    item_lambdas: jax.Array,
+    alpha,
+    k: int,
+    mesh: Mesh,
+) -> Tuple[jax.Array, jax.Array]:
+    """Hierarchical top-k merge over a (dcn, ici) mesh.
+
+    Stage 1: per-device top-k (local lax.top_k).
+    Stage 2: all_gather + re-top-k WITHIN each ICI group (fast interconnect).
+    Stage 3: all_gather the per-group winners ACROSS the DCN axis — only
+             k candidates per ICI group cross the data-centre network —
+             and take the final top-k.
+    """
+    n = items.shape[0]
+    n_dcn, n_ici = mesh.devices.shape
+    n_dev = n_dcn * n_ici
+    assert n % n_dev == 0, (
+        f"N={n} must be padded to a multiple of the mesh size {n_dev}")
+    shard_n = n // n_dev
+    k_local = min(k, shard_n)
+
+    spec_items = P(("dcn", "ici"), None)
+    spec_lam = P(("dcn", "ici"))
+    queries = jax.device_put(queries, NamedSharding(mesh, P()))
+    query_lambdas = jax.device_put(query_lambdas, NamedSharding(mesh, P()))
+    items = jax.device_put(items, NamedSharding(mesh, spec_items))
+    item_lambdas = jax.device_put(item_lambdas, NamedSharding(mesh, spec_lam))
+    alpha = jnp.asarray(alpha, dtype=items.dtype)
+
+    def _shard_fn(q, qlam, x, xlam, a):
+        scores = lambda_aware_scores(q, qlam, x, xlam, a)
+        local_scores, local_idx = jax.lax.top_k(scores, k_local)
+        dcn_id = jax.lax.axis_index("dcn")
+        ici_id = jax.lax.axis_index("ici")
+        shard_id = dcn_id * n_ici + ici_id
+        gidx = local_idx + shard_id * shard_n
+
+        # ICI-group merge (rides the fast interconnect)
+        s_ici = jax.lax.all_gather(local_scores, "ici", axis=1, tiled=True)
+        i_ici = jax.lax.all_gather(gidx, "ici", axis=1, tiled=True)
+        k_grp = min(k, s_ici.shape[1])
+        s_grp, pos = jax.lax.top_k(s_ici, k_grp)
+        i_grp = jnp.take_along_axis(i_ici, pos, axis=1)
+
+        # DCN merge: only k_grp candidates per group cross the DCN
+        s_all = jax.lax.all_gather(s_grp, "dcn", axis=1, tiled=True)
+        i_all = jax.lax.all_gather(i_grp, "dcn", axis=1, tiled=True)
+        top_scores, pos = jax.lax.top_k(s_all, min(k, n))
+        top_idx = jnp.take_along_axis(i_all, pos, axis=1)
+        return top_scores, top_idx
+
+    fn = shard_map(
+        _shard_fn, mesh=mesh,
+        in_specs=(P(), P(), spec_items, spec_lam, P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)(queries, query_lambdas, items, item_lambdas, alpha)
+
+
 def distributed_index_step(
     items: jax.Array,       # (N, F) sharded
     centroids: jax.Array,   # (X, F) replicated (from host clustering)

@@ -42,5 +42,20 @@ def items_sharding(mesh: Mesh, axis_name: str = ITEMS_AXIS,
     return NamedSharding(mesh, spec)
 
 
+def make_mesh_2d(dcn: int, ici: int,
+                 devices: Optional[Sequence] = None) -> Mesh:
+    """(dcn, ici) mesh for multi-host corpora (the 100M×768 config in
+    BASELINE.json): the items axis is sharded over BOTH axes; collectives
+    are issued hierarchically so only k candidates per ICI group ever
+    cross the DCN."""
+    if devices is None:
+        devices = jax.devices()
+    assert len(devices) >= dcn * ici, (
+        f"need {dcn * ici} devices, have {len(devices)}")
+    import numpy as np
+    grid = np.asarray(devices[: dcn * ici]).reshape(dcn, ici)
+    return Mesh(grid, ("dcn", "ici"))
+
+
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())

@@ -85,3 +85,26 @@ def test_uneven_shard_raises(mesh):
     with pytest.raises(AssertionError, match="padded"):
         distributed_lambda_aware_topk(items[:2], lambdas[:2], items,
                                       lambdas, 0.8, 5, mesh)
+
+
+def test_hierarchical_2d_topk_matches_single_device():
+    """(dcn=2, ici=4) mesh: hierarchical merge must equal the flat top-k."""
+    from arrowspace_tpu.parallel import (distributed_lambda_aware_topk_2d,
+                                         make_mesh_2d)
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh2d = make_mesh_2d(2, 4)
+    items, lap = _setup(n=256)
+    lambdas = compute_taumode_lambdas(items, lap, TauMode.median())
+    queries = items[:4] * 1.01
+    q_lam = compute_taumode_lambdas(queries, lap, TauMode.median())
+
+    s_single, i_single = batched_lambda_aware_topk(
+        queries, q_lam, items, lambdas,
+        jnp.asarray(0.8, items.dtype), k=10)
+    s_2d, i_2d = distributed_lambda_aware_topk_2d(
+        queries, q_lam, items, lambdas, 0.8, 10, mesh2d)
+
+    np.testing.assert_allclose(np.asarray(s_2d), np.asarray(s_single),
+                               rtol=1e-12)
+    np.testing.assert_array_equal(np.asarray(i_2d), np.asarray(i_single))
