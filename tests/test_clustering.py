@@ -136,3 +136,49 @@ def test_zero_clusters_raises():
     with pytest.raises(RuntimeError, match="No clusters created"):
         clustering.run_incremental_clustering_with_sampling(
             b, rows, 3, 5, 1.0, sampler)
+
+
+def test_chunked_parallel_mode():
+    """Unseeded >=4096-row datasets use the chunked (racy-equivalent)
+    mode; it must satisfy the same invariants as the sequential scan."""
+    from arrowspace_tpu.clustering import (_incremental_clustering_chunked,
+                                           _incremental_clustering_numpy)
+    rng = np.random.default_rng(17)
+    centers = rng.uniform(0, 1, (6, 10))
+    rows = centers[rng.integers(0, 6, 6000)] + rng.normal(0, 0.05, (6000, 10))
+
+    b = ArrowSpaceBuilder()
+    b.sampling = SamplerType.simple(0.6)
+    s = SamplerType.simple(0.6).make(seed=3)
+    cents, assigns, sizes = _incremental_clustering_chunked(
+        b, rows, 10, 12, 0.3, s)
+    assert 1 <= cents.shape[0] <= 12
+    assert len(assigns) == 6000
+    assert sum(sizes) == sum(1 for a in assigns if a is not None)
+    # assigned rows point at real centroids
+    for a in assigns:
+        assert a is None or 0 <= a < cents.shape[0]
+
+    # sequential and chunked agree on cluster-count scale for easy data
+    b2 = ArrowSpaceBuilder()
+    b2.sampling = SamplerType.simple(0.6)
+    s2 = SamplerType.simple(0.6).make(seed=3)
+    cents_seq, _, _ = _incremental_clustering_numpy(
+        b2, rows, 10, 12, 0.3, s2)
+    assert abs(cents.shape[0] - cents_seq.shape[0]) <= 6
+
+
+def test_chunked_mode_speed_sanity():
+    import time
+    from arrowspace_tpu.clustering import _incremental_clustering_chunked
+    rng = np.random.default_rng(23)
+    rows = rng.uniform(0, 1, (100_000, 32))
+    b = ArrowSpaceBuilder()
+    b.sampling = None
+    s = SamplerType.simple(1.0).make(seed=1)
+    t0 = time.perf_counter()
+    cents, assigns, sizes = _incremental_clustering_chunked(
+        b, rows, 32, 64, 0.5, s)
+    dt = time.perf_counter() - t0
+    assert dt < 10.0  # vectorised path: 100k rows well under 10s
+    assert cents.shape[0] >= 1
