@@ -123,6 +123,7 @@ class ArrowSpace:
     reduced_dim: Optional[int] = None
 
     _signals_nnz: int = 0
+    _projected_cache: Optional[jax.Array] = None
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -184,6 +185,17 @@ class ArrowSpace:
     # ------------------------------------------------------------------
     def lambdas_list(self) -> np.ndarray:
         return np.asarray(self.lambdas)
+
+    def projected_items(self) -> jax.Array:
+        """Device-resident projected item matrix (N, r), cached — used by
+        the energy search path; identity when no projection is active."""
+        if self.projection_matrix is None:
+            return self.data
+        if self._projected_cache is None or \
+                self._projected_cache.shape[0] != self.nitems:
+            self._projected_cache = \
+                self.projection_matrix.project_device(self.data)
+        return self._projected_cache
 
     def cluster_of(self, i: int) -> Optional[int]:
         if self.cluster_assignments is None or i >= len(self.cluster_assignments):

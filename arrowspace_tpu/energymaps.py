@@ -397,10 +397,7 @@ def search_energy(aspace: ArrowSpace, query, gl_energy: GraphLaplacian,
     q_proj = aspace.project_query(np.asarray(query, dtype=np.float64)) \
         if aspace.projection_matrix is not None else np.asarray(query)
     dt = aspace.data.dtype
-    if aspace.projection_matrix is not None:
-        items_proj = aspace.projection_matrix.project_device(aspace.data)
-    else:
-        items_proj = aspace.data
+    items_proj = aspace.projected_items()
     diffs = jnp.asarray(q_proj, dtype=dt)[None, :] - items_proj
     d_dir = _projected_dirichlet_batch(aspace, diffs)
     d_lambda = jnp.abs(lambda_q - aspace.lambdas)
