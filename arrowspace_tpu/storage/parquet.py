@@ -345,6 +345,61 @@ def load_lambda(path) -> np.ndarray:
 # Checkpoint
 # ---------------------------------------------------------------------------
 
+def load_arrowspace_index(path, name: str):
+    """Reload a built index persisted via ArrowSpaceBuilder.with_persistence
+    (artifacts: {name}-raw_input, {name}-gl-matrix, {name}-lambdas, plus the
+    metadata JSON with the typed builder config).
+
+    Returns (ArrowSpace, GraphLaplacian) ready for prepare_query_item /
+    search.  The reference has per-artifact loaders only; this composes
+    them into a serving-ready index.
+    """
+    import jax.numpy as jnp
+    from ..builder import ArrowSpaceBuilder
+    from ..config import default_dtype
+    from ..core import ArrowSpace
+    from ..graph import GraphLaplacian, GraphParams
+
+    base = pathlib.Path(path)
+    raw = load_dense_matrix(base / f"{name}-raw_input.parquet")
+    lap = load_sparse_matrix(base / f"{name}-gl-matrix.parquet")
+    lambdas = load_lambda(base / f"{name}-lambdas.parquet")
+    md = load_metadata(base, f"{name}-raw_input")
+
+    cfg = md.builder_config
+    taumode = cfg["synthesis"].as_tau_mode()
+    dt = default_dtype()
+
+    aspace = ArrowSpace.new(raw, taumode, dtype=dt)
+    aspace.lambdas = jnp.asarray(lambdas, dtype=dt)
+
+    params = GraphParams(
+        eps=cfg["lambda_eps"].as_f64(),
+        k=cfg["lambda_k"].as_usize(),
+        topk=cfg["lambda_topk"].as_usize(),
+        p=cfg["lambda_p"].as_f64(),
+        sigma=cfg["lambda_sigma"].value,
+        normalise=cfg["normalise"].as_bool(),
+        sparsity_check=cfg["sparsity_check"].as_bool(),
+    )
+    mask = lap != 0.0
+    np.fill_diagonal(mask, True)
+    gl = GraphLaplacian(
+        init_data=jnp.asarray(
+            load_dense_matrix(base / f"{name}-laplacian-input.parquet"),
+            dtype=dt).T,
+        matrix=jnp.asarray(lap, dtype=dt),
+        nnodes=raw.shape[0],
+        graph_params=params,
+        structural_nnz=int(mask.sum()),
+    )
+    signals_path = base / f"{name}-aspace-signals.parquet"
+    if signals_path.exists():
+        aspace.signals = jnp.asarray(load_sparse_matrix(signals_path),
+                                     dtype=dt)
+    return aspace, gl
+
+
 def save_arrowspace_checkpoint_with_builder(
     path, checkpoint_name: str, raw_data, adjacency, centroids, laplacian,
     signals, builder,

@@ -120,3 +120,31 @@ def test_builder_persistence_hooks(tmp_path):
                                rtol=1e-12)
     gl_back = pq.load_sparse_matrix(tmp_path / "bench-gl-matrix.parquet")
     np.testing.assert_allclose(gl_back, np.asarray(gl.matrix), rtol=1e-12)
+
+
+def test_load_arrowspace_index_roundtrip(tmp_path):
+    """Persisted build reloads into a serving-ready index: identical
+    lambdas, Laplacian, and search results."""
+    from arrowspace_tpu.core import ArrowItem
+    rows = make_moons_hd(70, noise=0.1, hd_noise=0.05, dims=10, seed=20)
+    aspace, gl = (ArrowSpaceBuilder()
+                  .with_lambda_graph(1.0, 5, 3, 2.0, None)
+                  .with_seed(21)
+                  .with_persistence(tmp_path, "serve")
+                  .build(rows.tolist()))
+
+    aspace2, gl2 = pq.load_arrowspace_index(tmp_path, "serve")
+    np.testing.assert_allclose(np.asarray(aspace2.lambdas),
+                               np.asarray(aspace.lambdas), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(gl2.matrix),
+                               np.asarray(gl.matrix), rtol=1e-12)
+    assert gl2.nnodes == gl.nnodes
+    assert gl2.graph_params == gl.graph_params
+
+    q = rows[9] * 1.02
+    lam1 = aspace.prepare_query_item(q, gl)
+    lam2 = aspace2.prepare_query_item(q, gl2)
+    assert lam1 == pytest.approx(lam2, rel=1e-12)
+    r1 = aspace.search_lambda_aware(ArrowItem(q, lam1), 5, 0.8)
+    r2 = aspace2.search_lambda_aware(ArrowItem(q, lam2), 5, 0.8)
+    assert [i for i, _ in r1] == [i for i, _ in r2]
