@@ -167,6 +167,22 @@ class ArrowSpace:
                               dtype=np.float64)
         return query
 
+    def prepare_query_items_batch(self, items, gl) -> jax.Array:
+        """Batched query-λ preparation: (B, F) -> (B,).  One fused device
+        program instead of B scalar round-trips (the TPU-native form of
+        core.rs:533-549)."""
+        from .taumode import select_tau_batch, synthetic_lambda_batch
+        items = np.asarray(items, dtype=np.float64)
+        assert np.all(np.isfinite(items)), (
+            "Query item contains invalid values (NaN or infinity). "
+            "All values must be finite.")
+        if self.projection_matrix is not None:
+            items = np.stack([self.project_query(row) for row in items])
+        mat = gl.matrix
+        dev = jnp.asarray(items, dtype=mat.dtype)
+        taus = select_tau_batch(dev, self.taumode)
+        return synthetic_lambda_batch(dev, mat, taus)
+
     def prepare_query_item(self, item, gl) -> float:
         """Compute the query's synthetic λ (reference: core.rs:533-549):
         project if needed, select τ from the (projected) coordinates, then

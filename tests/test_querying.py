@@ -151,3 +151,18 @@ def test_batched_search_matches_single():
         single = aspace.search_lambda_aware(
             ArrowItem(queries[b], qlams[b]), 5, 0.8)
         assert [i for i, _ in single] == list(np.asarray(idx[b]))
+
+
+def test_prepare_query_items_batch_matches_single():
+    data = make_moons_hd(50, noise=0.1, hd_noise=0.05, dims=10, seed=11)
+    aspace, gl = _build(data)
+    queries = data[:6] * 1.05
+    batch = np.asarray(aspace.prepare_query_items_batch(queries, gl))
+    for i, q in enumerate(queries):
+        assert batch[i] == pytest.approx(aspace.prepare_query_item(q, gl),
+                                         rel=1e-12)
+    # NaN queries rejected
+    bad = queries.copy()
+    bad[2, 0] = np.nan
+    with pytest.raises(AssertionError, match="finite"):
+        aspace.prepare_query_items_batch(bad, gl)
