@@ -134,8 +134,35 @@ def _build_dense(rows: jax.Array, params: GraphParams):
     n = rows.shape[0]
     kq = min(params.topk + 1, n)
     sigma = params.sigma if params.sigma is not None else 1.0
-    dt = rows.dtype
 
+    # The canonical graph is tiny (F' nodes).  Building it on an
+    # accelerator wastes a fresh compile per shape (expensive through the
+    # TPU tunnel) for sub-millisecond work, so small graphs run on the CPU
+    # backend; the resulting Laplacian re-enters the default device as an
+    # uncommitted array.
+    use_cpu = False
+    if n <= 512 and jax.default_backend() != "cpu":
+        try:
+            cpu = jax.local_devices(backend="cpu")[0]
+            use_cpu = True
+        except RuntimeError:
+            use_cpu = False
+
+    if use_cpu:
+        with jax.default_device(cpu):
+            rows_local = jnp.asarray(np.asarray(rows))
+            adj, lap, offdiag_nnz = _build_dense_stages(
+                rows_local, params, kq, sigma)
+        return (jnp.asarray(np.asarray(adj)), jnp.asarray(np.asarray(lap)),
+                int(offdiag_nnz))
+
+    adj, lap, offdiag_nnz = _build_dense_stages(rows, params, kq, sigma)
+    return adj, lap, int(offdiag_nnz)
+
+
+def _build_dense_stages(rows: jax.Array, params: GraphParams, kq: int,
+                        sigma: float):
+    dt = rows.dtype
     d, nbr, row_ids, deg_mask, degrees = _knn_stage(
         rows, jnp.asarray(params.eps, dtype=dt), kq=kq)
     avg_degree = float(jnp.mean(degrees.astype(jnp.float32)))
@@ -147,7 +174,7 @@ def _build_dense(rows: jax.Array, params: GraphParams):
         d, nbr, row_ids, deg_mask, degrees,
         jnp.asarray(sigma, dtype=dt), jnp.asarray(params.p, dtype=dt),
         sparsify=sparsify)
-    return adj, lap, int(offdiag_nnz)
+    return adj, lap, offdiag_nnz
 
 
 def build_laplacian_matrix(

@@ -287,13 +287,42 @@ def synthetic_lambda_single(
     *,
     method: str = "direct",
 ) -> float:
-    """Single-item synthetic λ (reference: compute_synthetic_lambda_csr)."""
+    """Single-item synthetic λ (reference: compute_synthetic_lambda_csr).
+    Routed through the CPU backend when the graph is small — single-query
+    preparation must not pay an accelerator compile."""
     item = jnp.asarray(item)
+    cpu = _small_workload_cpu(item[None, :], laplacian)
+    if cpu is not None:
+        with jax.default_device(cpu):
+            lam = synthetic_lambda_batch(
+                jnp.asarray(np.asarray(item))[None, :],
+                jnp.asarray(np.asarray(laplacian)),
+                jnp.asarray([tau], dtype=item.dtype), method=method)
+            return float(lam[0])
     lam = synthetic_lambda_batch(
         item[None, :], laplacian, jnp.asarray([tau], dtype=item.dtype),
         method=method,
     )
     return float(lam[0])
+
+
+def _small_workload_cpu(items: jax.Array, laplacian: jax.Array):
+    """Tiny batches (examples, single queries, unit-scale corpora) are not
+    worth a fresh accelerator compile — the TPU tunnel charges ~30s per
+    new program shape.  Returns a CPU device to route through, or None.
+
+    This is the TPU-era analogue of the reference's adaptive
+    sequential/parallel switch (taumode.rs:219, 240-246): pick the engine
+    by workload size."""
+    if jax.default_backend() == "cpu":
+        return None
+    work = items.shape[0] * max(laplacian.shape[0], 1) * laplacian.shape[0]
+    if work > (1 << 24):
+        return None
+    try:
+        return jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        return None
 
 
 def compute_taumode_lambdas(
@@ -309,13 +338,22 @@ def compute_taumode_lambdas(
 
     The reference's rayon fan-out plus adaptive sequential/parallel switch
     (taumode.rs:240-246) is replaced by one XLA program: a fixed set of MXU
-    matmuls batched over all items.
+    matmuls batched over all items.  Sub-compile-threshold workloads run on
+    the CPU backend (see _small_workload_cpu).
     """
     n_items, n_features = items.shape
     logger.info(
         "Parallel TauMode lambda computation: items=%d features=%d graph=%dx%d mode=%s",
         n_items, n_features, laplacian.shape[0], laplacian.shape[1], taumode,
     )
+    cpu = _small_workload_cpu(items, laplacian)
+    if cpu is not None:
+        with jax.default_device(cpu):
+            x = jnp.asarray(np.asarray(items))
+            lap = jnp.asarray(np.asarray(laplacian))
+            taus = select_tau_batch(x, taumode)
+            lam = synthetic_lambda_batch(x, lap, taus, method=method)
+        return jnp.asarray(np.asarray(lam))
     taus = select_tau_batch(items, taumode)
     lambdas = synthetic_lambda_batch(items, laplacian, taus, method=method)
     return lambdas

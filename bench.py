@@ -92,6 +92,16 @@ def main() -> None:
     log(f"batch256 topk3 alpha=0.9: {ours_ms:.3f} ms "
         f"(reference {baseline_ms} ms, {baseline_ms / ours_ms:.1f}x)")
 
+    # Emit the headline JSON line immediately: the supplementary sweeps
+    # below are informational and must not jeopardise the recorded result
+    # if the TPU tunnel stalls mid-run.
+    print(json.dumps({
+        "metric": "lookup_topk3_batch256_latency",
+        "value": round(ours_ms, 3),
+        "unit": "ms",
+        "vs_baseline": round(baseline_ms / ours_ms, 1),
+    }), flush=True)
+
     # ---- supplementary: Laplacian build scaling (stderr only) -----------
     try:
         from data_gen import vectors_data_3000  # optional local helper
@@ -152,13 +162,6 @@ def main() -> None:
     log(f"query batch256 over 1M x 128: xla {t_q * 1e3:.2f} ms "
         f"({256 / t_q:.0f} QPS), pallas {t_p * 1e3:.2f} ms "
         f"({256 / t_p:.0f} QPS)")
-
-    print(json.dumps({
-        "metric": "lookup_topk3_batch256_latency",
-        "value": round(ours_ms, 3),
-        "unit": "ms",
-        "vs_baseline": round(baseline_ms / ours_ms, 1),
-    }))
 
 
 if __name__ == "__main__":
