@@ -9,7 +9,7 @@ top-k programs (see ops/search.py) instead of per-item scans.
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional, Sequence, Tuple
 
 import jax
@@ -17,8 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .config import default_dtype
-from .ops.search import (batched_lambda_aware_topk, cosine_scores,
-                         hybrid_search_device)
+from .ops.search import batched_lambda_aware_topk, hybrid_search_device
 from .reduction import ImplicitProjection
 from .taumode import TauMode, TAUDEFAULT, select_tau, synthetic_lambda_single
 from .utils.log import get_logger

@@ -1,0 +1,106 @@
+"""GloVe-1.2M-style config (BASELINE.json config #4): 1.2M x 200 corpus,
+λτ-graph build + hypergraph clique-expansion overlay + ensemble queries
+(k-adjust, ε-expand).
+
+GloVe embeddings cannot be downloaded here (zero egress); the corpus is
+synthesised with GloVe-like statistics (zero-centred, heavy-tailed,
+clustered).  Numbers go to stderr; exit code 0 = all stages ran on device.
+
+Usage: python benchmarks/glove_bench.py [N] (default 1_200_000)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def glove_like(n: int, f: int = 200, seed: int = 0) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    n_clusters = 256
+    centers = rng.normal(0, 0.5, (n_clusters, f))
+    labels = rng.integers(0, n_clusters, n)
+    spread = rng.uniform(0.1, 0.4, n_clusters)
+    return (centers[labels]
+            + rng.standard_t(4, (n, f)) * spread[labels][:, None] * 0.3)
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/arrowspace_jax_cache")
+    from arrowspace_tpu import eigenmaps as em
+    from arrowspace_tpu.builder import ArrowSpaceBuilder
+    from arrowspace_tpu.hypergraph import (clique_expansion_adjacency,
+                                           ensemble_params,
+                                           overlay_laplacian)
+    from arrowspace_tpu.laplacian import build_laplacian_matrix
+    from arrowspace_tpu.ops.pallas_topk import fused_lambda_topk
+    from arrowspace_tpu.taumode import compute_taumode_lambdas, \
+        select_tau_batch, synthetic_lambda_batch
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_200_000
+    log(f"generating {n} x 200 GloVe-like corpus...")
+    corpus = glove_like(n).astype(np.float32)
+
+    builder = (ArrowSpaceBuilder()
+               .with_lambda_graph(0.5, 8, 4, 2.0, None))  # unseeded: chunked
+    t0 = time.time()
+    clustered = em.start_clustering(builder, corpus)
+    aspace = clustered.aspace
+    gl = em.eigenmaps(aspace, builder, clustered.centroids, n)
+    t_graph = time.time() - t0
+    log(f"clustering+graph: {t_graph:.1f}s "
+        f"(clusters={aspace.n_clusters}, graph={gl.shape()})")
+
+    # hypergraph overlay over the 200 feature nodes
+    f_nodes = gl.shape()[0]
+    rng = np.random.default_rng(3)
+    hyperedges = [rng.choice(f_nodes, size=5, replace=False).tolist()
+                  for _ in range(20)]
+    gl = overlay_laplacian(gl, clique_expansion_adjacency(
+        hyperedges, f_nodes), mix=0.25)
+
+    t0 = time.time()
+    em.compute_taumode(aspace, gl)
+    np.asarray(aspace.lambdas[:1])
+    t_lam = time.time() - t0
+    log(f"λτ batch {n}x200: {t_lam:.2f}s ({n / t_lam / 1e6:.2f}M items/s)")
+
+    # ensemble queries: k-adjust / eps-expand over 3 graph variants
+    dt = aspace.data.dtype
+    queries = jnp.asarray(corpus[:256] * 1.01, dtype=dt)
+    grid = ensemble_params(gl.graph_params, k_adjust=(-1, 0, 1),
+                           eps_expand=(1.0,))
+    total = jnp.zeros((256, 10), dtype=dt)
+    t0 = time.time()
+    fused_idx = None
+    for params in grid:
+        gl_v = build_laplacian_matrix(clustered.centroids.T, params,
+                                      n_items=n)
+        lam_v = compute_taumode_lambdas(aspace.data, gl_v.matrix,
+                                        aspace.taumode)
+        q_taus = select_tau_batch(queries, aspace.taumode)
+        qlam = synthetic_lambda_batch(queries, gl_v.matrix.astype(dt), q_taus)
+        s, i = fused_lambda_topk(queries, qlam, aspace.data, lam_v, 0.9,
+                                 k=10)
+        fused_idx = i if fused_idx is None else fused_idx
+    np.asarray(s[:1, :1])
+    t_q = time.time() - t0
+    log(f"ensemble ({len(grid)} graphs) batch-256 query: {t_q:.2f}s "
+        f"({256 * len(grid) / t_q:.0f} QPS aggregate)")
+    log("OK")
+
+
+if __name__ == "__main__":
+    main()
