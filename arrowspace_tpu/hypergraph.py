@@ -91,6 +91,59 @@ def ensemble_params(base: GraphParams,
     return out
 
 
+def build_ensemble(aspace, centroids,
+                   params_list: Sequence[GraphParams]):
+    """Build the per-variant index state ONCE: one λτ graph and one λ
+    vector per parameter set.  τ is data-only, so it is selected once and
+    shared across variants.  Returns a list of (GraphLaplacian, lambdas)."""
+    from .laplacian import build_laplacian_matrix
+    from .taumode import select_tau_batch, synthetic_lambda_batch
+
+    centroids = jnp.asarray(centroids)
+    taus = select_tau_batch(aspace.data, aspace.taumode)
+    out = []
+    for params in params_list:
+        gl = build_laplacian_matrix(centroids.T, params,
+                                    n_items=aspace.nitems)
+        lambdas = synthetic_lambda_batch(
+            aspace.data, gl.matrix.astype(aspace.data.dtype), taus)
+        out.append((gl, lambdas))
+    return out
+
+
+def ensemble_search_prebuilt(
+    aspace,
+    ensemble,               # list of (GraphLaplacian, lambdas)
+    query,
+    k: int,
+    alpha: float,
+) -> List[Tuple[int, float]]:
+    """Score a query against prebuilt ensemble state and fuse by mean
+    score.  Per-variant λ vectors are index state — build them once with
+    build_ensemble and reuse across queries."""
+    from .ops.search import lambda_aware_scores
+    from .taumode import select_tau, synthetic_lambda_single
+
+    query = np.asarray(query, dtype=np.float64)
+    dt = aspace.data.dtype
+    q = aspace.project_query(query) if aspace.projection_matrix else query
+    tau = select_tau(q, aspace.taumode)
+    qdev = jnp.asarray(q, dtype=dt)
+
+    total = jnp.zeros((aspace.nitems,), dtype=dt)
+    for gl, lambdas in ensemble:
+        qlam = synthetic_lambda_single(qdev, gl.matrix, tau)
+        total = total + lambda_aware_scores(
+            qdev[None, :], jnp.asarray([qlam], dtype=dt),
+            aspace.data, lambdas, jnp.asarray(alpha, dtype=dt))[0]
+
+    total = total / len(ensemble)
+    k_eff = min(k, aspace.nitems)
+    top_s, top_i = jax.lax.top_k(total, k_eff)
+    return [(int(i), float(s)) for i, s in
+            zip(np.asarray(top_i), np.asarray(top_s))]
+
+
 def ensemble_search(
     aspace,
     centroids,
@@ -99,36 +152,6 @@ def ensemble_search(
     k: int,
     alpha: float,
 ) -> List[Tuple[int, float]]:
-    """Build one λτ graph per parameter set, compute per-variant lambdas
-    and query λ, score, and fuse by mean score across variants."""
-    from .laplacian import build_laplacian_matrix
-    from .ops.search import lambda_aware_scores
-    from .taumode import compute_taumode_lambdas, select_tau, \
-        synthetic_lambda_single
-
-    centroids = jnp.asarray(centroids)
-    query = np.asarray(query, dtype=np.float64)
-    dt = aspace.data.dtype
-    total = jnp.zeros((aspace.nitems,), dtype=dt)
-
-    for params in params_list:
-        gl = build_laplacian_matrix(centroids.T, params,
-                                    n_items=aspace.nitems)
-        lambdas = compute_taumode_lambdas(aspace.data, gl.matrix,
-                                          aspace.taumode)
-        q = aspace.project_query(query) if aspace.projection_matrix \
-            else query
-        tau = select_tau(q, aspace.taumode)
-        qlam = synthetic_lambda_single(jnp.asarray(q, dtype=dt),
-                                       gl.matrix, tau)
-        scores = lambda_aware_scores(
-            jnp.asarray(q, dtype=dt)[None, :],
-            jnp.asarray([qlam], dtype=dt),
-            aspace.data, lambdas, jnp.asarray(alpha, dtype=dt))[0]
-        total = total + scores
-
-    total = total / len(params_list)
-    k_eff = min(k, aspace.nitems)
-    top_s, top_i = jax.lax.top_k(total, k_eff)
-    return [(int(i), float(s)) for i, s in
-            zip(np.asarray(top_i), np.asarray(top_s))]
+    """Convenience one-shot: build_ensemble + ensemble_search_prebuilt."""
+    ensemble = build_ensemble(aspace, centroids, params_list)
+    return ensemble_search_prebuilt(aspace, ensemble, query, k, alpha)

@@ -75,3 +75,26 @@ def test_ensemble_search_fuses_rankings():
     assert scores == sorted(scores, reverse=True)
     # the perturbed source item should rank at the top
     assert res[0][0] == 20
+
+
+def test_prebuilt_ensemble_matches_oneshot():
+    from arrowspace_tpu.hypergraph import (build_ensemble,
+                                           ensemble_search_prebuilt)
+    rows = make_moons_hd(60, noise=0.08, hd_noise=0.04, dims=10, seed=9)
+    b = ArrowSpaceBuilder().with_lambda_graph(1.0, 5, 3, 2.0, None) \
+        .with_seed(15)
+    b.define_result_k()
+    clustered = em.start_clustering(b, rows.tolist())
+    aspace = clustered.aspace
+    gl = em.eigenmaps(aspace, b, clustered.centroids, clustered.n_items)
+    em.compute_taumode(aspace, gl)
+
+    grid = ensemble_params(gl.graph_params, k_adjust=(0, 1),
+                           eps_expand=(1.0,))
+    q = rows[12] * 1.01
+    one = ensemble_search(aspace, clustered.centroids, q, grid, 8, 0.9)
+    ens = build_ensemble(aspace, clustered.centroids, grid)
+    pre = ensemble_search_prebuilt(aspace, ens, q, 8, 0.9)
+    assert [i for i, _ in one] == [i for i, _ in pre]
+    for (_, s1), (_, s2) in zip(one, pre):
+        assert s1 == pytest.approx(s2, rel=1e-9)
