@@ -274,12 +274,14 @@ class ArrowSpace:
         graph = self.signals if (self.signals is not None
                                  and self.signals.shape[0] > 0) else gl.matrix
         self.lambdas = compute_taumode_lambdas(self.data, graph, self.taumode)
+        self._lambda_order = None  # invalidate the sorted λ-band index
 
     def update_lambdas(self, new_lambdas) -> None:
         new_lambdas = jnp.asarray(new_lambdas, dtype=self.lambdas.dtype)
         assert new_lambdas.shape == self.lambdas.shape, \
             "New lambdas length must match existing lambdas length"
         self.lambdas = new_lambdas
+        self._lambda_order = None  # invalidate the sorted λ-band index
 
     # ------------------------------------------------------------------
     # Search
@@ -352,6 +354,28 @@ class ArrowSpace:
 
         final = sorted(score_map.items(), key=lambda t: -t[1])[:k]
         return [(i, s) for i, s in final]
+
+    def lambda_sorted_index(self) -> Tuple[np.ndarray, np.ndarray]:
+        """(sorted λ values, original indices) — the ZSET-style index of
+        examples/02_proteins_lookup.rs, cached for O(log N + M) bands."""
+        if getattr(self, "_lambda_order", None) is None or \
+                len(self._lambda_order[0]) != self.nitems:
+            lam = np.asarray(self.lambdas, dtype=np.float64)
+            order = np.argsort(lam, kind="stable")
+            self._lambda_order = (lam[order], order)
+        return self._lambda_order
+
+    def range_search_sorted(self, lo: float, hi: float,
+                            limit: Optional[int] = None
+                            ) -> List[Tuple[int, float]]:
+        """Two-sided λ-band [lo, hi] via binary search on the sorted λ
+        index: O(log N + M) (paper.md:147).  Returns (item index, λ)
+        ascending by λ."""
+        lam_sorted, order = self.lambda_sorted_index()
+        i0 = int(np.searchsorted(lam_sorted, lo, side="left"))
+        i1 = int(np.searchsorted(lam_sorted, hi, side="right"))
+        hits = [(int(order[i]), float(lam_sorted[i])) for i in range(i0, i1)]
+        return hits[:limit] if limit is not None else hits
 
     def range_search(self, query: ArrowItem, gl,
                      eps: float) -> List[Tuple[int, float]]:

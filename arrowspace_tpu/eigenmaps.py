@@ -139,6 +139,7 @@ def compute_taumode(aspace: ArrowSpace, gl: GraphLaplacian) -> None:
                                and aspace.signals.shape[0] > 0) else gl.matrix
     aspace.lambdas = compute_taumode_lambdas(aspace.data, graph,
                                              aspace.taumode)
+    aspace._lambda_order = None  # invalidate the sorted λ-band index
     lam = np.asarray(aspace.lambdas)
     logger.info("λ computation complete: min=%.6f, max=%.6f, mean=%.6f",
                 lam.min(), lam.max(), lam.mean())

@@ -166,3 +166,23 @@ def test_prepare_query_items_batch_matches_single():
     bad[2, 0] = np.nan
     with pytest.raises(AssertionError, match="finite"):
         aspace.prepare_query_items_batch(bad, gl)
+
+
+def test_range_search_sorted_band():
+    """ZSET-style two-sided band: O(log N + M) sorted-lambda lookup
+    (paper.md:147; examples/02)."""
+    data = make_moons_hd(60, noise=0.1, hd_noise=0.05, dims=10, seed=12)
+    aspace, gl = _build(data)
+    lam = np.asarray(aspace.lambdas)
+    lo, hi = np.quantile(lam, 0.25), np.quantile(lam, 0.75)
+    hits = aspace.range_search_sorted(lo, hi)
+    expected = {i for i in range(60) if lo <= lam[i] <= hi}
+    assert {i for i, _ in hits} == expected
+    # ascending by lambda
+    vals = [v for _, v in hits]
+    assert vals == sorted(vals)
+    # limit applies
+    assert len(aspace.range_search_sorted(lo, hi, limit=3)) == 3
+    # cache invalidation on lambda update
+    aspace.update_lambdas(np.zeros(60))
+    assert len(aspace.range_search_sorted(-0.1, 0.1)) == 60
