@@ -93,7 +93,7 @@ def fused_lambda_batch(
     laplacian: jax.Array,  # (n, n), n <= F
     taus: jax.Array,       # (N,)
     *,
-    tile: int = 2048,      # larger tiles exceed the 16 MB scoped-VMEM
+    tile: int = 0,         # 0 = auto from the VMEM budget
     interpret: bool = False,
 ) -> jax.Array:
     n_items, f = items.shape
@@ -102,6 +102,19 @@ def fused_lambda_batch(
         raise ValueError(
             f"graph has {n} nodes but items have only {f} coordinates")
     dt = jnp.float32
+
+    if tile <= 0:
+        # Dominant VMEM per item row: the x tile (F) plus the four power
+        # planes and five matmul outputs (all n wide), double-buffered.
+        # This Mosaic build crashes on tiles < 1024, so if the budget
+        # demands a smaller tile (wide graphs), use the XLA chain instead —
+        # at large n the op is MXU-bound anyway, so nothing is lost.
+        per_row = (2 * f + 9 * n) * 4
+        tile = (6 * 1024 * 1024 // per_row) // 1024 * 1024
+        if tile < 1024:
+            from ..taumode import synthetic_lambda_batch
+            return synthetic_lambda_batch(items, laplacian, taus)
+        tile = min(tile, 2048)
 
     lap = laplacian.astype(dt)
     eye = jnp.eye(n, dtype=dt)

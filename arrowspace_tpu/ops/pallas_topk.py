@@ -128,7 +128,7 @@ def fused_lambda_topk(
     alpha,
     *,
     k: int,
-    tile: int = 4096,
+    tile: int = 0,            # 0 = auto from the VMEM budget
     interpret: bool = False,
     use_bf16: bool = False,   # bf16 matmul inputs, f32 accumulation:
                               # 4x MXU rate + half the HBM traffic
@@ -138,6 +138,16 @@ def fused_lambda_topk(
     bsz, f = queries.shape
     n = items.shape[0]
     dt = jnp.float32
+
+    if tile <= 0:
+        # Auto tile from the ~16 MB scoped-VMEM budget: the dominant
+        # per-step buffers are the double-buffered item tile (tile×F) and
+        # the (B, tile) score/index planes.  Floor of 1024: this Mosaic
+        # build crashes (compiler subprocess exit 1) on smaller tiles.
+        elem = 2 if use_bf16 else 4
+        budget = 6 * 1024 * 1024
+        per_row = 2 * f * elem + 2 * min(bsz, 128) * 4
+        tile = max(1024, min(4096, (budget // per_row) // 1024 * 1024))
 
     # VMEM budget: chunk the query batch so per-step buffers stay within
     # the ~16 MB scoped-vmem limit.
