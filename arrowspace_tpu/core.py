@@ -241,6 +241,22 @@ class ArrowSpace:
         assert gl.nnodes == self.nitems, \
             "Laplacian nodes must match number of items"
 
+    def _refresh_lambda_row(self, a: int, gl) -> None:
+        """λ maintenance after mutating row `a`.  The reference re-runs the
+        full O(N·nnz) batch (core.rs:644); since λ_j depends only on row j
+        and the (unchanged) graph, recomputing the single edited row yields
+        identical values at 1/N the cost — the optimization SURVEY.md §3.5
+        calls out.  Equality with the full recompute is pinned by tests."""
+        from .taumode import select_tau, synthetic_lambda_single
+        graph = self.signals if (self.signals is not None
+                                 and self.signals.shape[0] > 0) else gl.matrix
+        row = np.asarray(self.data[a], dtype=np.float64)
+        tau = select_tau(row, self.taumode)
+        lam = synthetic_lambda_single(
+            jnp.asarray(row, dtype=graph.dtype), graph, tau)
+        self.lambdas = self.lambdas.at[a].set(lam)
+        self._lambda_order = None
+
     def add_items(self, a: int, b: int, gl) -> None:
         assert a < self.nitems and b < self.nitems, (
             f"Item indices out of bounds: a={a}, b={b}, ncols={self.nitems}")
@@ -248,7 +264,7 @@ class ArrowSpace:
         item_a, item_b = self.get_item(a), self.get_item(b)
         item_a.add_inplace(item_b)
         self.set_item(a, item_a)
-        self.recompute_lambdas(gl)
+        self._refresh_lambda_row(a, gl)
 
     def mul_items(self, a: int, b: int, gl) -> None:
         assert a < self.nitems and b < self.nitems, (
@@ -257,7 +273,7 @@ class ArrowSpace:
         item_a, item_b = self.get_item(a), self.get_item(b)
         item_a.mul_inplace(item_b)
         self.set_item(a, item_a)
-        self.recompute_lambdas(gl)
+        self._refresh_lambda_row(a, gl)
 
     def scale_item(self, a: int, scalar: float, gl) -> None:
         assert a < self.nitems, (
@@ -266,7 +282,7 @@ class ArrowSpace:
         item_a = self.get_item(a)
         item_a.scale(scalar)
         self.set_item(a, item_a)
-        self.recompute_lambdas(gl)
+        self._refresh_lambda_row(a, gl)
 
     def recompute_lambdas(self, gl) -> None:
         """Full λτ batch recompute (reference: core.rs:711-727)."""

@@ -159,3 +159,20 @@ def test_densematrix_to_vecvec():
     from arrowspace_tpu.core import densematrix_to_vecvec
     out = densematrix_to_vecvec(np.arange(6).reshape(2, 3))
     assert out == [[0.0, 1.0, 2.0], [3.0, 4.0, 5.0]]
+
+
+def test_single_row_lambda_refresh_equals_full_recompute():
+    """The O(1)-row λ maintenance must produce exactly the same vector as
+    the reference's full batch recompute (SURVEY.md §3.5)."""
+    aspace, gl = _built_space()
+    import copy
+    aspace2 = copy.copy(aspace)
+    aspace2.data = aspace.data
+    aspace2.lambdas = aspace.lambdas
+
+    aspace.add_items(2, 5, gl)           # fast path
+    aspace2.data = aspace2.data.at[2].add(aspace2.data[5])
+    aspace2.recompute_lambdas(gl)        # full batch
+
+    np.testing.assert_allclose(np.asarray(aspace.lambdas),
+                               np.asarray(aspace2.lambdas), rtol=1e-9)
