@@ -43,9 +43,15 @@ def clique_expansion_adjacency(
     hyperedges: Sequence[Sequence[int]],
     n_nodes: int,
     weights: Optional[Sequence[float]] = None,
+    normalized: bool = False,
 ) -> np.ndarray:
-    """Dense clique-expansion adjacency: hyperedge S adds w/(|S|-1) to
-    every pair in S.  Hyperedges with fewer than 2 nodes are ignored."""
+    """Dense clique-expansion adjacency.
+
+    Standard variant: hyperedge S adds w/(|S|-1) to every pair in S.
+    Normalized variant (README.md:112 "normalized variant"): the full
+    expanded adjacency is degree-normalized D^{-1/2} A D^{-1/2}, so large
+    hyperedges cannot dominate the overlay.
+    Hyperedges with fewer than 2 nodes are ignored."""
     adj = np.zeros((n_nodes, n_nodes))
     if weights is None:
         weights = [1.0] * len(hyperedges)
@@ -57,6 +63,11 @@ def clique_expansion_adjacency(
         idx = np.asarray(edge)
         adj[np.ix_(idx, idx)] += share
     np.fill_diagonal(adj, 0.0)
+    if normalized:
+        deg = adj.sum(axis=1)
+        inv_sqrt = np.where(deg > 0.0, 1.0 / np.sqrt(np.maximum(deg, 1e-30)),
+                            0.0)
+        adj = adj * inv_sqrt[:, None] * inv_sqrt[None, :]
     return adj
 
 

@@ -98,3 +98,17 @@ def test_prebuilt_ensemble_matches_oneshot():
     assert [i for i, _ in one] == [i for i, _ in pre]
     for (_, s1), (_, s2) in zip(one, pre):
         assert s1 == pytest.approx(s2, rel=1e-9)
+
+
+def test_normalized_clique_expansion():
+    adj = clique_expansion_adjacency([[0, 1, 2], [2, 3]], 5,
+                                     normalized=True)
+    np.testing.assert_allclose(adj, adj.T)
+    # a single uniform hyperedge has unit degrees -> normalization is
+    # the identity there; with the second edge, node 2's heavier degree
+    # must be damped relative to the plain expansion
+    plain = clique_expansion_adjacency([[0, 1, 2], [2, 3]], 5)
+    assert adj[2, 3] < plain[2, 3]
+    single = clique_expansion_adjacency([[0, 1, 2]], 5, normalized=True)
+    np.testing.assert_allclose(single.sum(axis=1)[:3], 1.0)
+    assert plain[2, 3] == pytest.approx(1.0)
