@@ -1,0 +1,173 @@
+"""ArrowIndex: a serving-grade facade over the build/persist/query cycle.
+
+The reference exposes builder + ArrowSpace + storage as separate pieces;
+this facade composes them the way a production deployment uses them:
+
+    index = ArrowIndex.build(rows, eps=1e-3, k=6, seed=42)
+    index.save("/ckpt", "prod")
+    ...
+    index = ArrowIndex.load("/ckpt", "prod")
+    scores, ids = index.search(queries, k=10, alpha=0.9)   # batched,
+                                                           # pallas on TPU
+    hits = index.range(lo, hi)                             # O(log N + M)
+
+Everything device-side is batched: query λ preparation is one fused
+program, scoring + top-k auto-dispatches to the Pallas streaming kernel
+for large corpora.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from .builder import ArrowSpaceBuilder
+from .core import ArrowItem, ArrowSpace
+from .graph import GraphLaplacian
+from .sampling import SamplerType
+from .taumode import TauMode
+from .utils.log import get_logger
+
+logger = get_logger("arrowspace.index")
+
+__all__ = ["ArrowIndex"]
+
+
+class ArrowIndex:
+    """Built index = ArrowSpace + GraphLaplacian + builder config."""
+
+    def __init__(self, aspace: ArrowSpace, gl: GraphLaplacian,
+                 builder: Optional[ArrowSpaceBuilder] = None):
+        self.aspace = aspace
+        self.gl = gl
+        self.builder = builder
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def build(cls, rows, *, eps: float = 1e-3, k: int = 6, topk: int = 3,
+              p: float = 2.0, sigma: Optional[float] = None,
+              taumode: TauMode = TauMode.median(),
+              normalise: bool = False,
+              sampling: Optional[SamplerType] = SamplerType.simple(0.6),
+              dims_reduction: bool = False,
+              rp_eps: Optional[float] = None,
+              seed: Optional[int] = None,
+              spectral: bool = False) -> "ArrowIndex":
+        b = (ArrowSpaceBuilder()
+             .with_lambda_graph(eps, k, topk, p, sigma)
+             .with_synthesis(taumode)
+             .with_normalisation(normalise)
+             .with_inline_sampling(sampling)
+             .with_dims_reduction(dims_reduction, rp_eps))
+        if spectral:
+            b = b.with_spectral(True)
+        if seed is not None:
+            b = b.with_seed(seed)
+        aspace, gl = b.build(rows)
+        return cls(aspace, gl, b)
+
+    @classmethod
+    def build_energy(cls, rows, energy_params=None, *,
+                     seed: Optional[int] = None,
+                     **kwargs) -> "ArrowIndex":
+        from .energymaps import EnergyParams, build_energy
+        b = ArrowSpaceBuilder().with_dims_reduction(True, kwargs.get(
+            "rp_eps", 0.5))
+        if "eps" in kwargs:
+            b = b.with_lambda_graph(kwargs["eps"], kwargs.get("k", 6),
+                                    kwargs.get("topk", 3),
+                                    kwargs.get("p", 2.0),
+                                    kwargs.get("sigma"))
+        if seed is not None:
+            b = b.with_seed(seed)
+        aspace, gl = build_energy(b, rows,
+                                  energy_params or EnergyParams())
+        return cls(aspace, gl, b)
+
+    # ------------------------------------------------------------------
+    def save(self, path, name: str) -> None:
+        """Persist via the builder's Parquet artifacts so the reference's
+        tooling can read them back too."""
+        from .storage import parquet as pq
+        import pathlib
+        base = pathlib.Path(path)
+        base.mkdir(parents=True, exist_ok=True)
+        b = self.builder or ArrowSpaceBuilder()
+        pq.save_dense_matrix_with_builder(
+            np.asarray(self.aspace.data, dtype=np.float64), base,
+            f"{name}-raw_input", b)
+        pq.save_dense_matrix_with_builder(
+            np.asarray(self.gl.init_data, dtype=np.float64).T, base,
+            f"{name}-laplacian-input", b)
+        pq.save_sparse_matrix_with_builder(
+            self.gl.matrix, base, f"{name}-gl-matrix", b,
+            structural_nnz=self.gl.structural_nnz)
+        pq.save_lambda_with_builder(
+            np.asarray(self.aspace.lambdas, dtype=np.float64), base,
+            f"{name}-lambdas", b)
+        if self.aspace.signals is not None and \
+                self.aspace.signals.shape[0] > 0:
+            pq.save_sparse_matrix_with_builder(
+                self.aspace.signals, base, f"{name}-aspace-signals", b)
+        logger.info("index saved to %s as '%s'", base, name)
+
+    @classmethod
+    def load(cls, path, name: str) -> "ArrowIndex":
+        from .storage import parquet as pq
+        aspace, gl = pq.load_arrowspace_index(path, name)
+        return cls(aspace, gl)
+
+    # ------------------------------------------------------------------
+    def search(self, queries, k: int = 10, alpha: float = 0.9,
+               use_pallas: Optional[bool] = None):
+        """Batched λ-aware search: (B, F) -> (scores (B, k), ids (B, k)).
+        Query λ preparation is fused; scoring auto-uses the Pallas
+        streaming top-k on TPU for large corpora."""
+        queries = np.atleast_2d(np.asarray(queries, dtype=np.float64))
+        qlam = self.aspace.prepare_query_items_batch(queries, self.gl)
+        scores, ids = self.aspace.search_lambda_aware_batch(
+            queries, np.asarray(qlam), k, alpha, use_pallas=use_pallas)
+        return np.asarray(scores), np.asarray(ids)
+
+    def search_one(self, query, k: int = 10, alpha: float = 0.9
+                   ) -> List[Tuple[int, float]]:
+        qlam = self.aspace.prepare_query_item(query, self.gl)
+        return self.aspace.search_lambda_aware(ArrowItem(query, qlam), k,
+                                               alpha)
+
+    def search_hybrid(self, query, k: int = 10, alpha: float = 0.9
+                      ) -> List[Tuple[int, float]]:
+        qlam = self.aspace.prepare_query_item(query, self.gl)
+        return self.aspace.search_lambda_aware_hybrid(
+            ArrowItem(query, qlam), k, alpha)
+
+    def range(self, lo: float, hi: float,
+              limit: Optional[int] = None) -> List[Tuple[int, float]]:
+        """Two-sided λ-band via the sorted index (O(log N + M))."""
+        return self.aspace.range_search_sorted(lo, hi, limit)
+
+    # ------------------------------------------------------------------
+    @property
+    def lambdas(self) -> np.ndarray:
+        return np.asarray(self.aspace.lambdas)
+
+    @property
+    def nitems(self) -> int:
+        return self.aspace.nitems
+
+    def stats(self) -> dict:
+        lam = self.lambdas
+        gstats = self.gl.statistics()
+        return {
+            "n_items": self.aspace.nitems,
+            "n_features": self.aspace.nfeatures,
+            "n_clusters": self.aspace.n_clusters,
+            "graph_nodes": self.gl.shape()[0],
+            "graph_nnz": self.gl.nnz(),
+            "graph_sparsity": gstats.sparsity,
+            "lambda_min": float(lam.min()),
+            "lambda_max": float(lam.max()),
+            "lambda_mean": float(lam.mean()),
+            "lambda_std": float(lam.std()),
+        }

@@ -171,9 +171,16 @@ def select_tau_batch(x: jax.Array, mode: TauMode) -> jax.Array:
         mean = jnp.where(m > 0, s / jnp.maximum(m, 1), 0.0)
         return jnp.maximum(mean, TAU_FLOOR).astype(dt)
 
-    # median / percentile: sort with non-finite mapped to +inf (sorts last)
+    # median / percentile: sort with non-finite mapped to +inf (sorts last).
+    # On TPU the generic XLA sort dominates the whole λτ pipeline; the
+    # bitonic network over the static feature axis is the fast path.
     big = jnp.asarray(jnp.inf, dtype=dt)
-    xs = jnp.sort(jnp.where(finite, x, big), axis=1)
+    masked = jnp.where(finite, x, big)
+    if jax.default_backend() == "tpu":
+        from .ops.sort import bitonic_sort_rows
+        xs = bitonic_sort_rows(masked)
+    else:
+        xs = jnp.sort(masked, axis=1)
 
     if mode.kind == "percentile":
         pp = min(max(mode.value, 0.0), 1.0)

@@ -1,0 +1,71 @@
+"""ArrowIndex serving facade tests."""
+
+import numpy as np
+import pytest
+
+from arrowspace_tpu.index import ArrowIndex
+from data import make_moons_hd
+from helpers import cosine_topk
+
+
+def _index(seed=42, **kw):
+    rows = make_moons_hd(80, noise=0.08, hd_noise=0.04, dims=12, seed=1)
+    return rows, ArrowIndex.build(rows.tolist(), eps=1.0, k=5, topk=3,
+                                  seed=seed, **kw)
+
+
+def test_build_and_search_batch():
+    rows, idx = _index()
+    queries = rows[:4] * 1.02
+    scores, ids = idx.search(queries, k=5, alpha=0.9)
+    assert scores.shape == (4, 5) and ids.shape == (4, 5)
+    # each query's own source item ranks first
+    for b in range(4):
+        assert ids[b][0] == b
+
+
+def test_search_one_matches_batch():
+    rows, idx = _index()
+    q = rows[7] * 1.03
+    single = idx.search_one(q, k=5, alpha=0.8)
+    scores, ids = idx.search(q, k=5, alpha=0.8)
+    assert [i for i, _ in single] == list(ids[0])
+
+
+def test_alpha1_matches_cosine():
+    rows, idx = _index()
+    q = rows[9] * 1.01
+    _, ids = idx.search(q, k=5, alpha=1.0)
+    oracle_ids, _ = cosine_topk(q, rows, 5)
+    assert list(ids[0]) == list(oracle_ids)
+
+
+def test_save_load_roundtrip(tmp_path):
+    rows, idx = _index()
+    idx.save(tmp_path, "facade")
+    idx2 = ArrowIndex.load(tmp_path, "facade")
+    np.testing.assert_allclose(idx2.lambdas, idx.lambdas, rtol=1e-12)
+    q = rows[3] * 1.02
+    s1, i1 = idx.search(q, k=5, alpha=0.9)
+    s2, i2 = idx2.search(q, k=5, alpha=0.9)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, rtol=1e-9)
+
+
+def test_range_and_stats():
+    rows, idx = _index()
+    lam = idx.lambdas
+    hits = idx.range(float(lam.min()), float(lam.max()))
+    assert len(hits) == idx.nitems
+    st = idx.stats()
+    assert st["n_items"] == 80
+    assert st["graph_nodes"] == 12
+    assert st["lambda_min"] <= st["lambda_mean"] <= st["lambda_max"]
+
+
+def test_build_energy_facade():
+    from data import make_gaussian_hd
+    rows = make_gaussian_hd(90, spread=0.5, dims=96, seed=2)
+    idx = ArrowIndex.build_energy(rows.tolist(), seed=5)
+    assert idx.nitems == 90
+    assert np.all(np.isfinite(idx.lambdas))
