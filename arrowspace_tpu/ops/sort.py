@@ -1,14 +1,13 @@
-"""Row-wise bitonic sort.
+"""Row-wise bitonic sort (experiment, currently NOT the default).
 
 XLA's generic variadic sort is the single most expensive op in the λτ
 pipeline on TPU (τ-median over a 1M×128 corpus: ~47 ms device time, 10×
-the cost of the λ matmuls).  A bitonic network over the (small, static)
-feature axis replaces it with log²(F)/2 rounds of static-permutation
-gathers + min/max selects — all dense VPU work that XLA fuses.
-
-Used by taumode.select_tau_batch for Median/Percentile policies on TPU;
-ascending order with +inf padding (non-power-of-two F), so the caller's
-finite-count order-statistic logic is unchanged.
+the cost of the λ matmuls).  This bitonic network over the static feature
+axis was built as a replacement, but measured 3.4× SLOWER on v5e
+(168 ms vs 50 ms wall at 1M×128): each of the 28 stages' lane permutes
+lowers to a full-array gather, i.e. ~28 HBM round trips.  Kept for
+reference and for a future Pallas in-register variant (pltpu.roll keeps
+the exchange on-chip); taumode uses jnp.sort.
 """
 
 from __future__ import annotations

@@ -172,15 +172,12 @@ def select_tau_batch(x: jax.Array, mode: TauMode) -> jax.Array:
         return jnp.maximum(mean, TAU_FLOOR).astype(dt)
 
     # median / percentile: sort with non-finite mapped to +inf (sorts last).
-    # On TPU the generic XLA sort dominates the whole λτ pipeline; the
-    # bitonic network over the static feature axis is the fast path.
+    # XLA's row sort is the τ-median cost on TPU (~47 ms device time at
+    # 1M×128, 10× the λ matmuls); a bitonic alternative lives in
+    # ops/sort.py but measures 3.4× slower (its per-stage lane permutes
+    # lower to full HBM gathers), so the XLA sort stays.
     big = jnp.asarray(jnp.inf, dtype=dt)
-    masked = jnp.where(finite, x, big)
-    if jax.default_backend() == "tpu":
-        from .ops.sort import bitonic_sort_rows
-        xs = bitonic_sort_rows(masked)
-    else:
-        xs = jnp.sort(masked, axis=1)
+    xs = jnp.sort(jnp.where(finite, x, big), axis=1)
 
     if mode.kind == "percentile":
         pp = min(max(mode.value, 0.0), 1.0)
