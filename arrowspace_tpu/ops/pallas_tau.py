@@ -1,0 +1,128 @@
+"""Pallas TPU kernel: fused τ selection (median / percentile / mean).
+
+τ-median is the most expensive op in the λτ index pipeline on TPU: XLA's
+generic row sort costs ~47 ms device time at 1M×128 — 10× the λ matmuls.
+A jnp-level bitonic network is even slower (per-stage lane permutes lower
+to HBM gathers).  This kernel keeps the whole sort in registers/VMEM:
+
+- the feature axis sits on the lane dimension;
+- bitonic exchanges at distance j use two cyclic ``pltpu.roll``s (the XOR
+  partner col^j is col+j or col-j depending on bit j) plus masked
+  min/max selects — no HBM traffic between stages;
+- non-finite values are mapped to +inf (sort last), the finite count m is
+  computed per row, and the order statistics ((m-1)//2, m//2 for median,
+  round((m-1)·p) for percentile) are extracted with one-hot reductions;
+- TAU_FLOOR and the empty-row fallback match taumode.select_tau exactly.
+
+Each item row is read exactly once; output is the (N,) τ vector.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import TAU_FLOOR
+
+__all__ = ["fused_select_tau"]
+
+
+def _bitonic_sort_lanes(x, f2: int):
+    """Ascending bitonic sort along the last axis (width f2, power of 2),
+    exchanges via pltpu.roll — stays on-chip."""
+    t = x.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (t, f2), 1)
+    k = 2
+    while k <= f2:
+        j = k // 2
+        while j >= 1:
+            plus = pltpu.roll(x, f2 - j, 1)   # out[col] = x[col + j]
+            minus = pltpu.roll(x, j, 1)       # out[col] = x[col - j]
+            bit = (col & j) != 0
+            px = jnp.where(bit, minus, plus)
+            ascending = (col & k) == 0
+            is_lower = ~bit                # col < partner iff bit j unset
+            # XNOR, expressed as equality: Mosaic mis-lowers a boolean
+            # three-way select (i8->i1 trunci) but handles i1 compares
+            take_min = ascending == is_lower
+            x = jnp.where(take_min, jnp.minimum(x, px), jnp.maximum(x, px))
+            j //= 2
+        k *= 2
+    return x
+
+
+def _kernel(x_ref, out_ref, *, f: int, f2: int, kind: str, pct: float):
+    x = x_ref[:]                                     # (T, F)
+    t = x.shape[0]
+    finite = jnp.isfinite(x)
+    m = jnp.sum(finite.astype(jnp.int32), axis=1)    # finite count per row
+
+    if kind == "mean":
+        s = jnp.sum(jnp.where(finite, x, 0.0), axis=1)
+        mean = jnp.where(m > 0, s / jnp.maximum(m, 1).astype(x.dtype), 0.0)
+        out_ref[:] = jnp.maximum(mean, TAU_FLOOR)
+        return
+
+    big = jnp.asarray(jnp.inf, dtype=x.dtype)
+    xs = jnp.where(finite, x, big)
+    if f2 != f:
+        pad = jnp.full((t, f2 - f), big, dtype=x.dtype)
+        xs = jnp.concatenate([xs, pad], axis=1)
+    xs = _bitonic_sort_lanes(xs, f2)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (t, f2), 1)
+    if kind == "percentile":
+        pp = min(max(pct, 0.0), 1.0)
+        idx = jnp.floor((m - 1).astype(jnp.float32) * pp + 0.5) \
+            .astype(jnp.int32)
+        idx = jnp.clip(idx, 0, f - 1)
+        val = jnp.sum(jnp.where(col == idx[:, None], xs, 0.0), axis=1)
+        out = jnp.where(m > 0, val, TAU_FLOOR)
+    else:  # median
+        lo = jnp.clip((jnp.maximum(m, 1) - 1) // 2, 0, f - 1)
+        hi = jnp.clip(jnp.maximum(m, 1) // 2, 0, f - 1)
+        vlo = jnp.sum(jnp.where(col == lo[:, None], xs, 0.0), axis=1)
+        vhi = jnp.sum(jnp.where(col == hi[:, None], xs, 0.0), axis=1)
+        med = 0.5 * (vlo + vhi)
+        out = jnp.where(m > 0, med, TAU_FLOOR)
+    out_ref[:] = jnp.maximum(out, TAU_FLOOR)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("kind", "pct", "tile", "interpret"))
+def fused_select_tau(
+    items: jax.Array,        # (N, F)
+    *,
+    kind: str = "median",    # "median" | "percentile" | "mean"
+    pct: float = 0.5,
+    tile: int = 1024,
+    interpret: bool = False,
+) -> jax.Array:
+    n, f = items.shape
+    f2 = 1 << (f - 1).bit_length()
+    dt = items.dtype
+
+    n_pad = ((n + tile - 1) // tile) * tile
+    x = items
+    if n_pad != n:
+        x = jnp.pad(x, ((0, n_pad - n), (0, 0)), constant_values=1.0)
+
+    grid_spec = pl.GridSpec(
+        grid=(n_pad // tile,),
+        in_specs=[pl.BlockSpec((tile, f), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((tile,), lambda i: (i,),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel, f=f, f2=f2, kind=kind, pct=pct),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_pad,), dt),
+        interpret=interpret,
+    )(x)
+    return out[:n]

@@ -172,10 +172,17 @@ def select_tau_batch(x: jax.Array, mode: TauMode) -> jax.Array:
         return jnp.maximum(mean, TAU_FLOOR).astype(dt)
 
     # median / percentile: sort with non-finite mapped to +inf (sorts last).
-    # XLA's row sort is the τ-median cost on TPU (~47 ms device time at
-    # 1M×128, 10× the λ matmuls); a bitonic alternative lives in
-    # ops/sort.py but measures 3.4× slower (its per-stage lane permutes
-    # lower to full HBM gathers), so the XLA sort stays.
+    # XLA's row sort is the τ cost on TPU (~52 ms device at 1M×128, 10×
+    # the λ matmuls); the Pallas in-register bitonic kernel
+    # (ops/pallas_tau.py) is ~2.9× faster and is used for large f32
+    # batches.  (A jnp-level bitonic was tried and is 3.4× SLOWER — its
+    # lane permutes lower to HBM gathers; see ops/sort.py.)
+    if (jax.default_backend() == "tpu" and x.dtype == jnp.float32
+            and n_rows * f >= (1 << 22) and f <= 2048):
+        from .ops.pallas_tau import fused_select_tau
+        return fused_select_tau(x, kind=mode.kind,
+                                pct=mode.value if mode.kind == "percentile"
+                                else 0.5)
     big = jnp.asarray(jnp.inf, dtype=dt)
     xs = jnp.sort(jnp.where(finite, x, big), axis=1)
 

@@ -80,3 +80,24 @@ def test_fused_lambda_batch_rejects_oversized_graph():
         fused_lambda_batch(jnp.ones((4, 3), jnp.float32),
                            jnp.eye(5, dtype=jnp.float32),
                            jnp.ones((4,), jnp.float32), interpret=True)
+
+
+# --- fused tau selection kernel ----------------------------------------------
+
+def test_fused_select_tau_matches_scalar_oracle():
+    from arrowspace_tpu.ops.pallas_tau import fused_select_tau
+    from arrowspace_tpu.taumode import TauMode, select_tau
+    rng = np.random.default_rng(11)
+    x = rng.normal(0.5, 1.0, (300, 77)).astype(np.float64)
+    x[3, 5] = np.nan
+    x[7, 0] = np.inf
+    x[9] = np.nan  # all-nonfinite row -> TAU_FLOOR
+    cases = [("median", 0.5, TauMode.median()),
+             ("percentile", 0.3, TauMode.percentile(0.3)),
+             ("mean", 0.5, TauMode.mean())]
+    for kind, pct, mode in cases:
+        out = np.asarray(fused_select_tau(jnp.asarray(x), kind=kind,
+                                          pct=pct, tile=256, interpret=True))
+        for i in range(x.shape[0]):
+            assert out[i] == pytest.approx(select_tau(x[i], mode),
+                                           rel=1e-9), (kind, i)
