@@ -79,8 +79,10 @@ def main() -> None:
                                        use_bf16=True)[0],
              "query B=256, 1M x 128 (pallas bf16)", 2 * B * N * F)
 
-    d_tau = t(lambda: select_tau_batch(X, TauMode.median()),
-              "tau median 1M x 128 (sort)")
+    from arrowspace_tpu.ops.pallas_tau import fused_select_tau
+    t(lambda: jnp.sort(X, axis=1)[:, 0], "tau median 1M x 128 (XLA sort)")
+    d_tau = t(lambda: fused_select_tau(X, kind="median"),
+              "tau median 1M x 128 (pallas bitonic)")
     taus = select_tau_batch(X, TauMode.median())
     d_lam = t(lambda: synthetic_lambda_batch(X, L, taus),
               "λ batch 1M x 128 (given tau)", 12 * N * F * F)
