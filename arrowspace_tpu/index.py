@@ -147,6 +147,16 @@ class ArrowIndex:
         """Two-sided λ-band via the sorted index (O(log N + M))."""
         return self.aspace.range_search_sorted(lo, hi, limit)
 
+    def warmup(self, batch_sizes=(1, 16, 256), k: int = 10,
+               alpha: float = 0.9) -> None:
+        """Pre-compile the search programs for the given batch sizes so
+        first-query latency in serving is dispatch-only."""
+        rng = np.random.default_rng(0)
+        for b in batch_sizes:
+            q = rng.uniform(0.1, 1.0, (b, self.aspace.nfeatures))
+            self.search(q, k=min(k, self.nitems), alpha=alpha)
+        logger.info("warmup complete for batch sizes %s", batch_sizes)
+
     # ------------------------------------------------------------------
     @property
     def lambdas(self) -> np.ndarray:

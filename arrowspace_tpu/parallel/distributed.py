@@ -57,10 +57,13 @@ def distributed_lambda_aware_topk(
     alpha,
     k: int,
     mesh: Mesh,
+    use_pallas: bool = False,  # per-shard Pallas streaming top-k
 ) -> Tuple[jax.Array, jax.Array]:
     """Per-shard top-k + all_gather merge (the heap-merge analogue).
 
-    Returns (scores (B, k), global indices (B, k)).
+    With use_pallas the per-shard scoring runs the streaming top-k kernel
+    (scores never materialise in HBM) — the production configuration for
+    very large shards.  Returns (scores (B, k), global indices (B, k)).
     """
     n = items.shape[0]
     n_dev = mesh.devices.size
@@ -77,9 +80,16 @@ def distributed_lambda_aware_topk(
     alpha = jnp.asarray(alpha, dtype=items.dtype)
 
     def _shard_fn(q, qlam, x, xlam, a):
-        # local scores for this shard's rows: (B, shard_n)
-        scores = lambda_aware_scores(q, qlam, x, xlam, a)
-        local_scores, local_idx = jax.lax.top_k(scores, k_local)
+        if use_pallas:
+            from ..ops.pallas_topk import fused_lambda_topk
+            interpret = jax.default_backend() != "tpu"
+            local_scores, local_idx = fused_lambda_topk(
+                q, qlam, x, xlam, a, k=k_local, interpret=interpret)
+            local_scores = local_scores.astype(x.dtype)
+        else:
+            # local scores for this shard's rows: (B, shard_n)
+            scores = lambda_aware_scores(q, qlam, x, xlam, a)
+            local_scores, local_idx = jax.lax.top_k(scores, k_local)
         # globalise indices by shard offset
         shard_id = jax.lax.axis_index(ITEMS_AXIS)
         global_idx = local_idx + shard_id * shard_n

@@ -108,3 +108,21 @@ def test_hierarchical_2d_topk_matches_single_device():
     np.testing.assert_allclose(np.asarray(s_2d), np.asarray(s_single),
                                rtol=1e-12)
     np.testing.assert_array_equal(np.asarray(i_2d), np.asarray(i_single))
+
+
+def test_distributed_topk_pallas_per_shard(mesh):
+    """Pallas streaming top-k inside shard_map (interpret mode on CPU)."""
+    items, lap = _setup(n=256)
+    items = items.astype(jnp.float32)
+    lambdas = compute_taumode_lambdas(items, lap.astype(jnp.float32),
+                                      TauMode.median())
+    queries = items[:4] * 1.01
+    q_lam = compute_taumode_lambdas(queries, lap.astype(jnp.float32),
+                                    TauMode.median())
+    s_ref, i_ref = distributed_lambda_aware_topk(
+        queries, q_lam, items, lambdas, 0.8, 10, mesh)
+    s_pal, i_pal = distributed_lambda_aware_topk(
+        queries, q_lam, items, lambdas, 0.8, 10, mesh, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(s_pal), np.asarray(s_ref),
+                               rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i_pal), np.asarray(i_ref))
