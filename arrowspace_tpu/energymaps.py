@@ -135,10 +135,13 @@ def optical_compress_centroids(centroids, token_budget: int,
         if members.size == 0:
             continue
         if members.size > 4:
-            # trim the top trim_quantile by norm (energymaps.rs:431-448)
+            # trim the top trim_quantile by norm (energymaps.rs:431-448);
+            # floor(x+0.5) = Rust f64::round (half away from zero), NOT
+            # Python's banker's rounding
             order = members[np.argsort(norms[members], kind="stable")]
-            cut = int(np.clip(round(members.size * (1.0 - trim_quantile)),
-                              1, members.size))
+            cut = int(np.clip(
+                np.floor(members.size * (1.0 - trim_quantile) + 0.5),
+                1, members.size))
             members = order[:cut]
         out_rows.append(cent[members].mean(axis=0))
         if len(out_rows) >= token_budget:
