@@ -120,8 +120,15 @@ class GraphLaplacian:
         return self.graph_params.topk
 
     def get(self, i: int, j: int) -> float:
+        """Entry (i, j); indices are bounds-checked against nnodes and
+        positions beyond the stored matrix read as 0.0 — sprs `get`
+        returns None there and the reference unwraps it to 0.0
+        (graph.rs:311-321)."""
         assert i < self.nnodes and j < self.nnodes, (
             f"Index out of bounds: ({i}, {j}) for {self.nnodes}x{self.nnodes} matrix")
+        n = self.matrix.shape[0]
+        if i >= n or j >= n:
+            return 0.0
         return float(self.matrix[i, j])
 
     def set(self, i: int, j: int, value: float) -> None:
@@ -129,16 +136,32 @@ class GraphLaplacian:
         self.matrix = self.matrix.at[i, j].set(value)
 
     def get_row(self, i: int) -> np.ndarray:
+        """Row i as an nnodes-length vector, zero-padded beyond the stored
+        matrix (graph.rs:362-375 semantics)."""
         assert i < self.nnodes, f"Row index {i} out of bounds for {self.nnodes} nodes"
-        return np.asarray(self.matrix[i])
+        n = self.matrix.shape[0]
+        out = np.zeros(self.nnodes)
+        if i < n:
+            out[:n] = np.asarray(self.matrix[i])
+        return out
 
     def get_column(self, j: int) -> np.ndarray:
         assert j < self.nnodes, f"Column index {j} out of bounds for {self.nnodes} nodes"
-        return np.asarray(self.matrix[:, j])
+        n = self.matrix.shape[0]
+        out = np.zeros(self.nnodes)
+        if j < n:
+            out[:n] = np.asarray(self.matrix[:, j])
+        return out
 
     def degrees(self) -> np.ndarray:
-        """Diagonal entries (reference: graph.rs:324-345)."""
-        return np.asarray(jnp.diagonal(self.matrix))
+        """Diagonal entries as an nnodes-length vector; when the original
+        item count exceeds the matrix dimension (the F'×F' quirk) the tail
+        reads as degree 0, matching sprs get(i,i).unwrap_or(0.0)
+        (graph.rs:324-345)."""
+        n = self.matrix.shape[0]
+        out = np.zeros(self.nnodes if self.nnodes > n else n)
+        out[:n] = np.asarray(jnp.diagonal(self.matrix))
+        return out
 
     # --- numerics ----------------------------------------------------------
     def multiply_vector(self, x) -> np.ndarray:

@@ -160,3 +160,22 @@ def test_graph_params_approx_eq():
     c = _params(eps=0.6)
     assert a == b
     assert a != c
+
+
+def test_accessors_over_nnodes_quirk():
+    """When nnodes (N) exceeds the F'xF' matrix, get/degrees/get_row read
+    as 0.0 beyond the stored matrix (graph.rs:311-345 unwrap_or(0.0))."""
+    centroids = make_gaussian_blob(8, dims=5, seed=21)
+    gl = GraphFactory.build_laplacian_matrix_from_k_cluster(
+        centroids, eps=1.0, k=4, topk=3, p=2.0, sigma_override=None,
+        normalise=False, sparsity_check=False, n_items=20)
+    assert gl.shape() == (5, 5)
+    deg = gl.degrees()
+    assert deg.shape == (20,)
+    np.testing.assert_array_equal(deg[5:], 0.0)
+    assert gl.get(10, 10) == 0.0
+    row = gl.get_row(2)
+    assert row.shape == (20,)
+    np.testing.assert_array_equal(row[5:], 0.0)
+    with pytest.raises(AssertionError):
+        gl.get(25, 0)
