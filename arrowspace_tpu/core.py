@@ -172,6 +172,9 @@ class ArrowSpace:
         core.rs:533-549)."""
         from .taumode import select_tau_batch, synthetic_lambda_batch
         items = np.asarray(items, dtype=np.float64)
+        assert items.shape[-1] == self.nfeatures, (
+            f"Query dimension {items.shape[-1]} doesn't match index "
+            f"original dimension {self.nfeatures}")
         assert np.all(np.isfinite(items)), (
             "Query item contains invalid values (NaN or infinity). "
             "All values must be finite.")
@@ -187,6 +190,9 @@ class ArrowSpace:
         project if needed, select τ from the (projected) coordinates, then
         run the fused λ kernel against the graph matrix."""
         item = np.asarray(item, dtype=np.float64)
+        assert item.shape[-1] == self.nfeatures, (
+            f"Query dimension {item.shape[-1]} doesn't match index "
+            f"original dimension {self.nfeatures}")
         assert np.all(np.isfinite(item)), (
             "Query item contains invalid values (NaN or infinity). "
             "All values must be finite.")
@@ -332,8 +338,11 @@ class ArrowSpace:
         qlam = jnp.asarray(query_lambdas, dtype=dt)
 
         if use_pallas is None:
+            # the streaming kernel's merge unrolls per result slot, so it
+            # only makes sense for small k (the top-k regime); large-k
+            # requests (e.g. k clamped to N) take the XLA sort path
             use_pallas = (jax.default_backend() == "tpu"
-                          and self.nitems >= 65536)
+                          and self.nitems >= 65536 and k_eff <= 128)
         if use_pallas:
             from .ops.pallas_topk import fused_lambda_topk
             return fused_lambda_topk(q, qlam, self.data, self.lambdas,
