@@ -260,26 +260,23 @@ def diffuse_and_split_subcentroids(centroids, l0: GraphLaplacian,
     work_np = np.asarray(work, dtype=np.float64)
     rows = [work_np]
     split_idx = np.nonzero(gini >= thresh)[0]
-    # neighbour stats for every split node (vectorised on device)
+    # neighbour stats for every split node, fully vectorised
     if split_idx.size:
         sq = np.sum(work_np * work_np, axis=1)
-        d2 = sq[:, None] - 2.0 * work_np @ work_np.T + sq[None, :]
-        np.fill_diagonal(d2, np.inf)
+        d2 = sq[split_idx][:, None] - 2.0 * work_np[split_idx] @ work_np.T \
+            + sq[None, :]
+        d2[np.arange(split_idx.size), split_idx] = np.inf
         kk = min(p.neighbor_k, x - 1)
-        c1s, c2s = [], []
-        for i in split_idx:
-            nbrs = np.argpartition(d2[i], kk - 1)[:kk]
-            mean = work_np[nbrs].mean(axis=0)
-            diff = work_np[i] - mean
-            nrm = max(float(np.linalg.norm(diff)), 1e-9)
-            direction = diff / nrm
-            d_mean = diff.mean()
-            std_loc = float(np.sqrt(np.mean((diff - d_mean) ** 2)))
-            tau = p.split_tau * max(std_loc, 1e-6)
-            c1s.append(work_np[i] + tau * direction)
-            c2s.append(work_np[i] - tau * direction)
-        rows.append(np.stack(c1s))
-        rows.append(np.stack(c2s))
+        nbrs = np.argpartition(d2, kk - 1, axis=1)[:, :kk]   # (S, kk)
+        means = work_np[nbrs].mean(axis=1)                   # (S, F)
+        diffs = work_np[split_idx] - means
+        nrms = np.maximum(np.linalg.norm(diffs, axis=1, keepdims=True), 1e-9)
+        directions = diffs / nrms
+        d_means = diffs.mean(axis=1, keepdims=True)
+        std_locs = np.sqrt(np.mean((diffs - d_means) ** 2, axis=1))
+        taus_s = (p.split_tau * np.maximum(std_locs, 1e-6))[:, None]
+        rows.append(work_np[split_idx] + taus_s * directions)
+        rows.append(work_np[split_idx] - taus_s * directions)
 
     out = np.concatenate(rows, axis=0)
     logger.info("Sub-centroid generation: %d -> %d centroids (%d splits)",

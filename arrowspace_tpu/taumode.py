@@ -366,5 +366,12 @@ def compute_taumode_lambdas(
             lam = synthetic_lambda_batch(x, lap, taus, method=method)
         return jnp.asarray(np.asarray(lam))
     taus = select_tau_batch(items, taumode)
+    # Narrow graphs (JL-projected: n << F): the single-pass Pallas kernel
+    # reads each item row once instead of once per matmul.
+    n = laplacian.shape[0]
+    if (jax.default_backend() == "tpu" and items.dtype == jnp.float32
+            and method == "matmul" and n * 2 <= items.shape[1]):
+        from .ops.pallas_lambda import fused_lambda_batch
+        return fused_lambda_batch(items, laplacian, taus)
     lambdas = synthetic_lambda_batch(items, laplacian, taus, method=method)
     return lambdas
