@@ -29,6 +29,31 @@ long long incremental_clustering(
     double* out_centroids,   // max_clusters * f
     long long* out_counts,   // max_clusters
     long long* out_assign    // n, -1 encodes dropped/skipped
+);
+
+// Density-adaptive variant (sampling.rs:190-225): the keep decision
+// depends on the evolving cluster state, so uniforms are precomputed by
+// the (seeded) Python RNG — one per row, consumed in row order, matching
+// the sequential Python path exactly — and the adaptive rate
+//   base·(1 - 0.1·saturation)·(1 + 0.3·max(0, ln(d² + 0.1)))
+// clamped to [0.01, 1] is evaluated in-loop.  out_kept reports the
+// number of kept rows for the sampler's statistics.
+long long incremental_clustering_density(
+    const double* rows, long long n, long long f, long long max_clusters,
+    double radius, const double* uniforms, double base_rate,
+    double* out_centroids, long long* out_counts, long long* out_assign,
+    long long* out_kept);
+
+long long incremental_clustering(
+    const double* rows,      // n * f, row-major
+    long long n,
+    long long f,
+    long long max_clusters,
+    double radius,
+    const unsigned char* keep_mask,  // n entries or NULL
+    double* out_centroids,   // max_clusters * f
+    long long* out_counts,   // max_clusters
+    long long* out_assign    // n, -1 encodes dropped/skipped
 ) {
     long long n_c = 0;
     const double relaxed_radius = radius * 1.5;
@@ -86,6 +111,80 @@ long long incremental_clustering(
         // else: drop
     }
 
+    return n_c;
+}
+
+long long incremental_clustering_density(
+    const double* rows, long long n, long long f, long long max_clusters,
+    double radius, const double* uniforms, double base_rate,
+    double* out_centroids, long long* out_counts, long long* out_assign,
+    long long* out_kept) {
+    long long n_c = 0;
+    long long kept = 0;
+    const double relaxed_radius = radius * 1.5;
+
+    for (long long r = 0; r < n; ++r) {
+        const double* row = rows + r * f;
+        out_assign[r] = -1;
+
+        long long best_idx = 0;
+        double best_d2 = std::numeric_limits<double>::infinity();
+        for (long long c = 0; c < n_c; ++c) {
+            const double* cent = out_centroids + c * f;
+            double d2 = 0.0;
+            for (long long j = 0; j < f; ++j) {
+                const double diff = row[j] - cent[j];
+                d2 += diff * diff;
+            }
+            if (d2 < best_d2) { best_d2 = d2; best_idx = c; }
+        }
+
+        // adaptive keep rate from the snapshot distance + saturation
+        const double saturation = max_clusters > 0
+            ? static_cast<double>(n_c) / static_cast<double>(max_clusters)
+            : 0.0;
+        double dist_factor = 0.0;
+        if (std::isfinite(best_d2)) {
+            const double lf = std::log(best_d2 + 0.1);
+            dist_factor = lf > 0.0 ? lf : 0.0;
+        }
+        double rate = base_rate * (1.0 - saturation * 0.1)
+            * (1.0 + dist_factor * 0.3);
+        if (rate < 0.01) rate = 0.01;
+        if (rate > 1.0) rate = 1.0;
+        if (!(uniforms[r] < rate)) continue;
+        ++kept;
+
+        if (n_c == 0) {
+            double* cent = out_centroids;
+            for (long long j = 0; j < f; ++j) cent[j] = row[j];
+            out_counts[0] = 1;
+            out_assign[r] = 0;
+            n_c = 1;
+            continue;
+        }
+
+        if (n_c < max_clusters && best_d2 > radius * 0.5) {
+            double* cent = out_centroids + n_c * f;
+            for (long long j = 0; j < f; ++j) cent[j] = row[j];
+            out_counts[n_c] = 1;
+            out_assign[r] = n_c;
+            ++n_c;
+        } else if (best_d2 <= radius) {
+            double* cent = out_centroids + best_idx * f;
+            const double k_new = static_cast<double>(out_counts[best_idx] + 1);
+            for (long long j = 0; j < f; ++j) {
+                cent[j] += (row[j] - cent[j]) / k_new;
+            }
+            out_counts[best_idx] += 1;
+            out_assign[r] = best_idx;
+        } else if (best_d2 <= relaxed_radius) {
+            out_counts[best_idx] += 1;
+            out_assign[r] = best_idx;
+        }
+    }
+
+    *out_kept = kept;
     return n_c;
 }
 

@@ -42,6 +42,19 @@ def _load():
             ctypes.POINTER(ctypes.c_longlong),  # out counts (max)
             ctypes.POINTER(ctypes.c_longlong),  # out assignments (n), -1=None
         ]
+        if hasattr(lib, "incremental_clustering_density"):
+            lib.incremental_clustering_density.restype = ctypes.c_longlong
+            lib.incremental_clustering_density.argtypes = [
+                ctypes.POINTER(ctypes.c_double),   # rows
+                ctypes.c_longlong, ctypes.c_longlong, ctypes.c_longlong,
+                ctypes.c_double,                   # radius
+                ctypes.POINTER(ctypes.c_double),   # uniforms (n)
+                ctypes.c_double,                   # base_rate
+                ctypes.POINTER(ctypes.c_double),   # out centroids
+                ctypes.POINTER(ctypes.c_longlong),  # out counts
+                ctypes.POINTER(ctypes.c_longlong),  # out assignments
+                ctypes.POINTER(ctypes.c_longlong),  # out kept
+            ]
         _LIB = lib
     except OSError:
         _LIB = None
@@ -59,34 +72,51 @@ def native_incremental_clustering(builder, rows, nfeatures, max_clusters,
     n = x.shape[0]
 
     sampling_enabled = builder.sampling is not None
-    if sampling_enabled:
-        # Only the Simple sampler's decisions are state-independent and can
-        # be precomputed; density-adaptive falls back to Python.
-        if builder.sampling.kind != "simple":
-            return None
-        keep = np.empty(n, dtype=np.uint8)
-        rate = sampler.keep_rate
-        rng = sampler._rng
-        draws = rng.random(n)
-        keep[:] = draws < rate
-        sampler.sampled_count += int(keep.sum())
-        sampler.discarded_count += int(n - keep.sum())
-        keep_ptr = keep.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
-    else:
-        keep_ptr = ctypes.POINTER(ctypes.c_uint8)()
-
     out_cent = np.zeros((max_clusters, nfeatures), dtype=np.float64)
     out_counts = np.zeros(max_clusters, dtype=np.int64)
     out_assign = np.full(n, -1, dtype=np.int64)
 
-    n_c = lib.incremental_clustering(
-        x.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-        n, nfeatures, max_clusters, radius,
-        keep_ptr,
-        out_cent.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-        out_counts.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
-        out_assign.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
-    )
+    if sampling_enabled and builder.sampling.kind == "density_adaptive":
+        # rate depends on the evolving cluster state: uniforms are drawn
+        # here (one per row, row order — same consumption as the Python
+        # path) and the rate formula is evaluated in the C++ loop
+        if not hasattr(lib, "incremental_clustering_density"):
+            return None
+        uniforms = np.ascontiguousarray(sampler._rng.random(n))
+        kept = ctypes.c_longlong(0)
+        n_c = lib.incremental_clustering_density(
+            x.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            n, nfeatures, max_clusters, radius,
+            uniforms.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            sampler.base_rate,
+            out_cent.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            out_counts.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+            out_assign.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+            ctypes.byref(kept),
+        )
+        sampler.sampled_count += int(kept.value)
+        sampler.discarded_count += int(n - kept.value)
+        sampler.current_idx += n
+    else:
+        if sampling_enabled:
+            keep = np.empty(n, dtype=np.uint8)
+            rate = sampler.keep_rate
+            draws = sampler._rng.random(n)
+            keep[:] = draws < rate
+            sampler.sampled_count += int(keep.sum())
+            sampler.discarded_count += int(n - keep.sum())
+            keep_ptr = keep.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+        else:
+            keep_ptr = ctypes.POINTER(ctypes.c_uint8)()
+
+        n_c = lib.incremental_clustering(
+            x.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            n, nfeatures, max_clusters, radius,
+            keep_ptr,
+            out_cent.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            out_counts.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+            out_assign.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+        )
     if n_c <= 0:
         sampler_desc = str(builder.sampling) if builder.sampling else "None"
         raise RuntimeError(

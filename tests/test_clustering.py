@@ -182,3 +182,27 @@ def test_chunked_mode_speed_sanity():
     dt = time.perf_counter() - t0
     assert dt < 10.0  # vectorised path: 100k rows well under 10s
     assert cents.shape[0] >= 1
+
+
+def test_native_density_adaptive_matches_numpy():
+    """The C++ density-adaptive path must agree exactly with the NumPy
+    sequential path (same seed -> same uniform consumption order)."""
+    from arrowspace_tpu.clustering import _incremental_clustering_numpy
+    from arrowspace_tpu.native import native_incremental_clustering
+
+    rows = make_moons_hd(150, noise=0.08, hd_noise=0.04, dims=6, seed=41)
+    b = ArrowSpaceBuilder()
+    b.sampling = SamplerType.density_adaptive(0.7)
+    b.with_seed(321)
+
+    s1 = SamplerType.density_adaptive(0.7).make(seed=321)
+    out_native = native_incremental_clustering(b, rows, 6, 12, 0.4, s1)
+    if out_native is None:
+        pytest.skip("native library not built")
+    s2 = SamplerType.density_adaptive(0.7).make(seed=321)
+    out_numpy = _incremental_clustering_numpy(b, rows, 6, 12, 0.4, s2)
+
+    np.testing.assert_allclose(out_native[0], out_numpy[0], rtol=1e-12)
+    assert out_native[1] == out_numpy[1]
+    assert out_native[2] == out_numpy[2]
+    assert s1.get_stats() == s2.get_stats()
