@@ -100,3 +100,35 @@ def test_random_walk_converges_to_uniform():
     # mass stays normalised and spreads out
     assert v.sum() == pytest.approx(1.0, rel=1e-6)
     assert v.max() < 0.9
+
+
+def test_quality_metrics():
+    """Quality metrics port (examples/common/lib.rs:190-447)."""
+    from arrowspace_tpu.utils.quality import (
+        edge_count_efficiency, evaluate_graph_quality,
+        evaluate_parameter_quality, graph_connectivity_ratio,
+        jaccard_similarity, lambda_distribution_quality)
+    from arrowspace_tpu.builder import ArrowSpaceBuilder
+    from data import make_moons_hd
+
+    rows = make_moons_hd(60, noise=0.08, hd_noise=0.04, dims=10, seed=17)
+    aspace, gl = (ArrowSpaceBuilder()
+                  .with_lambda_graph(1.0, 5, 3, 2.0, None)
+                  .with_seed(19).build(rows.tolist()))
+
+    conn = graph_connectivity_ratio(gl.matrix)
+    assert 0.0 <= conn <= 1.0
+    lamq = lambda_distribution_quality(np.asarray(aspace.lambdas))
+    assert 0.0 <= lamq <= 1.0
+    eff = edge_count_efficiency(gl.matrix)
+    assert 0.0 <= eff <= 1.0
+    gq = evaluate_graph_quality(aspace, gl)
+    assert 0.0 <= gq <= 1.0
+    pq = evaluate_parameter_quality(aspace, gl, rows[:5].tolist(),
+                                    0.9, 0.1, 5)
+    assert 0.0 <= pq <= 1.0
+    # degenerate shapes
+    assert graph_connectivity_ratio(np.zeros((1, 1))) == 1.0
+    assert lambda_distribution_quality([]) == 0.0
+    assert jaccard_similarity([1, 2, 3], [2, 3, 4]) == 0.5
+    assert jaccard_similarity([], []) == 1.0
