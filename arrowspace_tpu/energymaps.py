@@ -386,6 +386,34 @@ def _projected_dirichlet_batch(aspace: ArrowSpace, diffs: jax.Array
     return jnp.minimum(num / (1.0 + num), 1.0)
 
 
+def search_energy_batch(aspace: ArrowSpace, queries, gl_energy: GraphLaplacian,
+                        k: int, w_lambda: float, w_dirichlet: float):
+    """Batched energy-only ranking: (B, F) queries -> (scores, ids) with
+    one fused device program per stage (the serving-path variant of
+    search_energy)."""
+    queries = np.atleast_2d(np.asarray(queries, dtype=np.float64))
+    lambda_q = aspace.prepare_query_items_batch(queries, gl_energy)
+
+    dt = aspace.data.dtype
+    if aspace.projection_matrix is not None:
+        q_proj = jnp.asarray(
+            np.stack([aspace.project_query(q) for q in queries]), dtype=dt)
+    else:
+        q_proj = jnp.asarray(queries, dtype=dt)
+    items_proj = aspace.projected_items()
+
+    diffs = q_proj[:, None, :] - items_proj[None, :, :]
+    b, n, f = diffs.shape
+    d_dir = _projected_dirichlet_batch(aspace, diffs.reshape(b * n, f))
+    d_dir = d_dir.reshape(b, n)
+    d_lambda = jnp.abs(jnp.asarray(lambda_q, dtype=dt)[:, None]
+                       - aspace.lambdas[None, :])
+    scores = -(w_lambda * d_lambda + w_dirichlet * d_dir)
+    k_eff = min(k, aspace.nitems)
+    top_scores, top_idx = jax.lax.top_k(scores, k_eff)
+    return np.asarray(top_scores), np.asarray(top_idx)
+
+
 def search_energy(aspace: ArrowSpace, query, gl_energy: GraphLaplacian,
                   k: int, w_lambda: float, w_dirichlet: float):
     """Energy-only ranking: score = -(wλ·|Δλ| + wD·Dirichlet)

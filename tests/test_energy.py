@@ -175,3 +175,18 @@ def test_sparsifier():
     # clamping
     assert SfGrassSparsifier().with_target_ratio(5.0).target_ratio == 1.0
     assert SfGrassSparsifier().with_target_ratio(0.0).target_ratio == 0.1
+
+
+def test_search_energy_batch_matches_single():
+    from arrowspace_tpu.energymaps import search_energy_batch
+    rows = make_gaussian_hd(80, spread=0.5, dims=96, seed=8)
+    b = _builder(seed=13)
+    aspace, gl = en.build_energy(b, rows.tolist(), EnergyParams())
+    queries = rows[:3] * 1.01
+    scores, ids = search_energy_batch(aspace, queries, gl, 8, 1.0, 0.5)
+    assert scores.shape == (3, 8)
+    for i, q in enumerate(queries):
+        single = en.search_energy(aspace, q, gl, 8, 1.0, 0.5)
+        assert [j for j, _ in single] == list(ids[i])
+        for (j, s), s2 in zip(single, scores[i]):
+            assert s == pytest.approx(float(s2), rel=1e-9)
