@@ -49,7 +49,7 @@ logger = get_logger("arrowspace.energymaps")
 __all__ = ["EnergyParams", "optical_compress_centroids",
            "bootstrap_centroid_laplacian", "diffuse_and_split_subcentroids",
            "node_energy_and_dispersion", "build_energy_laplacian",
-           "search_energy", "build_energy", "robust_scale",
+           "search_energy", "search_energy_batch", "build_energy", "robust_scale",
            "bounded_l2_energy", "ProjectedEnergyParams"]
 
 
