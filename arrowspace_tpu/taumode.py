@@ -365,10 +365,23 @@ def compute_taumode_lambdas(
             taus = select_tau_batch(x, taumode)
             lam = synthetic_lambda_batch(x, lap, taus, method=method)
         return jnp.asarray(np.asarray(lam))
+    # Fully-fused single-pass kernel on TPU: τ (in-register bitonic) and
+    # the λ matmul chain share one load of the item tile — ~1.35× over the
+    # two-pass path at 1M×128, bit-matching to <1e-5.
+    n = laplacian.shape[0]
+    if (jax.default_backend() == "tpu" and items.dtype == jnp.float32
+            and method == "matmul"):
+        from .ops.pallas_taulambda import (fused_taulambda_batch,
+                                           fused_taulambda_fits)
+        if fused_taulambda_fits(n_items, items.shape[1], n):
+            return fused_taulambda_batch(
+                items, laplacian, kind=taumode.kind,
+                pct=taumode.value if taumode.kind == "percentile" else 0.5,
+                fixed=taumode.value if taumode.kind == "fixed" else 0.0)
+
     taus = select_tau_batch(items, taumode)
     # Narrow graphs (JL-projected: n << F): the single-pass Pallas kernel
     # reads each item row once instead of once per matmul.
-    n = laplacian.shape[0]
     if (jax.default_backend() == "tpu" and items.dtype == jnp.float32
             and method == "matmul" and n * 2 <= items.shape[1]):
         from .ops.pallas_lambda import fused_lambda_batch

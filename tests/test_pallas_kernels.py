@@ -101,3 +101,36 @@ def test_fused_select_tau_matches_scalar_oracle():
         for i in range(x.shape[0]):
             assert out[i] == pytest.approx(select_tau(x[i], mode),
                                            rel=1e-9), (kind, i)
+
+
+# --- fully-fused tau+lambda kernel -------------------------------------------
+
+def test_fused_taulambda_matches_two_pass():
+    from arrowspace_tpu.ops.pallas_taulambda import fused_taulambda_batch
+    from arrowspace_tpu.taumode import (TauMode, select_tau_batch,
+                                        synthetic_lambda_batch)
+    from helpers import oracle_adjacency, oracle_laplacian
+
+    rng = np.random.default_rng(13)
+    rows = rng.uniform(0.1, 1.0, (700, 40)).astype(np.float32)
+    rows[5, 2] = np.inf  # non-finite filtering inside tau
+    graph_rows = rng.uniform(0.1, 1.0, (24, 8))
+    lap = oracle_laplacian(oracle_adjacency(
+        graph_rows, eps=1.0, topk=4, p=2.0, sigma=None)).astype(np.float32)
+    x, L = jnp.asarray(rows), jnp.asarray(lap)
+    cases = [("median", 0.5, 0.0, TauMode.median()),
+             ("percentile", 0.7, 0.0, TauMode.percentile(0.7)),
+             ("mean", 0.5, 0.0, TauMode.mean()),
+             ("fixed", 0.5, 0.3, TauMode.fixed(0.3))]
+    for kind, pct, fixed, mode in cases:
+        out = fused_taulambda_batch(x, L, kind=kind, pct=pct, fixed=fixed,
+                                    tile=256, interpret=True)
+        ref = synthetic_lambda_batch(x, L, select_tau_batch(x, mode))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=1e-7), kind
+
+
+def test_fused_taulambda_fits_budget():
+    from arrowspace_tpu.ops.pallas_taulambda import fused_taulambda_fits
+    assert fused_taulambda_fits(1_000_000, 128, 128)
+    assert not fused_taulambda_fits(1_000_000, 768, 768)
