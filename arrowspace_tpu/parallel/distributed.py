@@ -33,12 +33,32 @@ def sharded_compute_taumode_lambdas(
     laplacian: jax.Array,      # (n, n) — replicated
     taumode: TauMode,
     mesh: Mesh,
+    use_pallas: bool = False,  # fused τ+λ kernel per shard
 ) -> jax.Array:
     """λτ batch with the items axis sharded across the mesh.  XLA sees
     replicated small matmul operands and a sharded N axis; no collectives
-    are inserted in the forward pass."""
+    are inserted in the forward pass.  With use_pallas each shard runs the
+    fully-fused single-pass τ+λ kernel (the production configuration)."""
     items = jax.device_put(items, items_sharding(mesh))
     laplacian = jax.device_put(laplacian, replicated_sharding(mesh))
+
+    if use_pallas:
+        from ..ops.pallas_taulambda import fused_taulambda_batch
+        interpret = jax.default_backend() != "tpu"
+
+        def _shard(x, lap):
+            return fused_taulambda_batch(
+                x.astype(jnp.float32), lap.astype(jnp.float32),
+                kind=taumode.kind,
+                pct=taumode.value if taumode.kind == "percentile" else 0.5,
+                fixed=taumode.value if taumode.kind == "fixed" else 0.0,
+                tile=256 if interpret else 1024,
+                interpret=interpret).astype(x.dtype)
+
+        fn = shard_map(_shard, mesh=mesh,
+                       in_specs=(P(ITEMS_AXIS, None), P()),
+                       out_specs=P(ITEMS_AXIS), check_vma=False)
+        return jax.jit(fn)(items, laplacian)
 
     @functools.partial(jax.jit, static_argnames=("mode",),
                        out_shardings=items_sharding(mesh, ndim=1))

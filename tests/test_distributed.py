@@ -126,3 +126,15 @@ def test_distributed_topk_pallas_per_shard(mesh):
     np.testing.assert_allclose(np.asarray(s_pal), np.asarray(s_ref),
                                rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(i_pal), np.asarray(i_ref))
+
+
+def test_sharded_fused_taulambda_matches_single_device(mesh):
+    """Fused tau+lambda pallas kernel inside shard_map (interpret on CPU)."""
+    items, lap = _setup()
+    items32 = items.astype(jnp.float32)
+    lap32 = lap.astype(jnp.float32)
+    single = compute_taumode_lambdas(items32, lap32, TauMode.median())
+    sharded = sharded_compute_taumode_lambdas(
+        items32, lap32, TauMode.median(), mesh, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
+                               rtol=2e-5, atol=1e-7)
