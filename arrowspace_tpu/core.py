@@ -207,6 +207,17 @@ class ArrowSpace:
     def lambdas_list(self) -> np.ndarray:
         return np.asarray(self.lambdas)
 
+    def _host_copies(self, cpu_device):
+        """CPU-resident copies of (data, lambdas) for the small-scan fast
+        path; fetched once and invalidated with the λ-order cache."""
+        cache = getattr(self, "_host_cache", None)
+        if cache is None or cache[0].shape[0] != self.nitems:
+            self._host_cache = (
+                jax.device_put(np.asarray(self.data), cpu_device),
+                jax.device_put(np.asarray(self.lambdas), cpu_device),
+            )
+        return self._host_cache
+
     def projected_items(self) -> jax.Array:
         """Device-resident projected item matrix (N, r), cached — used by
         the energy search path; identity when no projection is active."""
@@ -232,6 +243,8 @@ class ArrowSpace:
         assert f < self.nfeatures, "feature index out of bounds"
         self.data = self.data.at[:, f].set(
             jnp.asarray(values.feature, dtype=self.data.dtype))
+        self._host_cache = None
+        self._projected_cache = None
 
     def get_item(self, i: int) -> ArrowItem:
         assert i < self.nitems, "item index out of bounds"
@@ -241,6 +254,8 @@ class ArrowSpace:
         assert i < self.nitems, "item index out of bounds"
         self.data = self.data.at[i, :].set(
             jnp.asarray(values.item, dtype=self.data.dtype))
+        self._host_cache = None
+        self._projected_cache = None
 
     # --- in-place algebra with λ maintenance (core.rs:614-727) ----------
     def _check_gl(self, gl) -> None:
@@ -262,6 +277,7 @@ class ArrowSpace:
             jnp.asarray(row, dtype=graph.dtype), graph, tau)
         self.lambdas = self.lambdas.at[a].set(lam)
         self._lambda_order = None
+        self._host_cache = None
 
     def add_items(self, a: int, b: int, gl) -> None:
         assert a < self.nitems and b < self.nitems, (
@@ -297,6 +313,7 @@ class ArrowSpace:
                                  and self.signals.shape[0] > 0) else gl.matrix
         self.lambdas = compute_taumode_lambdas(self.data, graph, self.taumode)
         self._lambda_order = None  # invalidate the sorted λ-band index
+        self._host_cache = None
 
     def update_lambdas(self, new_lambdas) -> None:
         new_lambdas = jnp.asarray(new_lambdas, dtype=self.lambdas.dtype)
@@ -304,6 +321,7 @@ class ArrowSpace:
             "New lambdas length must match existing lambdas length"
         self.lambdas = new_lambdas
         self._lambda_order = None  # invalidate the sorted λ-band index
+        self._host_cache = None
 
     # ------------------------------------------------------------------
     # Search
@@ -347,6 +365,26 @@ class ArrowSpace:
             from .ops.pallas_topk import fused_lambda_topk
             return fused_lambda_topk(q, qlam, self.data, self.lambdas,
                                      alpha, k=k_eff)
+
+        # Adaptive engine selection (the search-side counterpart of
+        # taumode._small_workload_cpu): a tiny corpus scan is pure dispatch
+        # overhead on an accelerator — one tunnel round trip costs ~1000x
+        # the compute — so sub-threshold scans run on the host CPU backend.
+        if (jax.default_backend() != "cpu"
+                and q.shape[0] * self.nitems * self.data.shape[1] < (1 << 24)):
+            try:
+                cpu = jax.local_devices(backend="cpu")[0]
+            except RuntimeError:
+                cpu = None
+            if cpu is not None:
+                host_data, host_lam = self._host_copies(cpu)
+                with jax.default_device(cpu):
+                    scores, ids = batched_lambda_aware_topk(
+                        jnp.asarray(np.asarray(q)),
+                        jnp.asarray(np.asarray(qlam)),
+                        host_data, host_lam,
+                        jnp.asarray(alpha, dtype=dt), k=k_eff)
+                return scores, ids
         return batched_lambda_aware_topk(
             q, qlam, self.data, self.lambdas, jnp.asarray(alpha, dtype=dt),
             k=k_eff)
