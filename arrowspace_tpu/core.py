@@ -352,6 +352,29 @@ class ArrowSpace:
         matrix in HBM (pass use_pallas=False to force the XLA path)."""
         k_eff = min(k, self.nitems)
         dt = self.data.dtype
+
+        # Adaptive engine selection BEFORE any device placement (the
+        # search-side counterpart of taumode._small_workload_cpu): a tiny
+        # corpus scan is pure dispatch overhead on an accelerator — one
+        # tunnel round trip costs ~1000x the compute — so sub-threshold
+        # scans run on the host CPU backend with cached host copies.
+        n_q = np.shape(queries)[0] if np.ndim(queries) > 1 else 1
+        small = n_q * self.nitems * self.data.shape[1] < (1 << 24)
+        if jax.default_backend() != "cpu" and small and use_pallas is not True:
+            try:
+                cpu = jax.local_devices(backend="cpu")[0]
+            except RuntimeError:
+                cpu = None
+            if cpu is not None:
+                host_data, host_lam = self._host_copies(cpu)
+                with jax.default_device(cpu):
+                    scores, ids = batched_lambda_aware_topk(
+                        jnp.asarray(np.asarray(queries), dtype=dt),
+                        jnp.asarray(np.asarray(query_lambdas), dtype=dt),
+                        host_data, host_lam,
+                        jnp.asarray(alpha, dtype=dt), k=k_eff)
+                return scores, ids
+
         q = jnp.asarray(queries, dtype=dt)
         qlam = jnp.asarray(query_lambdas, dtype=dt)
 
@@ -365,26 +388,6 @@ class ArrowSpace:
             from .ops.pallas_topk import fused_lambda_topk
             return fused_lambda_topk(q, qlam, self.data, self.lambdas,
                                      alpha, k=k_eff)
-
-        # Adaptive engine selection (the search-side counterpart of
-        # taumode._small_workload_cpu): a tiny corpus scan is pure dispatch
-        # overhead on an accelerator — one tunnel round trip costs ~1000x
-        # the compute — so sub-threshold scans run on the host CPU backend.
-        if (jax.default_backend() != "cpu"
-                and q.shape[0] * self.nitems * self.data.shape[1] < (1 << 24)):
-            try:
-                cpu = jax.local_devices(backend="cpu")[0]
-            except RuntimeError:
-                cpu = None
-            if cpu is not None:
-                host_data, host_lam = self._host_copies(cpu)
-                with jax.default_device(cpu):
-                    scores, ids = batched_lambda_aware_topk(
-                        jnp.asarray(np.asarray(q)),
-                        jnp.asarray(np.asarray(qlam)),
-                        host_data, host_lam,
-                        jnp.asarray(alpha, dtype=dt), k=k_eff)
-                return scores, ids
         return batched_lambda_aware_topk(
             q, qlam, self.data, self.lambdas, jnp.asarray(alpha, dtype=dt),
             k=k_eff)
