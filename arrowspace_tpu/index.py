@@ -165,6 +165,14 @@ class ArrowIndex:
         """Two-sided λ-band via the sorted index (O(log N + M))."""
         return self.aspace.range_search_sorted(lo, hi, limit)
 
+    def search_energy(self, queries, k: int = 10, w_lambda: float = 1.0,
+                      w_dirichlet: float = 0.5):
+        """Batched energy-only ranking (for indices built with
+        build_energy): (B, F) -> (scores, ids)."""
+        from .energymaps import search_energy_batch
+        return search_energy_batch(self.aspace, queries, self.gl, k,
+                                   w_lambda, w_dirichlet)
+
     def warmup(self, batch_sizes=(1, 16, 256), k: int = 10,
                alpha: float = 0.9) -> None:
         """Pre-compile the search programs for the given batch sizes so

@@ -69,3 +69,12 @@ def test_build_energy_facade():
     idx = ArrowIndex.build_energy(rows.tolist(), seed=5)
     assert idx.nitems == 90
     assert np.all(np.isfinite(idx.lambdas))
+
+
+def test_facade_search_energy():
+    from data import make_gaussian_hd
+    rows = make_gaussian_hd(70, spread=0.5, dims=96, seed=3)
+    idx = ArrowIndex.build_energy(rows.tolist(), seed=9)
+    scores, ids = idx.search_energy(rows[:2] * 1.01, k=5)
+    assert scores.shape == (2, 5)
+    assert np.all(scores <= 0.0)  # negated energy distances
