@@ -138,3 +138,34 @@ def test_sharded_fused_taulambda_matches_single_device(mesh):
         items32, lap32, TauMode.median(), mesh, use_pallas=True)
     np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
                                rtol=2e-5, atol=1e-7)
+
+
+def test_streamed_matches_in_memory():
+    """Out-of-core streaming (chunked) must equal the in-memory paths."""
+    from arrowspace_tpu.ops.streaming import (streamed_lambda_topk,
+                                              streamed_taumode_lambdas)
+    from arrowspace_tpu.ops.search import batched_lambda_aware_topk
+    rng = np.random.default_rng(5)
+    n, f = 1000, 16
+    items = rng.uniform(0.1, 1.0, (n, f)).astype(np.float32)
+    graph_rows = rng.uniform(0.1, 1.0, (f, 8))
+    from helpers import oracle_adjacency, oracle_laplacian
+    lap = oracle_laplacian(oracle_adjacency(graph_rows, eps=1.0, topk=4,
+                                            p=2.0, sigma=None))
+
+    lam_stream = streamed_taumode_lambdas(items, lap, TauMode.median(),
+                                          chunk=256)
+    lam_ref = np.asarray(compute_taumode_lambdas(
+        jnp.asarray(items), jnp.asarray(lap, dtype=jnp.float32),
+        TauMode.median()))
+    np.testing.assert_allclose(lam_stream, lam_ref, rtol=1e-5)
+
+    q = items[:4] * 1.01
+    qlam = lam_ref[:4]
+    s_stream, i_stream = streamed_lambda_topk(q, qlam, items, lam_ref,
+                                              0.9, 10, chunk=256)
+    s_ref, i_ref = batched_lambda_aware_topk(
+        jnp.asarray(q), jnp.asarray(qlam), jnp.asarray(items),
+        jnp.asarray(lam_ref), jnp.float32(0.9), k=10)
+    np.testing.assert_allclose(s_stream, np.asarray(s_ref), rtol=1e-5)
+    np.testing.assert_array_equal(i_stream, np.asarray(i_ref))
