@@ -79,6 +79,10 @@ def kmeans_lloyd(rows, k: int, max_iter: int, seed: int) -> np.ndarray:
         return np.zeros((0,), dtype=np.int64)
     n = x.shape[0]
     k = min(k, n)
+    if k == 0:
+        # k=0 returns empty assignments (reference:
+        # tests/test_clustering.rs:630-633)
+        return np.zeros((0,), dtype=np.int64)
     rng = np.random.default_rng(np.uint64(seed))
     init_idx = rng.choice(n, size=k, replace=False)
     centroids = x[init_idx].copy()

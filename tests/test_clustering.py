@@ -206,3 +206,35 @@ def test_native_density_adaptive_matches_numpy():
     assert out_native[1] == out_numpy[1]
     assert out_native[2] == out_numpy[2]
     assert s1.get_stats() == s2.get_stats()
+
+
+def test_kmeans_k_zero_and_k_equals_n():
+    rows = make_gaussian_blob(10, dims=3, seed=50)
+    # k=0 -> empty assignments (test_clustering.rs:630-633)
+    assert clustering.kmeans_lloyd(rows, 0, 10, 128).size == 0
+    # k=n -> every point its own cluster
+    labels = clustering.kmeans_lloyd(rows, 10, 10, 128)
+    assert len(set(labels)) == 10
+
+
+def test_degenerate_identical_rows():
+    rows = np.ones((30, 4))
+    k, radius, ident = clustering.compute_optimal_k(rows, 30, 4, 128)
+    assert k >= 2
+    assert radius == pytest.approx(1e-6)  # all-identical fallback
+    assert ident >= 1
+
+
+def test_threshold_zero_variance_clusters():
+    # two exactly-repeated points per cluster, far apart
+    rows = np.array([[0.0, 0.0]] * 10 + [[100.0, 100.0]] * 10)
+    r = clustering.compute_threshold_from_pilot(rows, 2, 128)
+    # within-cluster variance ~0 -> inter-centroid fallback * 0.15
+    assert r == pytest.approx(20000 * 0.15, rel=0.2) or r >= 1e-6
+
+
+def test_single_feature_dataset():
+    rng = np.random.default_rng(60)
+    rows = rng.normal(size=(50, 1))
+    k, radius, ident = clustering.compute_optimal_k(rows, 50, 1, 128)
+    assert k >= 2 and radius > 0 and ident == 1
