@@ -132,3 +132,52 @@ def test_display_cookie_format():
     assert "synthesis=Median" in s
     assert "sampling=Simple(0.6)" in s
     assert "persistence=None" in s
+
+
+def test_clustering_produces_valid_assignments():
+    """Every assignment is None or a valid centroid id; sizes sum to the
+    number of assigned rows (test_arrow.rs:96-118)."""
+    rows = make_moons_hd(90, noise=0.1, hd_noise=0.05, dims=10, seed=22)
+    aspace, _ = (ArrowSpaceBuilder()
+                 .with_lambda_graph(1.0, 5, 3, 2.0, None)
+                 .with_seed(7).build(rows.tolist()))
+    assigned = 0
+    for i in range(aspace.nitems):
+        c = aspace.cluster_of(i)
+        if c is not None:
+            assert 0 <= c < aspace.n_clusters
+            assigned += 1
+    assert int(aspace.cluster_sizes.sum()) == assigned
+    assert aspace.n_clusters == len(aspace.cluster_sizes)
+
+
+def test_lambda_computation_with_different_tau_modes():
+    """Different tau policies must produce different lambdas
+    (test_arrow.rs:163-199)."""
+    rows = make_moons_hd(60, noise=0.1, hd_noise=0.05, dims=10, seed=23)
+    lams = {}
+    for name, mode in [("median", TauMode.median()),
+                       ("mean", TauMode.mean()),
+                       ("fixed", TauMode.fixed(0.25)),
+                       ("p75", TauMode.percentile(0.75))]:
+        aspace, _ = (ArrowSpaceBuilder()
+                     .with_lambda_graph(1.0, 5, 3, 2.0, None)
+                     .with_synthesis(mode)
+                     .with_seed(9).build(rows.tolist()))
+        lams[name] = np.asarray(aspace.lambdas)
+        assert np.all(np.isfinite(lams[name]))
+    assert not np.allclose(lams["median"], lams["fixed"])
+    assert not np.allclose(lams["mean"], lams["p75"])
+
+
+def test_normalisation_flag_changes_graph():
+    """normalise=True must alter the built graph
+    (test_arrow.rs:80-94, 201-258)."""
+    rows = (make_moons_hd(50, noise=0.1, hd_noise=0.05, dims=8, seed=24)
+            * 7.0 + 2.0)
+    a1, g1 = (ArrowSpaceBuilder().with_lambda_graph(1.0, 5, 3, 2.0, None)
+              .with_seed(3).build(rows.tolist()))
+    a2, g2 = (ArrowSpaceBuilder().with_lambda_graph(1.0, 5, 3, 2.0, None)
+              .with_normalisation(True).with_seed(3).build(rows.tolist()))
+    assert not np.allclose(np.asarray(g1.matrix), np.asarray(g2.matrix))
+    assert g2.graph_params.normalise is True
