@@ -130,10 +130,62 @@ def adjacency_from_knn(rows: jax.Array, params: GraphParams) -> jax.Array:
     return adj
 
 
+def _build_dense_numpy(rows: np.ndarray, params: GraphParams, kq: int,
+                       sigma: float):
+    """Micro-path for tiny graphs: identical semantics to the jitted
+    stages, in plain NumPy — a 64-node build is ~1 ms of arithmetic but
+    ~30 ms of dispatch overhead through jit, and the reference's CPU
+    numbers for these sizes are single-digit ms."""
+    n = rows.shape[0]
+    norms = np.sqrt(np.sum(rows * rows, axis=1))
+    safe = np.where(norms > 0.0, norms, 1.0)
+    unit = rows / safe[:, None]
+    cos = unit @ unit.T
+    both = (norms[:, None] > 0.0) & (norms[None, :] > 0.0)
+    dist = 1.0 - np.maximum(np.where(both, cos, 0.0), 0.0)
+    np.fill_diagonal(dist, -1.0)   # self always included then filtered
+
+    # stable argsort: ties resolve to the lowest index, matching
+    # lax.top_k's ordering in the jitted path
+    nbr = np.argsort(dist, axis=1, kind="stable")[:, :kq]
+    d = np.take_along_axis(dist, nbr, axis=1)
+    row_ids = np.broadcast_to(np.arange(n)[:, None], (n, kq))
+    deg_mask = (nbr != row_ids) & (d <= params.eps)
+    degrees = deg_mask.sum(axis=1)
+
+    sparsify = float(degrees.mean()) > 10.0
+    w = 1.0 / (1.0 + (np.maximum(d, 0.0) / sigma) ** params.p)
+    valid = deg_mask & (w > 1e-12)
+
+    if sparsify:
+        deg_f = degrees.astype(rows.dtype)
+        score = np.where(valid, w * np.sqrt(deg_f[:, None] * deg_f[nbr]),
+                         -np.inf)
+        order = np.argsort(-score, axis=1, kind="stable")
+        rank = np.argsort(order, axis=1, kind="stable")
+        count = valid.sum(axis=1)
+        keep = rank < np.maximum(count // 2, 1)[:, None]
+        valid = np.where((count > 2)[:, None], valid & keep, valid)
+
+    adj = np.zeros((n, n), dtype=rows.dtype)
+    np.maximum.at(adj, (row_ids[valid], nbr[valid]), w[valid])
+    adj = np.maximum(adj, adj.T)
+    np.fill_diagonal(adj, 0.0)
+    lap = np.diag(adj.sum(axis=1)) - adj
+    return adj, lap, int((adj > 0).sum())
+
+
 def _build_dense(rows: jax.Array, params: GraphParams):
     n = rows.shape[0]
     kq = min(params.topk + 1, n)
     sigma = params.sigma if params.sigma is not None else 1.0
+
+    if n <= 256:
+        adj, lap, offdiag = _build_dense_numpy(
+            np.asarray(rows, dtype=np.float64), params, kq, sigma)
+        dt = rows.dtype if hasattr(rows, "dtype") else None
+        return (jnp.asarray(adj, dtype=dt), jnp.asarray(lap, dtype=dt),
+                offdiag)
 
     # The canonical graph is tiny (F' nodes).  Building it on an
     # accelerator wastes a fresh compile per shape (expensive through the

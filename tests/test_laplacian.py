@@ -179,3 +179,20 @@ def test_accessors_over_nnodes_quirk():
     np.testing.assert_array_equal(row[5:], 0.0)
     with pytest.raises(AssertionError):
         gl.get(25, 0)
+
+
+def test_numpy_micropath_equals_jit_path():
+    """The tiny-graph NumPy micro-path must agree exactly with the jitted
+    stages (force the jit path via a >256-row build on the same data by
+    padding, or compare both against the oracle)."""
+    from arrowspace_tpu.laplacian import (_build_dense_numpy,
+                                          _build_dense_stages)
+    import jax.numpy as jnp
+    rows = make_gaussian_blob(60, dims=12, spread=0.5, seed=33)
+    params = _params(eps=1.0, topk=4)
+    adj_np, lap_np, nnz_np = _build_dense_numpy(rows, params, 5, 1.0)
+    adj_j, lap_j, nnz_j = _build_dense_stages(jnp.asarray(rows), params,
+                                              5, 1.0)
+    np.testing.assert_allclose(adj_np, np.asarray(adj_j), atol=1e-12)
+    np.testing.assert_allclose(lap_np, np.asarray(lap_j), atol=1e-12)
+    assert nnz_np == int(nnz_j)
