@@ -85,7 +85,9 @@ def start_clustering(builder, rows) -> ClusteredOutput:
 
     # Optional JL projection (eigenmaps.rs:248-280): enabled && F > 64,
     # target = min(jl_dim, F/2); skipped when target >= F.
-    centroids = jnp.asarray(clustered_dm, dtype=aspace.data.dtype)
+    # Centroids stay host-resident (they are a host-clustering product and
+    # small); the graph build decides the engine itself.
+    centroids = clustered_dm
     reduced_dim = n_features
     if builder.use_dims_reduction and n_features > 64:
         jl_dim = compute_jl_dimension(n_clusters, builder.rp_eps)
@@ -97,7 +99,8 @@ def start_clustering(builder, rows) -> ClusteredOutput:
                                       **({"seed": builder.clustering_seed}
                                          if builder.clustering_seed is not None
                                          else {}))
-            centroids = project_matrix(centroids, proj)
+            centroids = np.asarray(project_matrix(
+                jnp.asarray(centroids, dtype=aspace.data.dtype), proj))
             aspace.projection_matrix = proj
             aspace.reduced_dim = target_dim
             reduced_dim = target_dim
@@ -111,8 +114,7 @@ def eigenmaps(aspace: ArrowSpace, builder, centroids,
               n_items: int) -> GraphLaplacian:
     """Stage 2: item-graph Laplacian from clustered centroids
     (reference: eigenmaps.rs:292-356)."""
-    centroids = jnp.asarray(centroids)
-    n_centroids, n_features = centroids.shape
+    n_centroids, n_features = np.shape(centroids)
     logger.info("EigenMaps::eigenmaps: %d centroids x %d features",
                 n_centroids, n_features)
 

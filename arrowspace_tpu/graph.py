@@ -133,7 +133,11 @@ class GraphLaplacian:
 
     def set(self, i: int, j: int, value: float) -> None:
         assert i < self.nnodes and j < self.nnodes
-        self.matrix = self.matrix.at[i, j].set(value)
+        if isinstance(self.matrix, np.ndarray):
+            self.matrix = self.matrix.copy()
+            self.matrix[i, j] = value
+        else:
+            self.matrix = self.matrix.at[i, j].set(value)
 
     def get_row(self, i: int) -> np.ndarray:
         """Row i as an nnodes-length vector, zero-padded beyond the stored
@@ -288,8 +292,9 @@ class GraphFactory:
         matrix with nnodes == n_items (original N) for bookkeeping."""
         from .laplacian import build_laplacian_matrix
 
-        clustered = jnp.asarray(clustered)
-        assert clustered.shape[0] <= n_items
+        if not isinstance(clustered, (np.ndarray, jax.Array)):
+            clustered = np.asarray(clustered, dtype=np.float64)
+        assert np.shape(clustered)[0] <= n_items
         params = GraphParams(eps=eps, k=k, topk=topk, p=p,
                              sigma=sigma_override, normalise=normalise,
                              sparsity_check=sparsity_check)

@@ -175,17 +175,21 @@ def _build_dense_numpy(rows: np.ndarray, params: GraphParams, kq: int,
     return adj, lap, int((adj > 0).sum())
 
 
-def _build_dense(rows: jax.Array, params: GraphParams):
-    n = rows.shape[0]
+def _build_dense(rows, params: GraphParams):
+    n = np.shape(rows)[0]
     kq = min(params.topk + 1, n)
     sigma = params.sigma if params.sigma is not None else 1.0
 
     if n <= 256:
+        # host micro-path: the Laplacian stays a host-backed array and
+        # only moves to a device when downstream compute first needs it
         adj, lap, offdiag = _build_dense_numpy(
             np.asarray(rows, dtype=np.float64), params, kq, sigma)
-        dt = rows.dtype if hasattr(rows, "dtype") else None
-        return (jnp.asarray(adj, dtype=dt), jnp.asarray(lap, dtype=dt),
-                offdiag)
+        from .config import default_dtype
+        dt = getattr(rows, "dtype", None) or default_dtype()
+        return adj.astype(dt), lap.astype(dt), offdiag
+
+    rows = jnp.asarray(rows)
 
     # The canonical graph is tiny (F' nodes).  Building it on an
     # accelerator wastes a fresh compile per shape (expensive through the
@@ -241,15 +245,29 @@ def build_laplacian_matrix(
     centroid matrix, so the graph is over the F′ feature signals and the
     matrix is F′×F′ while ``nnodes`` records the original N.
     """
-    transposed = jnp.asarray(transposed)
-    d, n_cols = transposed.shape
+    # Device placement is deferred: tiny graphs take the host micro-path
+    # and must not pay an accelerator round trip first.
+    d, n_cols = np.shape(transposed)
     assert n_cols >= 2 and d >= 2, (
         f"items should be at least of shape (2,2): ({d},{n_cols})")
 
     logger.info("Building Laplacian matrix for %d items with %d features",
                 n_cols, d)
 
-    items = standard_scale_columns(transposed) if params.normalise else transposed
+    if d > 256 and not isinstance(transposed, jax.Array):
+        transposed = jnp.asarray(transposed)
+
+    if params.normalise:
+        if isinstance(transposed, jax.Array):
+            items = standard_scale_columns(transposed)
+        else:
+            m = np.asarray(transposed, dtype=np.float64)
+            mean = m.mean(axis=0, keepdims=True)
+            std = m.std(axis=0, keepdims=True)
+            std = np.where(std > 0.0, std, 1.0)
+            items = (m - mean) / std
+    else:
+        items = transposed
 
     _, lap, offdiag_nnz = _build_dense(items, params)
 
