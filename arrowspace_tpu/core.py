@@ -181,9 +181,24 @@ class ArrowSpace:
         if self.projection_matrix is not None:
             items = np.stack([self.project_query(row) for row in items])
         mat = gl.matrix
-        dev = jnp.asarray(items, dtype=mat.dtype)
+        dt = getattr(mat, "dtype", None) or self.data.dtype
+
+        # small batches route to the host CPU backend like every other
+        # sub-compile-threshold stage (one accelerator RTT >> the compute)
+        from .taumode import _small_workload_cpu
+        cpu = _small_workload_cpu(items, np.asarray(mat, copy=False)
+                                  if isinstance(mat, np.ndarray) else mat)
+        if cpu is not None:
+            with jax.default_device(cpu):
+                dev = jnp.asarray(items, dtype=dt)
+                lap = jnp.asarray(np.asarray(mat), dtype=dt)
+                taus = select_tau_batch(dev, self.taumode)
+                return jnp.asarray(np.asarray(
+                    synthetic_lambda_batch(dev, lap, taus)))
+
+        dev = jnp.asarray(items, dtype=dt)
         taus = select_tau_batch(dev, self.taumode)
-        return synthetic_lambda_batch(dev, mat, taus)
+        return synthetic_lambda_batch(dev, jnp.asarray(mat, dtype=dt), taus)
 
     def prepare_query_item(self, item, gl) -> float:
         """Compute the query's synthetic λ (reference: core.rs:533-549):

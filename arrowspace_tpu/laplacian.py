@@ -185,8 +185,12 @@ def _build_dense(rows, params: GraphParams):
         # only moves to a device when downstream compute first needs it
         adj, lap, offdiag = _build_dense_numpy(
             np.asarray(rows, dtype=np.float64), params, kq, sigma)
+        # output dtype follows the session convention (f64 only under
+        # x64) so host-built matrices mix cleanly with device arrays
         from .config import default_dtype
-        dt = getattr(rows, "dtype", None) or default_dtype()
+        dt = np.dtype(default_dtype())
+        if hasattr(rows, "dtype") and np.dtype(rows.dtype) == np.float32:
+            dt = np.dtype(np.float32)
         return adj.astype(dt), lap.astype(dt), offdiag
 
     rows = jnp.asarray(rows)
