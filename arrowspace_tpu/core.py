@@ -179,7 +179,7 @@ class ArrowSpace:
             "Query item contains invalid values (NaN or infinity). "
             "All values must be finite.")
         if self.projection_matrix is not None:
-            items = np.stack([self.project_query(row) for row in items])
+            items = self.projection_matrix.project_batch_host(items)
         mat = gl.matrix
         dt = getattr(mat, "dtype", None) or self.data.dtype
 

@@ -56,14 +56,38 @@ class ImplicitProjection:
             key, (self.original_dim, self.reduced_dim), dtype=jnp.float32)
         return (gauss * scale).astype(dtype)
 
+    def _host_matrix(self) -> np.ndarray:
+        """Host copy of the regenerated matrix, cached: the matrix is a
+        pure function of the 8-byte seed (the reference regenerates it on
+        every projection; caching is observationally identical and avoids
+        an accelerator round trip per query)."""
+        cached = getattr(self, "_host_matrix_cache", None)
+        if cached is None:
+            try:
+                cpu = jax.local_devices(backend="cpu")[0]
+            except RuntimeError:
+                cpu = None
+            if cpu is not None and jax.default_backend() != "cpu":
+                with jax.default_device(cpu):
+                    cached = np.asarray(self.matrix(dtype=jnp.float32),
+                                        dtype=np.float64)
+            else:
+                cached = np.asarray(self.matrix(dtype=jnp.float32),
+                                    dtype=np.float64)
+            self._host_matrix_cache = cached
+        return cached
+
     def project(self, query) -> np.ndarray:
-        """Project a single F-vector to r dims (reference: reduction.rs:185-202)."""
-        q = jnp.asarray(query)
-        p = self.matrix(dtype=q.dtype if jnp.issubdtype(q.dtype, jnp.floating)
-                        else default_dtype())
-        out = jnp.dot(q[: self.original_dim].astype(p.dtype), p,
-                      preferred_element_type=p.dtype)
-        return np.asarray(out)
+        """Project a single F-vector to r dims (reference: reduction.rs:185-202).
+        Runs on the host — a single-vector matmul is dispatch-bound on an
+        accelerator."""
+        q = np.asarray(query, dtype=np.float64)
+        return q[: self.original_dim] @ self._host_matrix()
+
+    def project_batch_host(self, rows: np.ndarray) -> np.ndarray:
+        """Batched host projection: one matmul for all rows."""
+        rows = np.asarray(rows, dtype=np.float64)
+        return rows[:, : self.original_dim] @ self._host_matrix()
 
     def project_device(self, rows: jax.Array) -> jax.Array:
         """Batched device-side projection: (N, F) @ (F, r) on the MXU."""
