@@ -243,7 +243,8 @@ class ArrowSpaceBuilder:
                 name, path = self.persistence
                 pq.save_lambda_with_builder(
                     np.asarray(aspace.lambdas, dtype=np.float64), path,
-                    f"{name}-lambdas", self)
+                    f"{name}-lambdas", self,
+                    projection=aspace.projection_matrix)
 
         logger.debug("ArrowSpaceBuilder configuration: %s", self)
         return aspace, gl

@@ -137,13 +137,19 @@ def ensemble_search_prebuilt(
 
     query = np.asarray(query, dtype=np.float64)
     dt = aspace.data.dtype
-    q = aspace.project_query(query) if aspace.projection_matrix else query
-    tau = select_tau(q, aspace.taumode)
-    qdev = jnp.asarray(q, dtype=dt)
+    # The projected vector feeds tau/lambda preparation only (matching
+    # ArrowIndex.search); cosine scoring runs raw-F query against the raw
+    # (N, F) item matrix — a dims-reduced space would otherwise hit a
+    # dot-shape mismatch.
+    q_prep = aspace.project_query(query) if aspace.projection_matrix \
+        else query
+    tau = select_tau(q_prep, aspace.taumode)
+    q_prep_dev = jnp.asarray(q_prep, dtype=dt)
+    qdev = jnp.asarray(query, dtype=dt)
 
     total = jnp.zeros((aspace.nitems,), dtype=dt)
     for gl, lambdas in ensemble:
-        qlam = synthetic_lambda_single(qdev, gl.matrix, tau)
+        qlam = synthetic_lambda_single(q_prep_dev, gl.matrix, tau)
         total = total + lambda_aware_scores(
             qdev[None, :], jnp.asarray([qlam], dtype=dt),
             aspace.data, lambdas, jnp.asarray(alpha, dtype=dt))[0]

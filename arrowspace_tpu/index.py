@@ -86,6 +86,25 @@ class ArrowIndex:
         return cls(aspace, gl, b)
 
     # ------------------------------------------------------------------
+    def _synthesize_builder(self) -> ArrowSpaceBuilder:
+        """Builder config reconstructed from live index state, used when
+        no builder was attached (always the case for loaded indexes).
+        Persisting defaults instead would silently change query-lambda
+        preparation on load->save->load round trips."""
+        b = ArrowSpaceBuilder()
+        b.synthesis = self.aspace.taumode
+        gp = getattr(self.gl, "graph_params", None)
+        if gp is not None:
+            b.with_lambda_graph(gp.eps, gp.k, gp.topk, gp.p, gp.sigma)
+            b.normalise = gp.normalise
+            b.sparsity_check = gp.sparsity_check
+        b.use_dims_reduction = self.aspace.projection_matrix is not None
+        b.prebuilt_spectral = (self.aspace.signals is not None
+                               and self.aspace.signals.shape[0] > 0)
+        b.cluster_max_clusters = self.aspace.n_clusters or None
+        b.cluster_radius = self.aspace.cluster_radius or 1.0
+        return b
+
     def save(self, path, name: str) -> None:
         """Persist via the builder's Parquet artifacts so the reference's
         tooling can read them back too."""
@@ -93,7 +112,7 @@ class ArrowIndex:
         import pathlib
         base = pathlib.Path(path)
         base.mkdir(parents=True, exist_ok=True)
-        b = self.builder or ArrowSpaceBuilder()
+        b = self.builder or self._synthesize_builder()
         pq.save_dense_matrix_with_builder(
             np.asarray(self.aspace.data, dtype=np.float64), base,
             f"{name}-raw_input", b)
@@ -105,7 +124,7 @@ class ArrowIndex:
             structural_nnz=self.gl.structural_nnz)
         pq.save_lambda_with_builder(
             np.asarray(self.aspace.lambdas, dtype=np.float64), base,
-            f"{name}-lambdas", b)
+            f"{name}-lambdas", b, projection=self.aspace.projection_matrix)
         if self.aspace.signals is not None and \
                 self.aspace.signals.shape[0] > 0:
             pq.save_sparse_matrix_with_builder(

@@ -59,6 +59,12 @@ class ArrowSpaceMetadata:
         self.n_cols = 0
         self.builder_config: Dict[str, object] = {}
         self.files: Dict[str, FileInfo] = {}
+        # Projection state (our extension beyond the reference's schema):
+        # {"original_dim", "reduced_dim", "seed"} when the index was built
+        # with an active JL projection, else None.  Without it a
+        # dims-reduced index cannot be faithfully reloaded (query λ would
+        # silently read raw first-r coordinates instead of projecting).
+        self.projection: Optional[Dict[str, int]] = None
 
     @staticmethod
     def from_builder(name_id: str, builder) -> "ArrowSpaceMetadata":
@@ -77,6 +83,17 @@ class ArrowSpaceMetadata:
 
     def add_file(self, key: str, info: FileInfo) -> "ArrowSpaceMetadata":
         self.files[key] = info
+        return self
+
+    def with_projection(self, projection) -> "ArrowSpaceMetadata":
+        """Record the index's ImplicitProjection (original_dim, reduced_dim,
+        seed) so prepare_query_item projects identically after a reload."""
+        if projection is not None:
+            self.projection = {
+                "original_dim": int(projection.original_dim),
+                "reduced_dim": int(projection.reduced_dim),
+                "seed": int(projection.seed),
+            }
         return self
 
     def get_config(self, key: str):
@@ -100,7 +117,7 @@ class ArrowSpaceMetadata:
 
     # --- JSON round-trip --------------------------------------------------
     def to_json(self) -> dict:
-        return {
+        out = {
             "name_id": self.name_id,
             "timestamp": self.timestamp,
             "n_rows": self.n_rows,
@@ -109,6 +126,9 @@ class ArrowSpaceMetadata:
                                for k, v in self.builder_config.items()},
             "files": dict(self.files),
         }
+        if self.projection is not None:
+            out["projection"] = self.projection
+        return out
 
     @staticmethod
     def from_json(obj: dict) -> "ArrowSpaceMetadata":
@@ -120,6 +140,7 @@ class ArrowSpaceMetadata:
         md.builder_config = {k: ConfigValue.from_json(v)
                              for k, v in obj["builder_config"].items()}
         md.files = {k: FileInfo(**v) for k, v in obj["files"].items()}
+        md.projection = obj.get("projection")
         return md
 
 
@@ -286,7 +307,8 @@ def load_sparse_matrix(path) -> np.ndarray:
 # Lambda vector
 # ---------------------------------------------------------------------------
 
-def save_lambda(lambdas, path, name_id: str, builder_config=None) -> None:
+def save_lambda(lambdas, path, name_id: str, builder_config=None,
+                projection=None) -> None:
     lam = np.asarray(lambdas, dtype=np.float64)
     n_values = lam.size
     if n_values == 0:
@@ -316,6 +338,7 @@ def save_lambda(lambdas, path, name_id: str, builder_config=None) -> None:
         md = (ArrowSpaceMetadata(name_id)
               .with_builder_config(builder_config)
               .with_dimensions(n_values, 1)
+              .with_projection(projection)
               .add_file("lambda_vector", FileInfo(
                   filename=f"{name_id}.parquet", file_type="lambda_vector",
                   rows=n_values, cols=1, size_bytes=size)))
@@ -323,9 +346,9 @@ def save_lambda(lambdas, path, name_id: str, builder_config=None) -> None:
 
 
 def save_lambda_with_builder(lambdas, path, name_id: str,
-                             builder=None) -> None:
+                             builder=None, projection=None) -> None:
     cfg = builder.builder_config_typed() if builder is not None else None
-    save_lambda(lambdas, path, name_id, cfg)
+    save_lambda(lambdas, path, name_id, cfg, projection=projection)
 
 
 def load_lambda(path) -> np.ndarray:
@@ -359,12 +382,17 @@ def load_arrowspace_index(path, name: str):
     from ..config import default_dtype
     from ..core import ArrowSpace
     from ..graph import GraphLaplacian, GraphParams
+    from ..reduction import ImplicitProjection
 
     base = pathlib.Path(path)
     raw = load_dense_matrix(base / f"{name}-raw_input.parquet")
     lap = load_sparse_matrix(base / f"{name}-gl-matrix.parquet")
     lambdas = load_lambda(base / f"{name}-lambdas.parquet")
     md = load_metadata(base, f"{name}-raw_input")
+    try:
+        md_lam = load_metadata(base, f"{name}-lambdas")
+    except StorageError:
+        md_lam = None
 
     cfg = md.builder_config
     taumode = cfg["synthesis"].as_tau_mode()
@@ -372,6 +400,39 @@ def load_arrowspace_index(path, name: str):
 
     aspace = ArrowSpace.new(raw, taumode, dtype=dt)
     aspace.lambdas = jnp.asarray(lambdas, dtype=dt)
+
+    # Reconstruct the JL projection so prepare_query_item projects queries
+    # exactly as the live index did.  Preferred source: the explicit
+    # "projection" metadata entry (written at save time).  Fallback for
+    # artifacts without it: a dims-reduced build is detectable because the
+    # graph is reduced_dim x reduced_dim < F, and the projection seed is
+    # the clustering seed when the build was seeded (eigenmaps stage 1).
+    proj_md = None
+    for candidate in (md_lam, md):
+        if candidate is not None and candidate.projection is not None:
+            proj_md = candidate.projection
+            break
+    graph_nodes = lap.shape[0]
+    use_dims = cfg["use_dims_reduction"].as_bool() \
+        if "use_dims_reduction" in cfg else False
+    if proj_md is not None:
+        aspace.projection_matrix = ImplicitProjection(
+            int(proj_md["original_dim"]), int(proj_md["reduced_dim"]),
+            seed=int(proj_md["seed"]))
+        aspace.reduced_dim = int(proj_md["reduced_dim"])
+    elif use_dims and graph_nodes < raw.shape[1]:
+        seed_cfg = cfg.get("clustering_seed")
+        seed = seed_cfg.value if seed_cfg is not None else None
+        if seed is None:
+            raise StorageError.invalid(
+                "Index was built with dims_reduction but the projection "
+                "seed was not persisted and the build was unseeded; the "
+                "projection cannot be reconstructed and reloaded queries "
+                "would silently score differently. Re-save the index with "
+                "this version (projection metadata is now persisted).")
+        aspace.projection_matrix = ImplicitProjection(
+            raw.shape[1], graph_nodes, seed=int(seed))
+        aspace.reduced_dim = graph_nodes
 
     params = GraphParams(
         eps=cfg["lambda_eps"].as_f64(),

@@ -112,3 +112,32 @@ def test_normalized_clique_expansion():
     single = clique_expansion_adjacency([[0, 1, 2]], 5, normalized=True)
     np.testing.assert_allclose(single.sum(axis=1)[:3], 1.0)
     assert plain[2, 3] == pytest.approx(1.0)
+
+
+def test_ensemble_search_with_projection():
+    """Dims-reduced spaces: the ensemble scores the raw F-dim query against
+    the raw (N, F) items, using the projected vector only for tau/lambda
+    (regression: the projected query was passed to the cosine scorer and
+    crashed with a dot-shape mismatch)."""
+    from data import make_gaussian_hd
+    from arrowspace_tpu.hypergraph import (build_ensemble,
+                                           ensemble_search_prebuilt)
+    rows = make_gaussian_hd(90, spread=0.5, dims=96, seed=17)
+    b = (ArrowSpaceBuilder().with_lambda_graph(1.0, 5, 3, 2.0, None)
+         .with_dims_reduction(True, 0.5).with_seed(19))
+    b.define_result_k()
+    clustered = em.start_clustering(b, rows.tolist())
+    aspace = clustered.aspace
+    assert aspace.projection_matrix is not None
+    gl = em.eigenmaps(aspace, b, clustered.centroids, clustered.n_items)
+    em.compute_taumode(aspace, gl)
+
+    grid = ensemble_params(gl.graph_params, k_adjust=(0, 1),
+                           eps_expand=(1.0,))
+    ens = build_ensemble(aspace, clustered.centroids, grid)
+    q = rows[4] * 1.02
+    res = ensemble_search_prebuilt(aspace, ens, q, 8, 0.9)
+    assert len(res) == 8
+    assert res[0][0] == 4  # raw-space cosine still dominates
+    scores = [s for _, s in res]
+    assert scores == sorted(scores, reverse=True)

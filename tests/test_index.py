@@ -78,3 +78,50 @@ def test_facade_search_energy():
     scores, ids = idx.search_energy(rows[:2] * 1.01, k=5)
     assert scores.shape == (2, 5)
     assert np.all(scores <= 0.0)  # negated energy distances
+
+
+def test_loaded_index_resave_preserves_config(tmp_path):
+    """load -> save -> load keeps the live config: a loaded index has no
+    builder attached, so save() must synthesize the config from live state
+    instead of falling back to defaults (which would silently change
+    query-lambda preparation on the next load)."""
+    from arrowspace_tpu.taumode import TauMode
+    rows = make_moons_hd(80, noise=0.08, hd_noise=0.04, dims=12, seed=4)
+    idx = ArrowIndex.build(rows.tolist(), eps=0.7, k=5, topk=3, seed=42,
+                           taumode=TauMode.mean())
+    idx.save(tmp_path, "a")
+    idx2 = ArrowIndex.load(tmp_path, "a")
+    assert idx2.builder is None
+    idx2.save(tmp_path, "b")
+    idx3 = ArrowIndex.load(tmp_path, "b")
+
+    assert idx3.aspace.taumode == idx.aspace.taumode
+    assert idx3.gl.graph_params.eps == idx.gl.graph_params.eps
+    assert idx3.gl.graph_params.k == idx.gl.graph_params.k
+
+    q = rows[5] * 1.02
+    lam1 = idx.aspace.prepare_query_item(q, idx.gl)
+    lam3 = idx3.aspace.prepare_query_item(q, idx3.gl)
+    assert lam1 == pytest.approx(lam3, rel=1e-9)
+    s1, i1 = idx.search(q, k=5, alpha=0.9)
+    s3, i3 = idx3.search(q, k=5, alpha=0.9)
+    np.testing.assert_array_equal(i1, i3)
+
+
+def test_projected_facade_roundtrip(tmp_path):
+    """ArrowIndex.save/load round-trips a dims-reduced index including the
+    projection, so search results match the live index exactly."""
+    from data import make_gaussian_hd
+    rows = make_gaussian_hd(90, spread=0.5, dims=96, seed=8)
+    idx = ArrowIndex.build(rows.tolist(), eps=1.0, k=5, seed=13,
+                           dims_reduction=True, rp_eps=0.5)
+    assert idx.aspace.projection_matrix is not None
+    idx.save(tmp_path, "proj")
+    idx2 = ArrowIndex.load(tmp_path, "proj")
+    assert idx2.aspace.projection_matrix is not None
+
+    q = rows[2] * 1.01
+    s1, i1 = idx.search(q, k=5, alpha=0.9)
+    s2, i2 = idx2.search(q, k=5, alpha=0.9)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, rtol=1e-9)

@@ -148,3 +148,94 @@ def test_load_arrowspace_index_roundtrip(tmp_path):
     r1 = aspace.search_lambda_aware(ArrowItem(q, lam1), 5, 0.8)
     r2 = aspace2.search_lambda_aware(ArrowItem(q, lam2), 5, 0.8)
     assert [i for i, _ in r1] == [i for i, _ in r2]
+
+
+def test_projected_index_reload_query_parity(tmp_path):
+    """A dims-reduced index reloads with its JL projection reconstructed:
+    prepare_query_item projects the query identically before and after the
+    save/load round trip (regression: projection state was not persisted,
+    so reloaded indexes silently computed lambda from raw first-r coords)."""
+    from arrowspace_tpu.storage.parquet import load_arrowspace_index
+    from data import make_gaussian_hd
+    rows = make_gaussian_hd(90, spread=0.5, dims=96, seed=31)
+    aspace, gl = (ArrowSpaceBuilder()
+                  .with_lambda_graph(1.0, 5, 3, 2.0, None)
+                  .with_dims_reduction(True, 0.5)
+                  .with_seed(33)
+                  .with_persistence(tmp_path, "proj")
+                  .build(rows.tolist()))
+    assert aspace.projection_matrix is not None
+
+    aspace2, gl2 = load_arrowspace_index(tmp_path, "proj")
+    assert aspace2.projection_matrix is not None
+    assert aspace2.projection_matrix.seed == aspace.projection_matrix.seed
+    assert aspace2.projection_matrix.reduced_dim == \
+        aspace.projection_matrix.reduced_dim
+    assert aspace2.reduced_dim == aspace.reduced_dim
+
+    q = rows[7] * 1.02
+    lam1 = aspace.prepare_query_item(q, gl)
+    lam2 = aspace2.prepare_query_item(q, gl2)
+    assert lam1 == pytest.approx(lam2, rel=1e-9)
+
+
+def test_projected_index_reload_unseeded(tmp_path):
+    """Unseeded dims-reduced builds persist the random projection seed in
+    the metadata, so they reload faithfully too."""
+    from arrowspace_tpu.storage.parquet import load_arrowspace_index
+    from data import make_gaussian_hd
+    rows = make_gaussian_hd(90, spread=0.5, dims=96, seed=35)
+    aspace, gl = (ArrowSpaceBuilder()
+                  .with_lambda_graph(1.0, 5, 3, 2.0, None)
+                  .with_dims_reduction(True, 0.5)
+                  .with_inline_sampling(None)
+                  .with_persistence(tmp_path, "proju")
+                  .build(rows.tolist()))
+    assert aspace.projection_matrix is not None
+
+    aspace2, gl2 = load_arrowspace_index(tmp_path, "proju")
+    assert aspace2.projection_matrix is not None
+    assert aspace2.projection_matrix.seed == aspace.projection_matrix.seed
+    q = rows[11] * 1.01
+    assert aspace.prepare_query_item(q, gl) == pytest.approx(
+        aspace2.prepare_query_item(q, gl2), rel=1e-9)
+
+
+def test_legacy_projected_artifact_without_metadata(tmp_path):
+    """Artifacts written before projection persistence: seeded builds are
+    reconstructed from the clustering seed + graph shape; unseeded builds
+    raise a clear StorageError instead of silently mis-scoring."""
+    from arrowspace_tpu.storage.parquet import load_arrowspace_index
+    from data import make_gaussian_hd
+    rows = make_gaussian_hd(90, spread=0.5, dims=96, seed=37)
+    aspace, gl = (ArrowSpaceBuilder()
+                  .with_lambda_graph(1.0, 5, 3, 2.0, None)
+                  .with_dims_reduction(True, 0.5)
+                  .with_seed(39)
+                  .with_persistence(tmp_path, "legacy")
+                  .build(rows.tolist()))
+
+    # simulate a legacy artifact: strip the projection entry
+    md_path = tmp_path / "legacy-lambdas_metadata.json"
+    md = json.loads(md_path.read_text())
+    assert "projection" in md
+    del md["projection"]
+    md_path.write_text(json.dumps(md))
+
+    aspace2, gl2 = load_arrowspace_index(tmp_path, "legacy")
+    assert aspace2.projection_matrix is not None  # derived from seed+shape
+    assert aspace2.projection_matrix.seed == aspace.projection_matrix.seed
+    q = rows[3] * 1.02
+    assert aspace.prepare_query_item(q, gl) == pytest.approx(
+        aspace2.prepare_query_item(q, gl2), rel=1e-9)
+
+    # unseeded legacy artifact: unrecoverable -> typed error
+    md = json.loads(md_path.read_text())
+    md["builder_config"]["clustering_seed"] = {"OptionU64": None}
+    md_path.write_text(json.dumps(md))
+    raw_md_path = tmp_path / "legacy-raw_input_metadata.json"
+    raw_md = json.loads(raw_md_path.read_text())
+    raw_md["builder_config"]["clustering_seed"] = {"OptionU64": None}
+    raw_md_path.write_text(json.dumps(raw_md))
+    with pytest.raises(StorageError, match="projection"):
+        load_arrowspace_index(tmp_path, "legacy")
