@@ -133,7 +133,39 @@ def calinski_harabasz_score(rows, assignments, k: int) -> float:
     return (bgss / (k - 1)) / (wgss / (n - k))
 
 
-def estimate_intrinsic_dimension(rows, n: int, f: int, base_seed: int) -> int:
+def _twonn_two_smallest_device(device_data, indices) -> np.ndarray:
+    """Two smallest squared distances per sample row, computed on device:
+    one (chunk x N) distance tile per matmul on the MXU + top_k, reusing
+    the corpus the build already uploaded.  Returns (len(indices), 2) f64."""
+    import jax
+    import jax.numpy as jnp
+    import functools
+
+    n = device_data.shape[0]
+
+    @functools.partial(jax.jit, static_argnames=())
+    def tile(corpus, sel):
+        rows_s = jnp.take(corpus, sel, axis=0)
+        d2 = (jnp.sum(rows_s * rows_s, axis=1)[:, None]
+              - 2.0 * jnp.dot(rows_s, corpus.T,
+                              preferred_element_type=corpus.dtype)
+              + jnp.sum(corpus * corpus, axis=1)[None, :])
+        col = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+        d2 = jnp.where(col == sel[:, None].astype(jnp.int32), jnp.inf,
+                       jnp.maximum(d2, 0.0))
+        neg_top, _ = jax.lax.top_k(-d2, 2)
+        return -neg_top  # negation flips descending top-k to ascending
+
+    out = []
+    chunk = 256
+    for s0 in range(0, len(indices), chunk):
+        sel = jnp.asarray(indices[s0:s0 + chunk].astype(np.int32))
+        out.append(np.asarray(tile(device_data, sel), dtype=np.float64))
+    return np.concatenate(out, axis=0)
+
+
+def estimate_intrinsic_dimension(rows, n: int, f: int, base_seed: int,
+                                 device_data=None) -> int:
     """Two-NN ratio estimator (reference: clustering.rs:101-164)."""
     if n < 10:
         return min(f, 2)
@@ -142,22 +174,30 @@ def estimate_intrinsic_dimension(rows, n: int, f: int, base_seed: int) -> int:
     rng = np.random.default_rng(np.uint64((base_seed + 1) % 2 ** 64))
     indices = rng.permutation(n)[:sample_size]
 
-    # blocked: one (chunk, N) distance tile per matmul instead of a matvec
-    # per sample row.  f32 is ample for a nearest-neighbour RATIO estimate
-    # and halves the BLAS + partition cost at N in the millions.
-    x32 = x.astype(np.float32, copy=False)
-    sq = np.sum(x32 * x32, axis=1)
-    ratios = []
-    chunk = 256
-    for s0 in range(0, len(indices), chunk):
-        sel = indices[s0:s0 + chunk]
-        d2 = sq[sel][:, None] - 2.0 * (x32[sel] @ x32.T) + sq[None, :]
-        d2[np.arange(len(sel)), sel] = np.inf
-        d2 = np.maximum(d2, 0.0)
-        part = np.partition(d2, 1, axis=1)[:, :2]
-        two = np.sqrt(np.sort(part, axis=1).astype(np.float64))
+    if device_data is not None and n * f >= (1 << 23):
+        # Large corpora: distance tiles on the accelerator (the corpus is
+        # already resident for the downstream build stages).
+        part = _twonn_two_smallest_device(device_data, indices)
+        two = np.sqrt(np.maximum(part, 0.0))
         ok = two[:, 0] > 1e-12
-        ratios.extend((two[ok, 1] / two[ok, 0]).tolist())
+        ratios = (two[ok, 1] / two[ok, 0]).tolist()
+    else:
+        # blocked: one (chunk, N) distance tile per matmul instead of a
+        # matvec per sample row.  f32 is ample for a nearest-neighbour
+        # RATIO estimate and halves the BLAS + partition cost.
+        x32 = x.astype(np.float32, copy=False)
+        sq = np.sum(x32 * x32, axis=1)
+        ratios = []
+        chunk = 256
+        for s0 in range(0, len(indices), chunk):
+            sel = indices[s0:s0 + chunk]
+            d2 = sq[sel][:, None] - 2.0 * (x32[sel] @ x32.T) + sq[None, :]
+            d2[np.arange(len(sel)), sel] = np.inf
+            d2 = np.maximum(d2, 0.0)
+            part = np.partition(d2, 1, axis=1)[:, :2]
+            two = np.sqrt(np.sort(part, axis=1).astype(np.float64))
+            ok = two[:, 0] > 1e-12
+            ratios.extend((two[ok, 1] / two[ok, 0]).tolist())
     if not ratios:
         return min(f, 3)
     mean_ratio = float(np.mean(ratios))
@@ -168,9 +208,10 @@ def estimate_intrinsic_dimension(rows, n: int, f: int, base_seed: int) -> int:
     return id_clamped
 
 
-def _step1_bounds(rows, n: int, f: int, base_seed: int):
+def _step1_bounds(rows, n: int, f: int, base_seed: int, device_data=None):
     """(k_min, k_max, id) (reference: clustering.rs:75-98)."""
-    id_est = estimate_intrinsic_dimension(rows, n, f, base_seed)
+    id_est = estimate_intrinsic_dimension(rows, n, f, base_seed,
+                                          device_data=device_data)
     k_min = max(math.ceil(math.sqrt(n / 10.0)), 2)
     k_max_candidates = [f, n // 10, 5 * id_est, int(n ** 0.5)]
     k_max = max(min(k_max_candidates), k_min + 1)
@@ -272,13 +313,18 @@ def compute_threshold_from_pilot(rows, k: int, base_seed: int) -> float:
 
 
 def compute_optimal_k(rows, n: int, f: int,
-                      seed_override: Optional[int] = None
-                      ) -> Tuple[int, float, int]:
-    """(K, radius, intrinsic_dim) (reference: clustering.rs:36-72)."""
+                      seed_override: Optional[int] = None,
+                      device_data=None) -> Tuple[int, float, int]:
+    """(K, radius, intrinsic_dim) (reference: clustering.rs:36-72).
+
+    device_data: optional device-resident copy of `rows` (the build keeps
+    one anyway); large corpora then run the Two-NN distance tiles on it.
+    """
     logger.info("Computing optimal K for clustering: N=%d, F=%d", n, f)
     base_seed = seed_override if seed_override is not None else CLUSTERING_SEED
 
-    k_min, k_max, id_est = _step1_bounds(rows, n, f, base_seed)
+    k_min, k_max, id_est = _step1_bounds(rows, n, f, base_seed,
+                                         device_data=device_data)
 
     sample_size = min(n, 1000)
     if n > sample_size:
@@ -304,6 +350,7 @@ def run_incremental_clustering_with_sampling(
     max_clusters: int,
     radius: float,
     sampler,
+    device_data=None,
 ) -> Tuple[np.ndarray, List[Optional[int]], List[int]]:
     """One-pass incremental clustering (reference: clustering.rs:547-910).
 
@@ -314,6 +361,9 @@ def run_incremental_clustering_with_sampling(
     relaxation of this order; we keep the ordered scan for both (the native
     C++ path accelerates it).
 
+    device_data: optional device-resident copy of `rows`; the unseeded
+    chunked mode then runs its snapshot-distance tiles on the accelerator.
+
     Returns (centroids X×F, assignments with None for dropped rows, sizes).
     """
     if not builder.deterministic_clustering and len(rows) >= 4096:
@@ -322,7 +372,8 @@ def run_incremental_clustering_with_sampling(
         # The chunked formulation below IS that relaxation, vectorised:
         # every row in a chunk decides against the chunk-start snapshot.
         return _incremental_clustering_chunked(
-            builder, rows, nfeatures, max_clusters, radius, sampler)
+            builder, rows, nfeatures, max_clusters, radius, sampler,
+            device_data=device_data)
     try:
         from .native import native_incremental_clustering
     except Exception:  # pragma: no cover
@@ -336,28 +387,98 @@ def run_incremental_clustering_with_sampling(
         builder, rows, nfeatures, max_clusters, radius, sampler)
 
 
+class _DeviceChunkDistances:
+    """Snapshot nearest-centroid distances on the accelerator.
+
+    The corpus stays device-resident (one upload, shared with the λτ
+    stages); per chunk only the (max_clusters x F) centroid snapshot goes
+    up and (chunk,) best-index/best-d² come back — a few KB over the
+    tunnel instead of a (chunk x F) tile.  The centroid buffer is padded
+    to a fixed max_clusters so one compiled program serves the whole scan.
+    """
+
+    def __init__(self, device_data, max_clusters: int, chunk: int):
+        import functools
+        import jax
+        import jax.numpy as jnp
+
+        self._jnp = jnp
+        n, f = device_data.shape
+        self.n = n
+        self.chunk = chunk
+        self.max_clusters = max_clusters
+        pad = (-n) % chunk
+        self.corpus = jnp.pad(device_data, ((0, pad), (0, 0))) \
+            if pad else device_data
+
+        @functools.partial(jax.jit, static_argnames=())
+        def _dist(corpus, start, cent_pad, n_c):
+            rows_c = jax.lax.dynamic_slice(corpus, (start, 0), (chunk, f))
+            d2 = (jnp.sum(rows_c * rows_c, axis=1)[:, None]
+                  - 2.0 * jnp.dot(rows_c, cent_pad.T,
+                                  preferred_element_type=corpus.dtype)
+                  + jnp.sum(cent_pad * cent_pad, axis=1)[None, :])
+            d2 = jnp.maximum(d2, 0.0)
+            valid = jnp.arange(cent_pad.shape[0]) < n_c
+            d2 = jnp.where(valid[None, :], d2, jnp.inf)
+            best = jnp.argmin(d2, axis=1)
+            bd = jnp.take_along_axis(d2, best[:, None], axis=1)[:, 0]
+            return best.astype(jnp.int32), bd
+
+        self._dist = _dist
+
+    def __call__(self, c0: int, cent: np.ndarray, n_c: int):
+        jnp = self._jnp
+        cent_pad = np.zeros((self.max_clusters, self.corpus.shape[1]),
+                            dtype=np.float64)
+        cent_pad[:n_c] = cent[:n_c]
+        best, bd = self._dist(
+            self.corpus, c0, jnp.asarray(cent_pad, dtype=self.corpus.dtype),
+            n_c)
+        m = min(self.chunk, self.n - c0)
+        return (np.asarray(best[:m]).astype(np.int64),
+                np.asarray(bd[:m], dtype=np.float64))
+
+
 def _incremental_clustering_chunked(builder, rows, nfeatures, max_clusters,
-                                    radius, sampler, chunk: int = 8192):
+                                    radius, sampler,
+                                    chunk: Optional[int] = None,
+                                    device_data=None):
     """Vectorised analogue of the reference's parallel (racy) mode: all
     rows in a chunk take their snapshot at the chunk boundary, distances
-    are one BLAS matmul, and the running-mean updates are applied as
-    grouped means (sequential running means over constant rows reduce to
-    the same grouped mean).  Creations within a chunk respect the cap in
-    row order; rows never see centroids created later in their own chunk —
+    are one matmul tile (device when a resident corpus is available, BLAS
+    otherwise), and the running-mean updates are applied as grouped means
+    (sequential running means over constant rows reduce to the same
+    grouped mean).  Creations within a chunk respect the cap in row
+    order; rows never see centroids created later in their own chunk —
     exactly the wider race window the reference's rayon mode allows."""
     x = np.asarray(rows, dtype=np.float64)
     nrows = x.shape[0]
     sampling_enabled = builder.sampling is not None
     relax = 1.5
 
+    engine = None
+    # Sub-threshold corpora stay on host BLAS: an accelerator program
+    # compile (~30s through the tunnel) dwarfs a few ms of matmul.
+    if (device_data is not None and device_data.shape[0] == nrows
+            and nrows * nfeatures >= (1 << 23)):
+        if chunk is None:
+            # large tiles amortise the per-dispatch round trip
+            chunk = min(131072, max(8192, nrows))
+        engine = _DeviceChunkDistances(device_data, max_clusters, chunk)
+    elif chunk is None:
+        chunk = 8192
+
     cent = np.zeros((max_clusters, nfeatures), dtype=np.float64)
     counts = np.zeros(max_clusters, dtype=np.int64)
     n_c = 0
-    assignments: List[Optional[int]] = [None] * nrows
+    assign = np.full(nrows, -1, dtype=np.int64)
 
     for c0 in range(0, nrows, chunk):
         rows_c = x[c0:c0 + chunk]
         m = rows_c.shape[0]
+        offset = c0
+        use_engine = engine is not None
 
         if n_c == 0:
             # bootstrap: scan sequentially until the first kept row seeds
@@ -370,7 +491,7 @@ def _incremental_clustering_chunked(builder, rows, nfeatures, max_clusters,
                 if kept:
                     cent[0] = rows_c[r]
                     counts[0] = 1
-                    assignments[c0 + r] = 0
+                    assign[c0 + r] = 0
                     n_c = 1
                     break
             if n_c == 0:
@@ -380,16 +501,20 @@ def _incremental_clustering_chunked(builder, rows, nfeatures, max_clusters,
             m = rows_c.shape[0]
             if m == 0:
                 continue
-        else:
-            offset = c0
+            # mid-chunk restart is tile-misaligned: finish this one chunk
+            # on the host, the device engine resumes at the next boundary
+            use_engine = False
 
-        snap = cent[:n_c]
-        d2 = (np.sum(rows_c * rows_c, axis=1)[:, None]
-              - 2.0 * rows_c @ snap.T
-              + np.sum(snap * snap, axis=1)[None, :])
-        d2 = np.maximum(d2, 0.0)
-        best = np.argmin(d2, axis=1)
-        best_d2 = d2[np.arange(m), best]
+        if use_engine:
+            best, best_d2 = engine(c0, cent, n_c)
+        else:
+            snap = cent[:n_c]
+            d2 = (np.sum(rows_c * rows_c, axis=1)[:, None]
+                  - 2.0 * rows_c @ snap.T
+                  + np.sum(snap * snap, axis=1)[None, :])
+            d2 = np.maximum(d2, 0.0)
+            best = np.argmin(d2, axis=1)
+            best_d2 = d2[np.arange(m), best]
 
         if sampling_enabled:
             probs = sampler.keep_probability(best_d2, n_c, max_clusters)
@@ -410,11 +535,11 @@ def _incremental_clustering_chunked(builder, rows, nfeatures, max_clusters,
         creators = np.nonzero(want_create)[0]
         room = max_clusters - n_c
         created, overflow = creators[:room], creators[room:]
-        for r in created:
-            cent[n_c] = rows_c[r]
-            counts[n_c] = 1
-            assignments[offset + r] = n_c
-            n_c += 1
+        if created.size:
+            cent[n_c:n_c + created.size] = rows_c[created]
+            counts[n_c:n_c + created.size] = 1
+            assign[offset + created] = n_c + np.arange(created.size)
+            n_c += created.size
         if overflow.size:
             soft_extra = overflow[best_d2[overflow] <= radius * relax]
             soft_idx = np.concatenate([np.nonzero(soft_mask)[0], soft_extra])
@@ -434,14 +559,12 @@ def _incremental_clustering_chunked(builder, rows, nfeatures, max_clusters,
                 (cent[:n_c][upd] * counts[:n_c][upd, None]
                  + add_sum[upd]) / new_counts[upd, None])
             counts[:n_c] = new_counts
-            for r in a_idx:
-                assignments[offset + r] = int(best[r])
+            assign[offset + a_idx] = best[a_idx]
 
         # soft outliers: counted, centroids unmoved (eta = 0)
         if soft_idx.size:
             np.add.at(counts, best[soft_idx], 1)
-            for r in soft_idx:
-                assignments[offset + r] = int(best[r])
+            assign[offset + soft_idx] = best[soft_idx]
 
     if n_c == 0:
         sampler_desc = str(builder.sampling) if builder.sampling else "None"
@@ -457,6 +580,8 @@ def _incremental_clustering_chunked(builder, rows, nfeatures, max_clusters,
             assert 0.325 < ratio < 0.89, (
                 f"sampling_rate not in the interval 0.325..0.875 but {ratio}")
 
+    assignments: List[Optional[int]] = [
+        None if a < 0 else int(a) for a in assign]
     return cent[:n_c].copy(), assignments, counts[:n_c].tolist()
 
 

@@ -62,8 +62,14 @@ def start_clustering(builder, rows) -> ClusteredOutput:
         else SamplerType.simple(1.0)
     sampler = sampler_type.make(seed=builder.clustering_seed)
 
+    # Accelerated path: the corpus is already device-resident in
+    # aspace.data, so the Two-NN estimate and the unseeded chunked scan
+    # run their distance tiles on it (host bookkeeping, device matmuls).
+    device_data = aspace.data if jax.default_backend() != "cpu" else None
+
     k_opt, radius, intrinsic_dim = clustering.compute_optimal_k(
-        rows_arr, n_items, n_features, builder.clustering_seed)
+        rows_arr, n_items, n_features, builder.clustering_seed,
+        device_data=device_data)
     logger.debug("Optimal clustering: K=%d, radius=%.6f, intrinsic_dim=%d",
                  k_opt, radius, intrinsic_dim)
     builder.cluster_max_clusters = k_opt
@@ -71,7 +77,8 @@ def start_clustering(builder, rows) -> ClusteredOutput:
 
     clustered_dm, assignments, sizes = \
         clustering.run_incremental_clustering_with_sampling(
-            builder, rows_arr, n_features, k_opt, radius, sampler)
+            builder, rows_arr, n_features, k_opt, radius, sampler,
+            device_data=device_data)
 
     n_clusters = clustered_dm.shape[0]
     logger.info("Clustering complete: %d centroids, %d items assigned",

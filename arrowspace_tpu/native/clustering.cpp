@@ -15,6 +15,41 @@
 #include <cstdint>
 #include <limits>
 
+namespace {
+
+// Squared Euclidean distance with 8 independent accumulators: the inner
+// FP reduction is the hot op (O(N * X * F) over the whole scan) and a
+// single sequential accumulator blocks autovectorization (gcc will not
+// reassociate FP sums without -ffast-math).  Spelling the reassociation
+// out in source keeps the numerics deterministic and portable while
+// letting the compiler map the accumulators onto SIMD lanes (~4-6x on
+// AVX2 at F>=32).
+inline double dist2(const double* a, const double* b, long long f) {
+    double a0 = 0.0, a1 = 0.0, a2 = 0.0, a3 = 0.0;
+    double a4 = 0.0, a5 = 0.0, a6 = 0.0, a7 = 0.0;
+    long long j = 0;
+    for (; j + 8 <= f; j += 8) {
+        const double d0 = a[j] - b[j];
+        const double d1 = a[j + 1] - b[j + 1];
+        const double d2 = a[j + 2] - b[j + 2];
+        const double d3 = a[j + 3] - b[j + 3];
+        const double d4 = a[j + 4] - b[j + 4];
+        const double d5 = a[j + 5] - b[j + 5];
+        const double d6 = a[j + 6] - b[j + 6];
+        const double d7 = a[j + 7] - b[j + 7];
+        a0 += d0 * d0; a1 += d1 * d1; a2 += d2 * d2; a3 += d3 * d3;
+        a4 += d4 * d4; a5 += d5 * d5; a6 += d6 * d6; a7 += d7 * d7;
+    }
+    double acc = ((a0 + a1) + (a2 + a3)) + ((a4 + a5) + (a6 + a7));
+    for (; j < f; ++j) {
+        const double d = a[j] - b[j];
+        acc += d * d;
+    }
+    return acc;
+}
+
+}  // namespace
+
 extern "C" {
 
 // Returns the number of centroids created (<= max_clusters), or 0 if no
@@ -71,12 +106,7 @@ long long incremental_clustering(
         long long best_idx = 0;
         double best_d2 = std::numeric_limits<double>::infinity();
         for (long long c = 0; c < n_c; ++c) {
-            const double* cent = out_centroids + c * f;
-            double d2 = 0.0;
-            for (long long j = 0; j < f; ++j) {
-                const double diff = row[j] - cent[j];
-                d2 += diff * diff;
-            }
+            const double d2 = dist2(row, out_centroids + c * f, f);
             if (d2 < best_d2) { best_d2 = d2; best_idx = c; }
         }
 
@@ -130,12 +160,7 @@ long long incremental_clustering_density(
         long long best_idx = 0;
         double best_d2 = std::numeric_limits<double>::infinity();
         for (long long c = 0; c < n_c; ++c) {
-            const double* cent = out_centroids + c * f;
-            double d2 = 0.0;
-            for (long long j = 0; j < f; ++j) {
-                const double diff = row[j] - cent[j];
-                d2 += diff * diff;
-            }
+            const double d2 = dist2(row, out_centroids + c * f, f);
             if (d2 < best_d2) { best_d2 = d2; best_idx = c; }
         }
 
