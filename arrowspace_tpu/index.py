@@ -18,7 +18,8 @@ for large corpora.
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from collections import deque
+from typing import Iterable, List, Optional, Tuple
 
 import numpy as np
 
@@ -31,7 +32,90 @@ from .utils.log import get_logger
 
 logger = get_logger("arrowspace.index")
 
-__all__ = ["ArrowIndex"]
+__all__ = ["ArrowIndex", "SearchSession"]
+
+
+class SearchSession:
+    """Compiled, pipelined streaming search for serving.
+
+    One jitted program fuses query-λ preparation (projection, τ selection,
+    synthetic λ) with scoring + top-k, so a batch costs ONE dispatch.  The
+    stream driver keeps `depth` batches in flight: while batch i's results
+    cross the interconnect back to the host, batch i+1 is already
+    computing — the reference's per-query scan (core.rs:760-798) has no
+    pipelining to mirror; this is the serving loop a TPU deployment needs.
+    """
+
+    def __init__(self, index: "ArrowIndex", batch_size: int, k: int = 10,
+                 alpha: float = 0.9, depth: int = 2):
+        import jax
+        import jax.numpy as jnp
+        from .ops.pallas_topk import fused_lambda_topk
+        from .ops.search import batched_lambda_aware_topk
+        from .taumode import select_tau_batch, synthetic_lambda_batch
+
+        self.batch_size = int(batch_size)
+        self.k = min(int(k), index.nitems)
+        self.depth = max(1, int(depth))
+        aspace, gl = index.aspace, index.gl
+
+        dt = aspace.data.dtype
+        self._dt = dt
+        data, lambdas = aspace.data, aspace.lambdas
+        lap = jnp.asarray(gl.matrix, dtype=dt)
+        proj = None
+        if aspace.projection_matrix is not None:
+            proj = aspace.projection_matrix.matrix(dtype=dt)
+        taumode = aspace.taumode
+        alpha_c = jnp.asarray(alpha, dtype=dt)
+        k_eff = self.k
+        use_pallas = (jax.default_backend() == "tpu"
+                      and index.nitems >= 65536 and k_eff <= 128)
+
+        has_proj = proj is not None
+
+        # The corpus arrays are ARGUMENTS, not closure captures: jit would
+        # otherwise embed them as HLO constants (a 512 MB program blows the
+        # remote-compile request limit and bloats the executable).
+        def step(q_raw, data_a, lambdas_a, lap_a, proj_a):
+            q_prep = q_raw if not has_proj else jnp.dot(
+                q_raw, proj_a, preferred_element_type=dt)
+            taus = select_tau_batch(q_prep, taumode)
+            qlam = synthetic_lambda_batch(q_prep, lap_a, taus)
+            if use_pallas:
+                return fused_lambda_topk(q_raw, qlam, data_a, lambdas_a,
+                                         float(alpha), k=k_eff)
+            return batched_lambda_aware_topk(q_raw, qlam, data_a, lambdas_a,
+                                             alpha_c, k=k_eff)
+
+        jitted = jax.jit(step)
+        dummy_proj = proj if has_proj else jnp.zeros((1, 1), dtype=dt)
+        self._step = lambda q: jitted(q, data, lambdas, lap, dummy_proj)
+        self._jnp = jnp
+        self._dim = aspace.nfeatures
+
+    def warmup(self) -> None:
+        """Compile the step program so serving latency is dispatch-only."""
+        jnp = self._jnp
+        dummy = jnp.ones((self.batch_size, self._dim), dtype=self._dt)
+        s, _ = self._step(dummy)
+        np.asarray(s[:1, :1])
+
+    def search_stream(self, batches: Iterable) -> Iterable[Tuple[np.ndarray,
+                                                                 np.ndarray]]:
+        """Yield (scores, ids) per input batch, keeping `depth` batches in
+        flight (dispatch batch i+1 before fetching batch i's results)."""
+        jnp = self._jnp
+        pending = deque()
+        for qb in batches:
+            q = jnp.asarray(np.ascontiguousarray(qb), dtype=self._dt)
+            pending.append(self._step(q))  # async dispatch
+            if len(pending) > self.depth:
+                s, i = pending.popleft()
+                yield np.asarray(s), np.asarray(i)
+        while pending:
+            s, i = pending.popleft()
+            yield np.asarray(s), np.asarray(i)
 
 
 class ArrowIndex:
@@ -191,6 +275,13 @@ class ArrowIndex:
         from .energymaps import search_energy_batch
         return search_energy_batch(self.aspace, queries, self.gl, k,
                                    w_lambda, w_dirichlet)
+
+    def make_search_session(self, batch_size: int, k: int = 10,
+                            alpha: float = 0.9,
+                            depth: int = 2) -> SearchSession:
+        """Compiled streaming search for serving: one fused
+        prep+score+top-k program per batch, `depth` batches in flight."""
+        return SearchSession(self, batch_size, k=k, alpha=alpha, depth=depth)
 
     def warmup(self, batch_sizes=(1, 16, 256), k: int = 10,
                alpha: float = 0.9) -> None:

@@ -139,6 +139,14 @@ def fused_lambda_topk(
     n = items.shape[0]
     dt = jnp.float32
 
+    # Query-block size: 128 is measured-optimal, NOT a VMEM ceiling.  A
+    # bigger block (512) divides corpus HBM traffic 4x but makes the
+    # any-row merge gate fire on nearly every tile and each k-pass merge
+    # 4x larger — measured 4.4x SLOWER end to end at B=2048.  The win of
+    # small blocks is that the (B,) kth-score threshold stays selective,
+    # so most tiles skip the merge entirely.
+    max_b = 128
+
     if tile <= 0:
         # Auto tile from the ~16 MB scoped-VMEM budget: the dominant
         # per-step buffers are the double-buffered item tile (tile×F) and
@@ -146,12 +154,8 @@ def fused_lambda_topk(
         # build crashes (compiler subprocess exit 1) on smaller tiles.
         elem = 2 if use_bf16 else 4
         budget = 6 * 1024 * 1024
-        per_row = 2 * f * elem + 2 * min(bsz, 128) * 4
+        per_row = 2 * f * elem + 2 * min(bsz, max_b) * 4
         tile = max(1024, min(4096, (budget // per_row) // 1024 * 1024))
-
-    # VMEM budget: chunk the query batch so per-step buffers stay within
-    # the ~16 MB scoped-vmem limit.
-    max_b = 128
     if bsz > max_b:
         outs = [fused_lambda_topk(queries[i:i + max_b],
                                   query_lambdas[i:i + max_b],

@@ -125,3 +125,38 @@ def test_projected_facade_roundtrip(tmp_path):
     s2, i2 = idx2.search(q, k=5, alpha=0.9)
     np.testing.assert_array_equal(i1, i2)
     np.testing.assert_allclose(s1, s2, rtol=1e-9)
+
+
+def test_search_session_matches_search():
+    """The compiled streaming session (fused prep+score+top-k, pipelined)
+    must return the same results as the one-shot search API."""
+    rows, idx = _index()
+    rng = np.random.default_rng(5)
+    batches = [rows[rng.integers(0, 80, 4)] * 1.02 for _ in range(6)]
+
+    sess = idx.make_search_session(batch_size=4, k=5, alpha=0.9, depth=2)
+    sess.warmup()
+    got = list(sess.search_stream(batches))
+    assert len(got) == 6
+    for qb, (s, i) in zip(batches, got):
+        s_ref, i_ref = idx.search(qb, k=5, alpha=0.9)
+        np.testing.assert_array_equal(i, i_ref)
+        np.testing.assert_allclose(s, s_ref, rtol=1e-9)
+
+
+def test_search_session_with_projection():
+    """Streaming session over a dims-reduced index: queries are projected
+    for lambda preparation on device, scored raw."""
+    from data import make_gaussian_hd
+    rows = make_gaussian_hd(90, spread=0.5, dims=96, seed=21)
+    idx = ArrowIndex.build(rows.tolist(), eps=1.0, k=5, seed=23,
+                           dims_reduction=True, rp_eps=0.5)
+    assert idx.aspace.projection_matrix is not None
+    batches = [rows[i * 3:(i + 1) * 3] * 1.01 for i in range(4)]
+    sess = idx.make_search_session(batch_size=3, k=5, alpha=0.9)
+    got = list(sess.search_stream(batches))
+    assert len(got) == 4
+    for qb, (s, i) in zip(batches, got):
+        s_ref, i_ref = idx.search(qb, k=5, alpha=0.9)
+        np.testing.assert_array_equal(i, i_ref)
+        np.testing.assert_allclose(s, s_ref, rtol=1e-6)
