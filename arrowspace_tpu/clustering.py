@@ -440,6 +440,75 @@ class _DeviceChunkDistances:
                 np.asarray(bd[:m], dtype=np.float64))
 
 
+def _apply_chunk_decisions(rows_c, best, best_d2, offset, builder, sampler,
+                           radius, max_clusters, cent, counts, assign,
+                           state) -> None:
+    """Apply the per-row create/assign/soft-outlier rules for one chunk,
+    given snapshot nearest-centroid results (best, best_d2).  Mutates
+    cent/counts/assign in place and state["n_c"].  Shared by the
+    single-chip chunked mode and the mesh-sharded build
+    (parallel/distributed.sharded_incremental_clustering)."""
+    m = rows_c.shape[0]
+    if m == 0:
+        return
+    n_c = state["n_c"]
+    relax = 1.5
+    nfeatures = rows_c.shape[1]
+    sampling_enabled = builder.sampling is not None
+
+    if sampling_enabled:
+        probs = sampler.keep_probability(best_d2, n_c, max_clusters)
+        draws = sampler._rng.random(m)
+        keep = draws < probs
+        sampler.sampled_count += int(keep.sum())
+        sampler.discarded_count += int(m - keep.sum())
+    else:
+        keep = np.ones(m, dtype=bool)
+
+    want_create = keep & (best_d2 > radius * 0.5)
+    assign_mask = keep & ~want_create & (best_d2 <= radius)
+    soft_mask = keep & ~want_create & ~assign_mask \
+        & (best_d2 <= radius * relax)
+
+    # creations in row order up to the cap; overflow rows fall back to
+    # the soft-outlier test on their snapshot distance
+    creators = np.nonzero(want_create)[0]
+    room = max_clusters - n_c
+    created, overflow = creators[:room], creators[room:]
+    if created.size:
+        cent[n_c:n_c + created.size] = rows_c[created]
+        counts[n_c:n_c + created.size] = 1
+        assign[offset + created] = n_c + np.arange(created.size)
+        n_c += created.size
+    if overflow.size:
+        soft_extra = overflow[best_d2[overflow] <= radius * relax]
+        soft_idx = np.concatenate([np.nonzero(soft_mask)[0], soft_extra])
+    else:
+        soft_idx = np.nonzero(soft_mask)[0]
+
+    # grouped running-mean assignment (order-independent reduction)
+    a_idx = np.nonzero(assign_mask)[0]
+    if a_idx.size:
+        tgt = best[a_idx]
+        add_cnt = np.bincount(tgt, minlength=n_c)
+        add_sum = np.zeros((n_c, nfeatures))
+        np.add.at(add_sum, tgt, rows_c[a_idx])
+        upd = add_cnt > 0
+        new_counts = counts[:n_c] + add_cnt
+        cent[:n_c][upd] = (
+            (cent[:n_c][upd] * counts[:n_c][upd, None]
+             + add_sum[upd]) / new_counts[upd, None])
+        counts[:n_c] = new_counts
+        assign[offset + a_idx] = best[a_idx]
+
+    # soft outliers: counted, centroids unmoved (eta = 0)
+    if soft_idx.size:
+        np.add.at(counts, best[soft_idx], 1)
+        assign[offset + soft_idx] = best[soft_idx]
+
+    state["n_c"] = n_c
+
+
 def _incremental_clustering_chunked(builder, rows, nfeatures, max_clusters,
                                     radius, sampler,
                                     chunk: Optional[int] = None,
@@ -455,7 +524,6 @@ def _incremental_clustering_chunked(builder, rows, nfeatures, max_clusters,
     x = np.asarray(rows, dtype=np.float64)
     nrows = x.shape[0]
     sampling_enabled = builder.sampling is not None
-    relax = 1.5
 
     engine = None
     # Sub-threshold corpora stay on host BLAS: an accelerator program
@@ -516,55 +584,11 @@ def _incremental_clustering_chunked(builder, rows, nfeatures, max_clusters,
             best = np.argmin(d2, axis=1)
             best_d2 = d2[np.arange(m), best]
 
-        if sampling_enabled:
-            probs = sampler.keep_probability(best_d2, n_c, max_clusters)
-            draws = sampler._rng.random(m)
-            keep = draws < probs
-            sampler.sampled_count += int(keep.sum())
-            sampler.discarded_count += int(m - keep.sum())
-        else:
-            keep = np.ones(m, dtype=bool)
-
-        want_create = keep & (best_d2 > radius * 0.5)
-        assign_mask = keep & ~want_create & (best_d2 <= radius)
-        soft_mask = keep & ~want_create & ~assign_mask \
-            & (best_d2 <= radius * relax)
-
-        # creations in row order up to the cap; overflow rows fall back to
-        # the soft-outlier test on their snapshot distance
-        creators = np.nonzero(want_create)[0]
-        room = max_clusters - n_c
-        created, overflow = creators[:room], creators[room:]
-        if created.size:
-            cent[n_c:n_c + created.size] = rows_c[created]
-            counts[n_c:n_c + created.size] = 1
-            assign[offset + created] = n_c + np.arange(created.size)
-            n_c += created.size
-        if overflow.size:
-            soft_extra = overflow[best_d2[overflow] <= radius * relax]
-            soft_idx = np.concatenate([np.nonzero(soft_mask)[0], soft_extra])
-        else:
-            soft_idx = np.nonzero(soft_mask)[0]
-
-        # grouped running-mean assignment (order-independent reduction)
-        a_idx = np.nonzero(assign_mask)[0]
-        if a_idx.size:
-            tgt = best[a_idx]
-            add_cnt = np.bincount(tgt, minlength=n_c)
-            add_sum = np.zeros((n_c, nfeatures))
-            np.add.at(add_sum, tgt, rows_c[a_idx])
-            upd = add_cnt > 0
-            new_counts = counts[:n_c] + add_cnt
-            cent[:n_c][upd] = (
-                (cent[:n_c][upd] * counts[:n_c][upd, None]
-                 + add_sum[upd]) / new_counts[upd, None])
-            counts[:n_c] = new_counts
-            assign[offset + a_idx] = best[a_idx]
-
-        # soft outliers: counted, centroids unmoved (eta = 0)
-        if soft_idx.size:
-            np.add.at(counts, best[soft_idx], 1)
-            assign[offset + soft_idx] = best[soft_idx]
+        state = {"n_c": n_c}
+        _apply_chunk_decisions(rows_c, best, best_d2, offset, builder,
+                               sampler, radius, max_clusters, cent, counts,
+                               assign, state)
+        n_c = state["n_c"]
 
     if n_c == 0:
         sampler_desc = str(builder.sampling) if builder.sampling else "None"

@@ -6,4 +6,6 @@ from .distributed import (  # noqa: F401
     distributed_lambda_aware_topk,
     distributed_lambda_aware_topk_2d,
     distributed_index_step,
+    sharded_incremental_clustering,
+    distributed_build_step,
 )

@@ -25,7 +25,8 @@ from ..taumode import TauMode, select_tau_batch, synthetic_lambda_batch
 from .mesh import ITEMS_AXIS, items_sharding, replicated_sharding
 
 __all__ = ["sharded_compute_taumode_lambdas",
-           "distributed_lambda_aware_topk", "distributed_index_step"]
+           "distributed_lambda_aware_topk", "distributed_index_step",
+           "sharded_incremental_clustering", "distributed_build_step"]
 
 
 def sharded_compute_taumode_lambdas(
@@ -193,6 +194,150 @@ def distributed_lambda_aware_topk_2d(
         check_vma=False,
     )
     return jax.jit(fn)(queries, query_lambdas, items, item_lambdas, alpha)
+
+
+def sharded_incremental_clustering(
+    items_sharded: jax.Array,   # (N, F) sharded over the mesh items axis
+    builder,
+    max_clusters: int,
+    radius: float,
+    sampler,
+    mesh: Mesh,
+    rounds_chunk: int = 65536,  # rows per device per round
+):
+    """Sharded unseeded incremental clustering: the build-stage scan over
+    a mesh-sharded corpus (SURVEY §2 TPU-mapping, "sharding the N-items
+    axis ... for build").
+
+    Each round, EVERY device computes nearest-centroid distances for its
+    next `rounds_chunk` rows against the round-start snapshot — one
+    shard_map with no collectives — and the host applies the per-row
+    create/assign/soft-outlier rules chunk by chunk in device order.
+    This is the same snapshot relaxation as the single-chip chunked mode
+    (clustering.py), with a race window of n_devices chunks per round —
+    still a valid serialisation of the reference's racy rayon semantics
+    (clustering.rs:570-660).
+
+    Returns (centroids (X, F) host f64, assignments list, sizes list).
+    """
+    import numpy as np
+
+    n, f = items_sharded.shape
+    n_dev = mesh.devices.size
+    assert n % n_dev == 0, (
+        f"N={n} must be padded to a multiple of the mesh size {n_dev}")
+    shard_n = n // n_dev
+    chunk = min(rounds_chunk, shard_n)
+    dt = items_sharded.dtype
+
+    def _dist_shard(x_shard, start, cent_pad, n_c):
+        rows_c = jax.lax.dynamic_slice(
+            x_shard, (start[0], jnp.zeros((), start.dtype)), (chunk, f))
+        d2 = (jnp.sum(rows_c * rows_c, axis=1)[:, None]
+              - 2.0 * jnp.dot(rows_c, cent_pad.T,
+                              preferred_element_type=dt)
+              + jnp.sum(cent_pad * cent_pad, axis=1)[None, :])
+        d2 = jnp.maximum(d2, 0.0)
+        valid = jnp.arange(cent_pad.shape[0]) < n_c[0]
+        d2 = jnp.where(valid[None, :], d2, jnp.inf)
+        best = jnp.argmin(d2, axis=1).astype(jnp.int32)
+        bd = jnp.take_along_axis(d2, best[:, None].astype(jnp.int32),
+                                 axis=1)[:, 0]
+        return best, bd
+
+    dist_fn = jax.jit(shard_map(
+        _dist_shard, mesh=mesh,
+        in_specs=(P(ITEMS_AXIS, None), P(), P(), P()),
+        out_specs=(P(ITEMS_AXIS), P(ITEMS_AXIS)),
+        check_vma=False,
+    ))
+
+    # Host bookkeeping state (identical rules to clustering.py's chunked
+    # mode, reused via its helpers).
+    from ..clustering import _apply_chunk_decisions
+
+    x_host = np.asarray(items_sharded, dtype=np.float64)
+    cent = np.zeros((max_clusters, f), dtype=np.float64)
+    counts = np.zeros(max_clusters, dtype=np.int64)
+    assign = np.full(n, -1, dtype=np.int64)
+    state = {"n_c": 0}
+
+    # bootstrap centroid 0 from the first kept row (host scan)
+    sampling_enabled = builder.sampling is not None
+    boot = 0
+    for r in range(n):
+        kept = (not sampling_enabled) or sampler.should_keep(
+            x_host[r], float("inf"), 0, max_clusters)
+        boot = r + 1
+        if kept:
+            cent[0] = x_host[r]
+            counts[0] = 1
+            assign[r] = 0
+            state["n_c"] = 1
+            break
+    if state["n_c"] == 0:
+        raise RuntimeError("No clusters created from data (all rows "
+                           "rejected by sampling)")
+
+    for start in range(0, shard_n, chunk):
+        cent_pad = jnp.asarray(cent, dtype=dt)
+        best_all, bd_all = dist_fn(
+            items_sharded,
+            jnp.asarray([start], dtype=jnp.int32),
+            cent_pad, jnp.asarray([state["n_c"]], dtype=jnp.int32))
+        best_all = np.asarray(best_all).astype(np.int64)
+        bd_all = np.asarray(bd_all, dtype=np.float64)
+        # device-order serialisation: apply each shard's chunk in turn
+        for d in range(n_dev):
+            offset = d * shard_n + start
+            lo, hi = d * chunk, (d + 1) * chunk
+            rows_c = x_host[offset:offset + chunk]
+            sl = slice(0, chunk)
+            if offset + chunk > boot > offset:
+                # rows consumed by the bootstrap scan are already decided
+                sl = slice(boot - offset, chunk)
+            elif offset + chunk <= boot:
+                continue
+            _apply_chunk_decisions(
+                rows_c[sl], best_all[lo:hi][sl], bd_all[lo:hi][sl],
+                offset + sl.start, builder, sampler, radius, max_clusters,
+                cent, counts, assign, state)
+
+    if state["n_c"] == 0:
+        raise RuntimeError("No clusters created from data")
+    n_c = state["n_c"]
+    assignments = [None if a < 0 else int(a) for a in assign]
+    return cent[:n_c].copy(), assignments, counts[:n_c].tolist()
+
+
+def distributed_build_step(
+    items: jax.Array,       # (N, F) — will be sharded
+    builder,
+    queries: jax.Array,
+    taumode: TauMode,
+    graph_params,
+    k: int,
+    mesh: Mesh,
+    max_clusters: int,
+    radius: float,
+):
+    """Full sharded build -> query: sharded clustering (device distance
+    tiles, host rules), replicated graph build from the centroids, sharded
+    λτ batch, distributed top-k.  This is the end-to-end multi-chip path
+    the dry run exercises."""
+    items = jax.device_put(items, items_sharding(mesh))
+    sampler = (builder.sampling.make(seed=builder.clustering_seed)
+               if builder.sampling is not None else None)
+    if sampler is None:
+        from ..sampling import SamplerType
+        sampler = SamplerType.simple(1.0).make(seed=1)
+        builder.sampling = None
+    cent, assignments, sizes = sharded_incremental_clustering(
+        items, builder, max_clusters, radius, sampler, mesh)
+    centroids = jnp.asarray(cent, dtype=items.dtype)
+    lambdas, scores, idx = distributed_index_step(
+        items, centroids, queries, taumode, graph_params, k, mesh)
+    return centroids, lambdas, scores, idx
 
 
 def distributed_index_step(

@@ -169,3 +169,70 @@ def test_streamed_matches_in_memory():
         jnp.asarray(lam_ref), jnp.float32(0.9), k=10)
     np.testing.assert_allclose(s_stream, np.asarray(s_ref), rtol=1e-5)
     np.testing.assert_array_equal(i_stream, np.asarray(i_ref))
+
+
+def test_sharded_clustering_invariants(mesh):
+    """Mesh-sharded incremental clustering: device distance tiles, host
+    rules.  Invariants of the incremental scan must hold, and the result
+    must land within the single-chip chunked mode's cluster-count scale."""
+    from arrowspace_tpu.builder import ArrowSpaceBuilder
+    from arrowspace_tpu.parallel import sharded_incremental_clustering
+    from arrowspace_tpu.sampling import SamplerType
+    from arrowspace_tpu.clustering import _incremental_clustering_chunked
+
+    rng = np.random.default_rng(29)
+    centers = rng.uniform(0, 1, (6, 16))
+    rows = centers[rng.integers(0, 6, 8192)] + rng.normal(0, 0.04,
+                                                          (8192, 16))
+    items = jax.device_put(jnp.asarray(rows),
+                           jax.sharding.NamedSharding(
+                               mesh, jax.sharding.PartitionSpec("items",
+                                                                None)))
+
+    b = ArrowSpaceBuilder()
+    b.sampling = SamplerType.simple(0.6)
+    s = SamplerType.simple(0.6).make(seed=5)
+    cents, assigns, sizes = sharded_incremental_clustering(
+        items, b, 16, 0.3, s, mesh, rounds_chunk=512)
+
+    assert 1 <= cents.shape[0] <= 16
+    assert len(assigns) == 8192
+    assert sum(sizes) == sum(1 for a in assigns if a is not None)
+    for a in assigns:
+        assert a is None or 0 <= a < cents.shape[0]
+
+    b2 = ArrowSpaceBuilder()
+    b2.sampling = SamplerType.simple(0.6)
+    s2 = SamplerType.simple(0.6).make(seed=5)
+    c_chunk, _, _ = _incremental_clustering_chunked(
+        b2, rows, 16, 16, 0.3, s2, chunk=512)
+    assert abs(cents.shape[0] - c_chunk.shape[0]) <= 6
+
+
+def test_distributed_build_step_end_to_end(mesh):
+    """Sharded build -> query: clustering over the mesh feeds the
+    replicated graph build, sharded λτ, and the distributed top-k — the
+    full multi-chip path (SURVEY §2 TPU-mapping, build-tile sharding)."""
+    from arrowspace_tpu.builder import ArrowSpaceBuilder
+    from arrowspace_tpu.parallel import distributed_build_step
+
+    rng = np.random.default_rng(31)
+    centers = rng.uniform(0.2, 0.8, (5, 16))
+    rows = centers[rng.integers(0, 5, 4096)] + rng.normal(0, 0.04,
+                                                          (4096, 16))
+    items = jnp.asarray(rows)
+    queries = items[:4] * 1.01
+    params = GraphParams(eps=1.0, k=5, topk=3, p=2.0, sigma=None,
+                         normalise=False, sparsity_check=False)
+    b = ArrowSpaceBuilder()
+    b.sampling = None
+
+    centroids, lambdas, scores, idx = distributed_build_step(
+        items, b, queries, TauMode.median(), params, 5, mesh,
+        max_clusters=12, radius=0.3)
+    assert lambdas.shape == (4096,)
+    assert scores.shape == (4, 5)
+    # each query's own source item ranks first (clustered data)
+    for qi in range(4):
+        assert int(idx[qi][0]) == qi
+    assert np.all(np.isfinite(np.asarray(lambdas)))
