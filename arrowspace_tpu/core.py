@@ -123,6 +123,15 @@ class ArrowSpace:
 
     _signals_nnz: int = 0
     _projected_cache: Optional[jax.Array] = None
+    # Host f64 view of the original rows (a reference to the constructor's
+    # materialised array, NOT a copy): the exact-rescoring search path
+    # re-ranks device f32 candidates against these to recover f64 tie
+    # ordering.  None after in-place device mutations (set_item etc.).
+    host_rows: Optional[np.ndarray] = None
+    # True when the index was built with EnergyParams.allow_tall_graphs:
+    # λ computations zero-pad items to graphs with n > F nodes instead of
+    # raising the reference's hard error (taumode.rs:574 OOB).
+    pad_tall_graphs: bool = False
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -145,6 +154,7 @@ class ArrowSpace:
             taumode=taumode,
             cluster_assignments=np.full((0,), -1, dtype=np.int64),
             cluster_sizes=np.zeros((0,), dtype=np.int64),
+            host_rows=items,
         )
 
     from_items = new  # test-path alias (core.rs:444-453)
@@ -194,11 +204,13 @@ class ArrowSpace:
                 lap = jnp.asarray(np.asarray(mat), dtype=dt)
                 taus = select_tau_batch(dev, self.taumode)
                 return jnp.asarray(np.asarray(
-                    synthetic_lambda_batch(dev, lap, taus)))
+                    synthetic_lambda_batch(
+                        dev, lap, taus, pad_items=self.pad_tall_graphs)))
 
         dev = jnp.asarray(items, dtype=dt)
         taus = select_tau_batch(dev, self.taumode)
-        return synthetic_lambda_batch(dev, jnp.asarray(mat, dtype=dt), taus)
+        return synthetic_lambda_batch(dev, jnp.asarray(mat, dtype=dt), taus,
+                                      pad_items=self.pad_tall_graphs)
 
     def prepare_query_item(self, item, gl) -> float:
         """Compute the query's synthetic λ (reference: core.rs:533-549):
@@ -216,7 +228,8 @@ class ArrowSpace:
         tau = select_tau(item, self.taumode)
         mat = gl.matrix
         return synthetic_lambda_single(
-            jnp.asarray(item, dtype=mat.dtype), mat, tau)
+            jnp.asarray(item, dtype=mat.dtype), mat, tau,
+            pad_items=self.pad_tall_graphs)
 
     # ------------------------------------------------------------------
     def lambdas_list(self) -> np.ndarray:
@@ -260,6 +273,7 @@ class ArrowSpace:
             jnp.asarray(values.feature, dtype=self.data.dtype))
         self._host_cache = None
         self._projected_cache = None
+        self.host_rows = None  # device data diverged from the f64 original
 
     def get_item(self, i: int) -> ArrowItem:
         assert i < self.nitems, "item index out of bounds"
@@ -271,6 +285,7 @@ class ArrowSpace:
             jnp.asarray(values.item, dtype=self.data.dtype))
         self._host_cache = None
         self._projected_cache = None
+        self.host_rows = None  # device data diverged from the f64 original
 
     # --- in-place algebra with λ maintenance (core.rs:614-727) ----------
     def _check_gl(self, gl) -> None:

@@ -146,8 +146,9 @@ def compute_taumode(aspace: ArrowSpace, gl: GraphLaplacian) -> None:
     precomputed signals matrix when present (taumode.rs:195-200)."""
     graph = aspace.signals if (aspace.signals is not None
                                and aspace.signals.shape[0] > 0) else gl.matrix
-    aspace.lambdas = compute_taumode_lambdas(aspace.data, graph,
-                                             aspace.taumode)
+    aspace.lambdas = compute_taumode_lambdas(
+        aspace.data, graph, aspace.taumode,
+        pad_items=aspace.pad_tall_graphs)
     aspace._lambda_order = None  # invalidate the sorted λ-band index
     lam = np.asarray(aspace.lambdas)
     logger.info("λ computation complete: min=%.6f, max=%.6f, mean=%.6f",

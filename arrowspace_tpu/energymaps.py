@@ -70,6 +70,11 @@ class EnergyParams:
     candidate_m: int = 32
     # opt-in reproduction of the reference's zero-dispersion behaviour
     reference_dispersion_bug: bool = False
+    # Lift the reference's n <= F λ ceiling (taumode.rs:574 OOB panic):
+    # with True, λ computations zero-pad items to graphs with more
+    # sub-centroids than item coordinates, so splitting can grow the
+    # energy graph beyond F nodes.  Default False = reference parity.
+    allow_tall_graphs: bool = False
 
 
 @dataclass
@@ -488,6 +493,7 @@ def build_energy(builder, rows, energy_params: EnergyParams
 
     gl_energy, _, _ = build_energy_laplacian(builder, sub_centroids,
                                              energy_params)
+    aspace.pad_tall_graphs = energy_params.allow_tall_graphs
     em.compute_taumode(aspace, gl_energy)
     return aspace, gl_energy
 

@@ -216,26 +216,37 @@ def _graph_weights(laplacian: jax.Array) -> jax.Array:
     return w * (1.0 - jnp.eye(n, dtype=laplacian.dtype))
 
 
-@functools.partial(jax.jit, static_argnames=("method",))
+@functools.partial(jax.jit, static_argnames=("method", "pad_items"))
 def synthetic_lambda_batch(
     items: jax.Array,      # (N, F) item vectors (full, possibly F > n)
     laplacian: jax.Array,  # (n, n) dense graph matrix (Laplacian or signals)
     taus: jax.Array,       # (N,) per-item tau
     *,
     method: str = "matmul",
+    pad_items: bool = False,
 ) -> jax.Array:
     """Batched synthetic λ (reference: taumode.rs:552-660, vectorised).
 
     λ_i = τ_i · E_i/(E_i + τ_i) + (1 - τ_i) · clamp(G_i, 0, 1)
+
+    pad_items=True lifts the reference's n <= F ceiling: items are
+    zero-extended to the n graph coordinates (missing coordinates read as
+    0 — the natural extension: padded coordinates contribute nothing to
+    the graph terms and the Rayleigh denominator keeps the full original
+    vector).  Default False preserves the reference's hard error
+    (taumode.rs:574 index OOB), see EnergyParams.allow_tall_graphs.
     """
     n = laplacian.shape[0]
     big_f = items.shape[1]
-    if n > big_f:
+    if n > big_f and not pad_items:
         raise ValueError(
             f"graph has {n} nodes but items have only {big_f} coordinates; "
             "the reference panics on this (taumode.rs:574 index OOB)"
         )
-    xn = items[:, :n]  # graph terms read only the first n coords
+    if n > big_f:
+        xn = jnp.pad(items, ((0, 0), (0, n - big_f)))
+    else:
+        xn = items[:, :n]  # graph terms read only the first n coords
     dt = items.dtype
 
     # Rayleigh numerator over the FULL L (diagonal included).
@@ -297,6 +308,7 @@ def synthetic_lambda_single(
     tau: float,
     *,
     method: str = "direct",
+    pad_items: bool = False,
 ) -> float:
     """Single-item synthetic λ (reference: compute_synthetic_lambda_csr).
     Routed through the CPU backend when the graph is small — single-query
@@ -308,11 +320,12 @@ def synthetic_lambda_single(
             lam = synthetic_lambda_batch(
                 jnp.asarray(np.asarray(item))[None, :],
                 jnp.asarray(np.asarray(laplacian)),
-                jnp.asarray([tau], dtype=item.dtype), method=method)
+                jnp.asarray([tau], dtype=item.dtype), method=method,
+                pad_items=pad_items)
             return float(lam[0])
     lam = synthetic_lambda_batch(
         item[None, :], laplacian, jnp.asarray([tau], dtype=item.dtype),
-        method=method,
+        method=method, pad_items=pad_items,
     )
     return float(lam[0])
 
@@ -342,6 +355,7 @@ def compute_taumode_lambdas(
     taumode: TauMode,
     *,
     method: str = "matmul",
+    pad_items: bool = False,
 ) -> jax.Array:
     """Batch driver (reference: compute_taumode_lambdas_parallel,
     taumode.rs:174-312).  tau is selected per item from its own coordinates
@@ -363,14 +377,18 @@ def compute_taumode_lambdas(
             x = jnp.asarray(np.asarray(items))
             lap = jnp.asarray(np.asarray(laplacian))
             taus = select_tau_batch(x, taumode)
-            lam = synthetic_lambda_batch(x, lap, taus, method=method)
+            lam = synthetic_lambda_batch(x, lap, taus, method=method,
+                                         pad_items=pad_items)
         return jnp.asarray(np.asarray(lam))
     # Fully-fused single-pass kernel on TPU: τ (in-register bitonic) and
     # the λ matmul chain share one load of the item tile — ~1.35× over the
-    # two-pass path at 1M×128, bit-matching to <1e-5.
+    # two-pass path at 1M×128, bit-matching to <1e-5.  Tall graphs
+    # (n > F, pad_items) take the XLA path: the pallas kernels assume
+    # n <= F tiles.
     n = laplacian.shape[0]
+    tall = n > items.shape[1]
     if (jax.default_backend() == "tpu" and items.dtype == jnp.float32
-            and method == "matmul"):
+            and method == "matmul" and not tall):
         from .ops.pallas_taulambda import (fused_taulambda_batch,
                                            fused_taulambda_fits)
         if fused_taulambda_fits(n_items, items.shape[1], n):
@@ -386,5 +404,6 @@ def compute_taumode_lambdas(
             and method == "matmul" and n * 2 <= items.shape[1]):
         from .ops.pallas_lambda import fused_lambda_batch
         return fused_lambda_batch(items, laplacian, taus)
-    lambdas = synthetic_lambda_batch(items, laplacian, taus, method=method)
+    lambdas = synthetic_lambda_batch(items, laplacian, taus, method=method,
+                                     pad_items=pad_items)
     return lambdas

@@ -59,3 +59,84 @@ def test_f32_search_ranking_stable():
         len(set(np.asarray(i64)[r]) & set(np.asarray(i32)[r])) / 10.0
         for r in range(b)])
     assert overlap >= 0.95, overlap
+
+
+def _near_tie_corpus(n_ties=15, n_fill=500, f=64, seed=4):
+    """Corpus whose top scores differ by ~1e-9 in cosine — below f32
+    resolution (eps ~1.2e-7 at 1.0), cleanly ordered in f64."""
+    rng = np.random.default_rng(seed)
+    base = rng.normal(size=f)
+    base /= np.linalg.norm(base)
+    orth = rng.normal(size=f)
+    orth -= (orth @ base) * base
+    orth /= np.linalg.norm(orth)
+
+    ties = []
+    for i in range(n_ties):
+        c = 1e-4 * np.sqrt(i + 1.0)
+        v = base + c * orth
+        ties.append(v / np.linalg.norm(v))
+    fillers = rng.normal(size=(n_fill, f))
+    fillers /= np.linalg.norm(fillers, axis=1, keepdims=True)
+    fillers = 0.2 * fillers + 0.1 * base  # low-cosine background
+    return base, np.concatenate([np.asarray(ties), fillers])
+
+
+def test_f64_rescore_recovers_exact_ties():
+    """f32 scoring cannot order cosines 1e-9 apart; re-scoring the f32
+    candidate pool against the original f64 rows must return exactly the
+    f64 top-k (VERDICT r1 weak #5: 0.959 recall on clustered 384-d)."""
+    from arrowspace_tpu.ops.search import (batched_lambda_aware_topk,
+                                           rescore_topk_f64)
+    q, items = _near_tie_corpus()
+    lams = np.full(items.shape[0], 0.5)
+    qlam = np.asarray([0.5])
+    k, m = 10, 42
+
+    _, i64 = batched_lambda_aware_topk(
+        jnp.asarray(q[None, :], jnp.float64), jnp.asarray(qlam, jnp.float64),
+        jnp.asarray(items, jnp.float64), jnp.asarray(lams, jnp.float64),
+        jnp.float64(1.0), k=k)
+    want = list(np.asarray(i64)[0])
+    assert want == list(range(k))  # f64 orders the tie cluster exactly
+
+    _, cand32 = batched_lambda_aware_topk(
+        jnp.asarray(q[None, :], jnp.float32), jnp.asarray(qlam, jnp.float32),
+        jnp.asarray(items, jnp.float32), jnp.asarray(lams, jnp.float32),
+        jnp.float32(1.0), k=m)
+
+    s_r, i_r = rescore_topk_f64(q[None, :], qlam, items, lams, 1.0,
+                                np.asarray(cand32), k)
+    assert list(i_r[0]) == want
+    assert list(s_r[0]) == sorted(s_r[0], reverse=True)
+
+
+def test_f64_rescore_matches_plain_topk_away_from_ties():
+    """On generic data (no f32-resolution ties) rescoring is a no-op
+    relative to the f64 ranking."""
+    from arrowspace_tpu.ops.search import (batched_lambda_aware_topk,
+                                           rescore_topk_f64)
+    rng = np.random.default_rng(7)
+    items = rng.uniform(0.1, 1.0, (5000, 32))
+    lams = rng.uniform(0, 1, 5000)
+    q = items[:4] * 1.02
+    qlam = lams[:4]
+
+    _, i64 = batched_lambda_aware_topk(
+        jnp.asarray(q, jnp.float64), jnp.asarray(qlam, jnp.float64),
+        jnp.asarray(items, jnp.float64), jnp.asarray(lams, jnp.float64),
+        jnp.float64(0.9), k=40)
+    s_r, i_r = rescore_topk_f64(q, qlam, items, lams, 0.9,
+                                np.asarray(i64), 10)
+    np.testing.assert_array_equal(i_r, np.asarray(i64)[:, :10])
+
+
+def test_index_f64_rescore_api():
+    """ArrowIndex.search(precision='f64_rescore') returns the f64 brute
+    ranking end to end."""
+    from arrowspace_tpu.index import ArrowIndex
+    q, items = _near_tie_corpus(seed=9)
+    idx = ArrowIndex.build(items.tolist(), eps=1.0, k=5, seed=3)
+    s1, i1 = idx.search(q, k=10, alpha=1.0, precision="f64_rescore")
+    cos = items @ q / np.linalg.norm(items, axis=1)
+    np.testing.assert_array_equal(i1[0], np.argsort(-cos, kind="stable")[:10])

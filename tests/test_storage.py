@@ -3,6 +3,7 @@ inline tests in storage/parquet.rs:801-905."""
 
 import json
 import os
+import pathlib
 
 import numpy as np
 import pyarrow.parquet as pq_reader
@@ -239,3 +240,74 @@ def test_legacy_projected_artifact_without_metadata(tmp_path):
     raw_md_path.write_text(json.dumps(raw_md))
     with pytest.raises(StorageError, match="projection"):
         load_arrowspace_index(tmp_path, "legacy")
+
+
+# ---------------------------------------------------------------------------
+# Golden Parquet artifacts: schema/interop regression
+# ---------------------------------------------------------------------------
+
+GOLDEN_DIR = pathlib.Path(__file__).parent / "fixtures" / "parquet_golden"
+
+
+def _golden_generators():
+    import sys
+    sys.path.insert(0, str(pathlib.Path(__file__).parent / "fixtures"))
+    import make_parquet_goldens as g
+    return g
+
+
+def test_golden_dense_reads_back_exact():
+    """The frozen dense artifact must load to the exact generator values —
+    any loader/schema drift vs the checked-in bytes fails here
+    (schema parity target: storage/parquet.rs:192-338)."""
+    g = _golden_generators()
+    got = pq.load_dense_matrix(GOLDEN_DIR / "golden_dense.parquet")
+    np.testing.assert_array_equal(got, g.dense_data())
+
+
+def test_golden_sparse_reads_back_exact():
+    g = _golden_generators()
+    got = pq.load_sparse_matrix(GOLDEN_DIR / "golden_sparse.parquet")
+    np.testing.assert_array_equal(got, g.sparse_data())
+
+
+def test_golden_lambda_reads_back_exact():
+    g = _golden_generators()
+    got = pq.load_lambda(GOLDEN_DIR / "golden_lambda.parquet")
+    np.testing.assert_array_equal(got, g.lambda_data())
+
+
+def test_writer_schema_matches_golden(tmp_path):
+    """Re-writing the same data today must produce byte-identical schemas
+    (field names, types, nullability, order) to the frozen artifacts."""
+    g = _golden_generators()
+    pq.save_dense_matrix(g.dense_data(), tmp_path, "golden_dense")
+    pq.save_sparse_matrix(g.sparse_data(), tmp_path, "golden_sparse")
+    pq.save_lambda(g.lambda_data(), tmp_path, "golden_lambda")
+
+    for name in ("golden_dense", "golden_sparse", "golden_lambda"):
+        frozen = pq_reader.read_table(GOLDEN_DIR / f"{name}.parquet")
+        fresh = pq_reader.read_table(tmp_path / f"{name}.parquet")
+        assert fresh.schema.equals(frozen.schema), (
+            f"{name}: schema drift\nfrozen={frozen.schema}\n"
+            f"fresh={fresh.schema}")
+        assert fresh.equals(frozen), f"{name}: table content drift"
+
+
+def test_golden_sparse_schema_fields():
+    """COO triplet schema exactly as the reference writes it
+    (storage/parquet.rs:354-449): name_id, n_rows, n_cols, nnz, row, col,
+    value — uint64 dims/indices, float64 values, all non-nullable."""
+    t = pq_reader.read_table(GOLDEN_DIR / "golden_sparse.parquet")
+    import pyarrow as pa
+    want = [("name_id", pa.utf8()), ("n_rows", pa.uint64()),
+            ("n_cols", pa.uint64()), ("nnz", pa.uint64()),
+            ("row", pa.uint64()), ("col", pa.uint64()),
+            ("value", pa.float64())]
+    assert [(f.name, f.type) for f in t.schema] == want
+    assert all(not f.nullable for f in t.schema)
+    # diagonal entries are always stored (reference CSR structure)
+    rows = t.column("row").to_numpy()
+    cols = t.column("col").to_numpy()
+    diag = {(int(r), int(c)) for r, c in zip(rows, cols) if r == c}
+    assert diag == {(i, i) for i in range(6)}
