@@ -15,6 +15,24 @@ to HBM gathers).  This kernel keeps the whole sort in registers/VMEM:
 - TAU_FLOOR and the empty-row fallback match taumode.select_tau exactly.
 
 Each item row is read exactly once; output is the (N,) τ vector.
+
+Alternatives evaluated and rejected (so they are not re-tried):
+- jnp-level bitonic network outside Pallas: 3.4× SLOWER than jnp.sort at
+  1M×128 on v5e (168 ms vs 50 ms wall) — each of the 28 stages' lane
+  permutes lowers to a full-array HBM gather.  The in-register variant
+  here is the same network with pltpu.roll keeping exchanges on-chip.
+- bit-level binary-search (radix) selection: ~31 iterations of
+  compare+lane-reduce per order statistic (~6 vector ops each), and the
+  exact median needs TWO statistics ((m-1)//2 and m//2), so ~370 vector
+  ops vs the bitonic's ~140 (28 stages × 2 rolls + select + min/max) —
+  analytically ~2.6× worse, never worth prototyping.  A 256-bucket
+  histogram select is worse still: Mosaic has no per-lane scatter, so a
+  per-row histogram is 256 masked reductions.
+- approximate/bf16 medians are out: τ feeds λ directly and select_tau
+  parity with the reference is exact (tests pin it).
+Mosaic overlaps this VPU-bound sort with the MXU λ matmul chain in the
+fused τ+λ kernel (ops/pallas_taulambda.py), so the sort bounds the whole
+λτ pipeline: ~18.7 ms device at 1M×128.
 """
 
 from __future__ import annotations

@@ -175,8 +175,8 @@ def select_tau_batch(x: jax.Array, mode: TauMode) -> jax.Array:
     # XLA's row sort is the τ cost on TPU (~52 ms device at 1M×128, 10×
     # the λ matmuls); the Pallas in-register bitonic kernel
     # (ops/pallas_tau.py) is ~2.9× faster and is used for large f32
-    # batches.  (A jnp-level bitonic was tried and is 3.4× SLOWER — its
-    # lane permutes lower to HBM gathers; see ops/sort.py.)
+    # batches — see that module's docstring for the alternatives that
+    # measured or analyse slower (jnp-level bitonic, radix select).
     if (jax.default_backend() == "tpu" and x.dtype == jnp.float32
             and n_rows * f >= (1 << 22) and f <= 2048):
         from .ops.pallas_tau import fused_select_tau
