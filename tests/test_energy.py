@@ -244,3 +244,46 @@ def test_tall_graph_lift_behind_flag():
     lam_ext = synthetic_lambda_batch(x_ext, lapd, taus_ext)
     np.testing.assert_allclose(np.asarray(lam_pad), np.asarray(lam_ext),
                                rtol=1e-12)
+
+
+def test_energy_build_taumode_consistency():
+    """build_energy threads the builder's tau-mode through
+    (reference: test_energy_builder.rs:137-158)."""
+    from arrowspace_tpu.taumode import TauMode
+    rows = make_moons_hd(50, 0.2, 0.08, 99, 42)
+    b = (ArrowSpaceBuilder().with_synthesis(TauMode.mean())
+         .with_seed(111).with_dims_reduction(True, 0.3)
+         .with_inline_sampling(None))
+    aspace, _ = en.build_energy(b, rows.tolist(), EnergyParams())
+    assert aspace.taumode == TauMode.mean()
+    lam = np.asarray(aspace.lambdas)
+    assert lam.shape[0] == aspace.nitems
+    assert np.all(np.isfinite(lam)) and np.all(lam >= 0.0)
+
+
+def test_energy_build_custom_params():
+    """(reference: test_energy_builder.rs:161-193)"""
+    rows = make_gaussian_hd(40, spread=0.1, dims=96, seed=6)
+    p = EnergyParams(optical_tokens=None, trim_quantile=0.05, eta=0.15,
+                     steps=2, split_quantile=0.95, neighbor_k=10,
+                     split_tau=0.1, w_lambda=1.5, w_disp=0.3,
+                     w_dirichlet=0.15, candidate_m=20)
+    b = (ArrowSpaceBuilder().with_seed(333)
+         .with_dims_reduction(True, 0.3).with_inline_sampling(None))
+    lambda_k = b.lambda_k
+    aspace, gl = en.build_energy(b, rows.tolist(), p)
+    assert gl.graph_params.k == lambda_k
+    assert not gl.graph_params.normalise
+    assert np.any(np.asarray(aspace.lambdas) > 0.0)
+
+
+def test_energy_build_lambda_statistics():
+    """(reference: test_energy_builder.rs:196-230)"""
+    rows = make_moons_hd(100, 0.2, 0.1, 99, 42)
+    b = (ArrowSpaceBuilder().with_seed(444)
+         .with_dims_reduction(True, 0.3).with_inline_sampling(None))
+    aspace, _ = en.build_energy(b, rows.tolist(), EnergyParams())
+    lam = np.asarray(aspace.lambdas)
+    assert lam.min() >= 0.0
+    assert lam.max() > lam.min()
+    assert np.isfinite(lam.mean()) and lam.mean() > 0.0

@@ -152,3 +152,81 @@ def test_zero_vector_gives_zero_lambda():
     assert np.isfinite(lam[2])
 
 
+
+
+def test_tau_floor_constant():
+    """TAU_FLOOR sanity (reference: test_taumode.rs:318-327)."""
+    assert TAU_FLOOR > 0.0
+    assert TAU_FLOOR < 1e-6
+    assert np.isfinite(TAU_FLOOR)
+
+
+def test_builder_lambdas_invariants():
+    """λ invariants through the full builder regardless of clustering
+    (reference: test_taumode.rs:270-316)."""
+    from arrowspace_tpu.builder import ArrowSpaceBuilder
+    from data import make_gaussian_blob
+    items = make_gaussian_blob(500, dims=10, spread=0.9, seed=21)
+    aspace, _ = (ArrowSpaceBuilder()
+                 .with_lambda_graph(0.3, 6, 2, 2.0, 0.12)
+                 .with_normalisation(False)
+                 .with_spectral(True)
+                 .with_synthesis(TauMode.median())
+                 .with_seed(17).build(items.tolist()))
+    lam = np.asarray(aspace.lambdas)
+    assert np.all((lam >= 0.0) & (lam <= 1.0))
+    assert lam.var() >= 0.0
+    assert lam.max() >= lam.min()
+
+
+def test_builder_lambdas_consistency_properties():
+    """Repeated seeded builds produce identical λ; the statistical
+    envelope is well-formed (reference: test_taumode.rs:329-430 tests a
+    nondeterministic build statistically; seeded is strictly stronger)."""
+    from arrowspace_tpu.builder import ArrowSpaceBuilder
+    from data import make_moons_hd
+    items = make_moons_hd(80, 0.15, 0.4, 11, 789)
+
+    def build():
+        return (ArrowSpaceBuilder()
+                .with_lambda_graph(0.3, 5, 2, 2.0, None)
+                .with_normalisation(False)
+                .with_synthesis(TauMode.median())
+                .with_seed(23).build(items.tolist()))
+
+    a1, _ = build()
+    a2, _ = build()
+    l1, l2 = np.asarray(a1.lambdas), np.asarray(a2.lambdas)
+    np.testing.assert_array_equal(l1, l2)
+    assert l1.shape == (80,)
+    assert np.all(np.isfinite(l1))
+    assert 0.0 <= l1.min() <= l1.max() <= 1.0
+
+
+def test_builder_lambdas_with_larger_dataset():
+    """999-item build: λ bounded in [0,1], finite, one per item; tau-mode
+    sweep produces valid spectra (reference: test_taumode.rs:531-660)."""
+    from arrowspace_tpu.builder import ArrowSpaceBuilder
+    from data import make_gaussian_blob
+    items = make_gaussian_blob(999, dims=10, spread=0.75, seed=25)
+    aspace, gl = (ArrowSpaceBuilder()
+                  .with_lambda_graph(0.1, 6, 2, 2.0, 0.50)
+                  .with_normalisation(False)
+                  .with_synthesis(TauMode.fixed(0.8))
+                  .with_sparsity_check(False)
+                  .with_seed(19).build(items.tolist()))
+    lam = np.asarray(aspace.lambdas)
+    assert lam.shape[0] == aspace.nitems == 999
+    assert gl.nnodes == 999
+    assert np.all(np.isfinite(lam))
+    assert np.all((lam >= 0.0) & (lam <= 1.0))
+
+    for mode in (TauMode.fixed(0.45), TauMode.fixed(0.6), TauMode.mean(),
+                 TauMode.median()):
+        a, _ = (ArrowSpaceBuilder()
+                .with_lambda_graph(0.1, 6, 2, 2.0, 0.50)
+                .with_synthesis(mode)
+                .with_sparsity_check(False)
+                .with_seed(19).build(items.tolist()))
+        lm = np.asarray(a.lambdas)
+        assert np.all(np.isfinite(lm)) and np.all(lm >= 0.0), str(mode)
