@@ -470,26 +470,85 @@ def _apply_chunk_decisions(rows_c, best, best_d2, offset, builder, sampler,
     soft_mask = keep & ~want_create & ~assign_mask \
         & (best_d2 <= radius * relax)
 
-    # creations in row order up to the cap; overflow rows fall back to
-    # the soft-outlier test on their snapshot distance
+    # Creations: iterative refinement in row order.  A naive "every
+    # creator creates" would let all same-cluster rows in a chunk spawn
+    # duplicate centroids (none sees the others' creations) and slam the
+    # cap on the first chunk — a far wider race than the reference's
+    # rayon window of ~n_threads rows.  Instead, each actual creation
+    # immediately re-filters the remaining candidates against the new
+    # centroid (one vectorised matvec per creation): candidates that are
+    # now within radius*0.5 re-route to assign/soft/drop on their updated
+    # best distance.  Still a valid serialisation (every row's snapshot
+    # point is legal), and it converges to the sequential scan's cluster
+    # structure on separated data.
     creators = np.nonzero(want_create)[0]
-    room = max_clusters - n_c
-    created, overflow = creators[:room], creators[room:]
-    if created.size:
-        cent[n_c:n_c + created.size] = rows_c[created]
-        counts[n_c:n_c + created.size] = 1
-        assign[offset + created] = n_c + np.arange(created.size)
-        n_c += created.size
-    if overflow.size:
-        soft_extra = overflow[best_d2[overflow] <= radius * relax]
-        soft_idx = np.concatenate([np.nonzero(soft_mask)[0], soft_extra])
-    else:
-        soft_idx = np.nonzero(soft_mask)[0]
+    reroute_assign_rows, reroute_assign_tgt = [], []
+    soft_extra_rows, soft_extra_tgt = [], []
+    if creators.size:
+        # fixed arrays + active mask: no per-iteration copies; f32
+        # distances (this is the relaxed unseeded mode — the device
+        # engine's snapshot distances are f32 already)
+        cand_rows = np.ascontiguousarray(rows_c[creators],
+                                         dtype=np.float32)
+        cand_sq = np.einsum("ij,ij->i", cand_rows, cand_rows)
+        cand_best = best_d2[creators].astype(np.float32)
+        cand_best_idx = best[creators].astype(np.int64).copy()
+        active = np.ones(creators.size, dtype=bool)
+        half = np.float32(radius * 0.5)
+        pos = 0
+        while n_c < max_clusters:
+            # first remaining candidate in row order
+            rem = np.nonzero(active[pos:])[0]
+            if rem.size == 0:
+                break
+            pos += int(rem[0])
+            cent[n_c] = rows_c[creators[pos]]
+            counts[n_c] = 1
+            assign[offset + creators[pos]] = n_c
+            new_id = n_c
+            n_c += 1
+            active[pos] = False
+            if not active.any():
+                break
+            # one BLAS matvec over the fixed candidate block
+            d2new = np.maximum(
+                cand_sq - 2.0 * (cand_rows @ cand_rows[pos])
+                + cand_sq[pos], 0.0)
+            closer = active & (d2new < cand_best)
+            cand_best[closer] = d2new[closer]
+            cand_best_idx[closer] = new_id
+            leaving = active & (cand_best <= half)
+            if leaving.any():
+                lv = creators[leaving]
+                lb = cand_best[leaving].astype(np.float64)
+                li = cand_best_idx[leaving]
+                a_ok = lb <= radius
+                reroute_assign_rows.extend(lv[a_ok].tolist())
+                reroute_assign_tgt.extend(li[a_ok].tolist())
+                s_ok = ~a_ok & (lb <= radius * relax)
+                soft_extra_rows.extend(lv[s_ok].tolist())
+                soft_extra_tgt.extend(li[s_ok].tolist())
+                active &= ~leaving
+        if active.any():
+            # cap reached (or candidates exhausted mid-pass): remaining
+            # candidates take the soft-outlier test on their updated best
+            lb = cand_best[active].astype(np.float64)
+            lv = creators[active]
+            li = cand_best_idx[active]
+            soft_ok = lb <= radius * relax
+            soft_extra_rows.extend(lv[soft_ok].tolist())
+            soft_extra_tgt.extend(li[soft_ok].tolist())
 
-    # grouped running-mean assignment (order-independent reduction)
+    # grouped running-mean assignment (order-independent reduction),
+    # including creator candidates re-routed to a within-chunk centroid
     a_idx = np.nonzero(assign_mask)[0]
+    tgt = best[a_idx]
+    if reroute_assign_rows:
+        a_idx = np.concatenate([a_idx, np.asarray(reroute_assign_rows,
+                                                  dtype=np.int64)])
+        tgt = np.concatenate([tgt, np.asarray(reroute_assign_tgt,
+                                              dtype=np.int64)])
     if a_idx.size:
-        tgt = best[a_idx]
         add_cnt = np.bincount(tgt, minlength=n_c)
         add_sum = np.zeros((n_c, nfeatures))
         np.add.at(add_sum, tgt, rows_c[a_idx])
@@ -499,12 +558,19 @@ def _apply_chunk_decisions(rows_c, best, best_d2, offset, builder, sampler,
             (cent[:n_c][upd] * counts[:n_c][upd, None]
              + add_sum[upd]) / new_counts[upd, None])
         counts[:n_c] = new_counts
-        assign[offset + a_idx] = best[a_idx]
+        assign[offset + a_idx] = tgt
 
     # soft outliers: counted, centroids unmoved (eta = 0)
+    soft_idx = np.nonzero(soft_mask)[0]
+    soft_tgt = best[soft_idx]
+    if soft_extra_rows:
+        soft_idx = np.concatenate([soft_idx, np.asarray(soft_extra_rows,
+                                                        dtype=np.int64)])
+        soft_tgt = np.concatenate([soft_tgt, np.asarray(soft_extra_tgt,
+                                                        dtype=np.int64)])
     if soft_idx.size:
-        np.add.at(counts, best[soft_idx], 1)
-        assign[offset + soft_idx] = best[soft_idx]
+        np.add.at(counts, soft_tgt, 1)
+        assign[offset + soft_idx] = soft_tgt
 
     state["n_c"] = n_c
 

@@ -281,6 +281,7 @@ def sharded_incremental_clustering(
 
     for start in range(0, shard_n, chunk):
         cent_pad = jnp.asarray(cent, dtype=dt)
+        round_start_nc = state["n_c"]
         best_all, bd_all = dist_fn(
             items_sharded,
             jnp.asarray([start], dtype=jnp.int32),
@@ -298,8 +299,26 @@ def sharded_incremental_clustering(
                 sl = slice(boot - offset, chunk)
             elif offset + chunk <= boot:
                 continue
+            best_c = best_all[lo:hi][sl].copy()
+            bd_c = bd_all[lo:hi][sl].copy()
+            # Refresh against centroids created by EARLIER chunks of this
+            # round (the device distances only saw the round-start
+            # snapshot): one small host matmul keeps the cross-device
+            # race window from duplicating clusters round-wide.
+            if state["n_c"] > round_start_nc and bd_c.size:
+                fresh = cent[round_start_nc:state["n_c"]]
+                rc = rows_c[sl]
+                d2f = (np.sum(rc * rc, axis=1)[:, None]
+                       - 2.0 * rc @ fresh.T
+                       + np.sum(fresh * fresh, axis=1)[None, :])
+                d2f = np.maximum(d2f, 0.0)
+                fbest = np.argmin(d2f, axis=1)
+                fbd = d2f[np.arange(d2f.shape[0]), fbest]
+                closer = fbd < bd_c
+                best_c = np.where(closer, fbest + round_start_nc, best_c)
+                bd_c = np.where(closer, fbd, bd_c)
             _apply_chunk_decisions(
-                rows_c[sl], best_all[lo:hi][sl], bd_all[lo:hi][sl],
+                rows_c[sl], best_c, bd_c,
                 offset + sl.start, builder, sampler, radius, max_clusters,
                 cent, counts, assign, state)
 

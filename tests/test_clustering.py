@@ -323,3 +323,50 @@ def test_twonn_device_matches_host():
     ident = 1.0 / math.log(mean_ratio) if mean_ratio > 1.001 else 32.0
     id_dev = int(np.clip(round(ident), 1, 32))
     assert id_dev == id_host
+
+
+def test_chunked_drift_from_sequential_characterized():
+    """Characterise how far the chunked snapshot relaxation drifts from
+    the ordered sequential scan on realistic clustered data (VERDICT r1
+    weak #7: only invariants were tested).  On well-separated clusters
+    the two serialisations must agree on the cluster structure itself:
+    near-identical centroid sets and high assignment agreement."""
+    rng = np.random.default_rng(53)
+    centers = rng.uniform(0, 1, (8, 24))
+    rows = centers[rng.integers(0, 8, 20000)] + rng.normal(0, 0.03,
+                                                           (20000, 24))
+
+    from arrowspace_tpu.clustering import (_incremental_clustering_chunked,
+                                           _incremental_clustering_numpy)
+
+    b1 = ArrowSpaceBuilder()
+    b1.sampling = None
+    s1 = SamplerType.simple(1.0).make(seed=1)
+    c_seq, a_seq, _ = _incremental_clustering_numpy(
+        b1, rows, 24, 16, 0.35, s1)
+
+    b2 = ArrowSpaceBuilder()
+    b2.sampling = None
+    s2 = SamplerType.simple(1.0).make(seed=1)
+    c_chk, a_chk, _ = _incremental_clustering_chunked(
+        b2, rows, 24, 16, 0.35, s2, chunk=4096)
+
+    # cluster-count drift bounded
+    assert abs(c_seq.shape[0] - c_chk.shape[0]) <= 2, \
+        (c_seq.shape[0], c_chk.shape[0])
+
+    # every sequential centroid has a close chunked counterpart (and vice
+    # versa): Hausdorff-style match within a fraction of the radius
+    d = np.linalg.norm(c_seq[:, None, :] - c_chk[None, :, :], axis=2)
+    assert d.min(axis=1).max() < 0.35 * 0.5, d.min(axis=1).max()
+    assert d.min(axis=0).max() < 0.35 * 0.5, d.min(axis=0).max()
+
+    # assignment agreement under the centroid matching: rows land in
+    # matching clusters almost always
+    match = np.argmin(d, axis=0)  # chunked id -> nearest sequential id
+    a_seq_arr = np.asarray([-1 if a is None else a for a in a_seq])
+    a_chk_arr = np.asarray([-1 if a is None else match[a] if a >= 0 else -1
+                            for a in a_chk])
+    both = (a_seq_arr >= 0) & (a_chk_arr >= 0)
+    agreement = np.mean(a_seq_arr[both] == a_chk_arr[both])
+    assert agreement > 0.95, agreement
