@@ -35,6 +35,29 @@ def default_dtype():
     return jnp.dtype(jnp.float32)
 
 
+def bucket_rows(n: int, floor: int = 1024) -> int:
+    """Round a row count up to a coarse bucket so Mosaic kernels compile
+    once per bucket instead of once per corpus size.
+
+    A fresh Pallas/Mosaic compile costs minutes through the remote-compile
+    tunnel (measured 289s at a novel 77k x 128 shape) while the persistent
+    JAX cache makes repeat shapes fast — so the padded-row waste (<= 25%
+    of a millisecond-scale op above the knee, <= 2x below it) buys
+    order-of-magnitude better cold-build latency across corpus sizes.
+
+    Schedule: identity up to `floor`; next power of two up to 262144;
+    above that, multiples of a quarter of the next power of two
+    (logarithmically many buckets, <= 25% padding).
+    """
+    if n <= floor:
+        return n
+    p2 = 1 << (n - 1).bit_length()
+    if p2 <= 262144:
+        return p2
+    q = p2 // 4
+    return ((n + q - 1) // q) * q
+
+
 def is_test_mode() -> bool:
     """Mirrors the reference's #[cfg(test)] gates (e.g. the sampling-ratio
     runtime assert in clustering.rs:896-900 is disabled in test builds)."""

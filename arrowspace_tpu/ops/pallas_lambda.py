@@ -127,7 +127,10 @@ def fused_lambda_batch(
 
     x = items.astype(dt)
     taus = taus.astype(dt)
-    n_pad = ((n_items + tile - 1) // tile) * tile
+    # coarse row bucket first: one compiled program per bucket, not per N
+    from ..config import bucket_rows
+    n_bucket = max(bucket_rows(n_items), tile)
+    n_pad = ((n_bucket + tile - 1) // tile) * tile
     if n_pad != n_items:
         x = jnp.pad(x, ((0, n_pad - n_items), (0, 0)))
         # τ is floored > 0, pad with 1 to keep the kernel division benign

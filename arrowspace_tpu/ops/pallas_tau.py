@@ -125,7 +125,10 @@ def fused_select_tau(
     f2 = 1 << (f - 1).bit_length()
     dt = items.dtype
 
-    n_pad = ((n + tile - 1) // tile) * tile
+    # coarse row bucket first: one compiled program per bucket, not per N
+    from ..config import bucket_rows
+    n_bucket = max(bucket_rows(n), tile)
+    n_pad = ((n_bucket + tile - 1) // tile) * tile
     x = items
     if n_pad != n:
         x = jnp.pad(x, ((0, n_pad - n), (0, 0)), constant_values=1.0)

@@ -153,7 +153,11 @@ def fused_taulambda_batch(
     d2_c = jnp.sum(w2, axis=0)
 
     x = items.astype(dt)
-    n_pad = ((n_items + tile - 1) // tile) * tile
+    # Coarse row bucket (config.bucket_rows), then the tile multiple: all
+    # corpus sizes in a bucket share one compiled Mosaic program.
+    from ..config import bucket_rows
+    n_bucket = max(bucket_rows(n_items), tile)
+    n_pad = ((n_bucket + tile - 1) // tile) * tile
     if n_pad != n_items:
         x = jnp.pad(x, ((0, n_pad - n_items), (0, 0)), constant_values=1.0)
 

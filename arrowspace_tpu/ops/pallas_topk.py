@@ -147,6 +147,19 @@ def fused_lambda_topk(
     # so most tiles skip the merge entirely.
     max_b = 128
 
+    # Pad the batch to a multiple of the block so ONE (128, N) Mosaic
+    # program serves every batch size (a fresh Mosaic compile costs
+    # minutes through the remote-compile tunnel; the corpus stream
+    # dominates device time, so extra query rows are nearly free).
+    if bsz % max_b != 0:
+        pad_b = max_b - bsz % max_b
+        qp = jnp.pad(queries, ((0, pad_b), (0, 0)), constant_values=1.0)
+        qlp = jnp.pad(query_lambdas, (0, pad_b))
+        s, i = fused_lambda_topk(qp, qlp, items, item_lambdas, alpha,
+                                 k=k, tile=tile, interpret=interpret,
+                                 use_bf16=use_bf16)
+        return s[:bsz], i[:bsz]
+
     if tile <= 0:
         # Auto tile from the ~16 MB scoped-VMEM budget: the dominant
         # per-step buffers are the double-buffered item tile (tile×F) and
@@ -178,7 +191,11 @@ def fused_lambda_topk(
     qlam = query_lambdas.astype(dt)
     xlam = item_lambdas.astype(dt)
 
-    n_pad = ((n + tile - 1) // tile) * tile
+    # coarse corpus bucket (config.bucket_rows): one compiled program per
+    # bucket; padded rows are masked to NEG_INF by the gidx < n guard
+    from ..config import bucket_rows
+    n_bucket = max(bucket_rows(n), tile)
+    n_pad = ((n_bucket + tile - 1) // tile) * tile
     if n_pad != n:
         xhat = jnp.pad(xhat, ((0, n_pad - n), (0, 0)))
         xlam = jnp.pad(xlam, (0, n_pad - n))

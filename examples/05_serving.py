@@ -1,0 +1,81 @@
+"""Production serving loop: compiled pipelined streaming + exact rescoring.
+
+No reference analogue (the reference has no serving runtime); this shows
+the TPU-deployment shape of the engine:
+
+1. build an index once (device clustering tiles at scale);
+2. open a SearchSession — ONE jitted program fuses query-λ preparation
+   (projection, τ, synthetic λ) with scoring + top-k, and the stream
+   driver keeps two batches in flight so result readback overlaps the
+   next batch's compute;
+3. serve a stream of query batches at sustained throughput;
+4. use precision="f64_rescore" when exact f64 tie ordering matters
+   (recall@10 = 1.000 vs an f64 brute force on clustered data).
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+from arrowspace_tpu import init
+from arrowspace_tpu.index import ArrowIndex
+
+
+def main():
+    init()
+    rng = np.random.default_rng(7)
+    n, f = 50_000, 128
+    centers = rng.uniform(0.2, 0.8, (64, f))
+    rows = centers[rng.integers(0, 64, n)] + rng.normal(0, 0.2, (n, f))
+
+    t0 = time.perf_counter()
+    idx = ArrowIndex.build(rows, eps=1.0, k=6, topk=3, seed=11)
+    print(f"build {n}x{f}: {time.perf_counter() - t0:.2f}s, "
+          f"{idx.aspace.n_clusters} clusters")
+
+    batch, n_batches = 256, 20
+    sess = idx.make_search_session(batch_size=batch, k=10, alpha=0.9,
+                                   depth=2)
+    sess.warmup()
+
+    batches = [rows[rng.integers(0, n, batch)] * 1.01
+               for _ in range(n_batches)]
+    t0 = time.perf_counter()
+    served = 0
+    for scores, ids in sess.search_stream(batches):
+        served += ids.shape[0]
+    dt = time.perf_counter() - t0
+    print(f"served {served} queries in {dt:.2f}s "
+          f"({served / dt:.0f} QPS sustained, {dt / n_batches * 1e3:.1f} "
+          f"ms/batch pipelined)")
+
+    # spot-check vs the one-shot API.  On TPU the session prepares query
+    # λ in f32 on-device while the one-shot path routes small batches to
+    # the f64 host engine, so near-tie ranks can flip — require top-1
+    # identity and high top-10 overlap (exact equality holds on the
+    # CPU/f64 backend, pinned by tests/test_index.py).
+    s_ref, i_ref = idx.search(batches[0], k=10, alpha=0.9)
+    s_got, i_got = next(iter(sess.search_stream(batches[:1])))
+    assert (i_got[:, 0] == i_ref[:, 0]).all()
+    overlap = np.mean([len(set(i_got[b]) & set(i_ref[b])) / 10.0
+                       for b in range(batch)])
+    assert overlap > 0.9, overlap
+    print(f"pipelined results match one-shot search: OK "
+          f"(top-10 overlap {overlap:.3f})")
+
+    # exact rescoring: f64 tie ordering recovered from the f32 device scan
+    q = rows[rng.integers(0, n, 8)] * 1.01
+    s64, i64 = idx.search(q, k=10, alpha=1.0, precision="f64_rescore")
+    cos = (q @ rows.T) / (np.linalg.norm(q, axis=1)[:, None]
+                          * np.linalg.norm(rows, axis=1)[None, :])
+    brute = np.argsort(-cos, axis=1, kind="stable")[:, :10]
+    assert (i64 == brute).all()
+    print("f64_rescore matches the f64 brute-force ranking exactly: OK")
+
+
+if __name__ == "__main__":
+    main()
