@@ -92,3 +92,78 @@ def test_compute_taumode_uses_signals_when_present():
     assert aspace.signals is not None and aspace.signals.shape[0] > 0
     assert not np.allclose(np.asarray(aspace.lambdas),
                            np.asarray(aspace2.lambdas))
+
+
+def test_staged_equals_monolithic_with_spectral():
+    """Staged == monolithic when the spectral (Laplacian-of-Laplacian)
+    overlay is enabled (reference: test_eigenmaps.rs:188-266)."""
+    rows = make_moons_hd(70, noise=0.1, hd_noise=0.05, dims=10, seed=6)
+
+    b1 = (ArrowSpaceBuilder().with_lambda_graph(1.0, 5, 3, 2.0, None)
+          .with_spectral(True).with_seed(31))
+    aspace_m, gl_m = b1.build(rows.tolist())
+
+    b2 = (ArrowSpaceBuilder().with_lambda_graph(1.0, 5, 3, 2.0, None)
+          .with_spectral(True).with_seed(31))
+    b2.define_result_k()
+    clustered = em.start_clustering(b2, rows.tolist())
+    aspace_s = clustered.aspace
+    gl_s = em.eigenmaps(aspace_s, b2, clustered.centroids,
+                        clustered.n_items)
+    em.compute_taumode(aspace_s, gl_s)
+
+    assert aspace_m.signals is not None and aspace_s.signals is not None
+    np.testing.assert_allclose(np.asarray(aspace_s.signals),
+                               np.asarray(aspace_m.signals), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(aspace_s.lambdas),
+                               np.asarray(aspace_m.lambdas), rtol=1e-12)
+
+
+def test_staged_equals_monolithic_different_taumode():
+    """Staged == monolithic under each tau policy
+    (reference: test_eigenmaps.rs:268-357)."""
+    from arrowspace_tpu.taumode import TauMode
+    rows = make_moons_hd(60, noise=0.1, hd_noise=0.05, dims=10, seed=7)
+    for mode in (TauMode.mean(), TauMode.percentile(0.75),
+                 TauMode.fixed(0.3)):
+        b1 = (ArrowSpaceBuilder().with_lambda_graph(1.0, 5, 3, 2.0, None)
+              .with_synthesis(mode).with_seed(33))
+        aspace_m, _ = b1.build(rows.tolist())
+
+        b2 = (ArrowSpaceBuilder().with_lambda_graph(1.0, 5, 3, 2.0, None)
+              .with_synthesis(mode).with_seed(33))
+        b2.define_result_k()
+        clustered = em.start_clustering(b2, rows.tolist())
+        aspace_s = clustered.aspace
+        gl_s = em.eigenmaps(aspace_s, b2, clustered.centroids,
+                            clustered.n_items)
+        em.compute_taumode(aspace_s, gl_s)
+        np.testing.assert_allclose(np.asarray(aspace_s.lambdas),
+                                   np.asarray(aspace_m.lambdas),
+                                   rtol=1e-12, err_msg=str(mode))
+
+
+def test_eigenmaps_stages_produce_valid_state():
+    """Each stage leaves well-formed state
+    (reference: test_eigenmaps.rs:359-409)."""
+    rows = make_moons_hd(50, noise=0.1, hd_noise=0.05, dims=8, seed=8)
+    b = (ArrowSpaceBuilder().with_lambda_graph(1.0, 4, 2, 2.0, None)
+         .with_seed(35))
+    b.define_result_k()
+
+    clustered = em.start_clustering(b, rows.tolist())
+    assert clustered.aspace.nitems == 50
+    assert clustered.aspace.n_clusters >= 1
+    assert clustered.centroids.shape[1] == clustered.reduced_dim == 8
+    assert np.all(np.asarray(clustered.aspace.lambdas) == 0.0)  # pre-λτ
+
+    gl = em.eigenmaps(clustered.aspace, b, clustered.centroids,
+                      clustered.n_items)
+    assert gl.nnodes == 50
+    assert gl.shape() == (8, 8)  # F'xF' feature graph
+    assert gl.is_symmetric(1e-9)
+
+    em.compute_taumode(clustered.aspace, gl)
+    lam = np.asarray(clustered.aspace.lambdas)
+    assert np.all(np.isfinite(lam)) and np.all(lam >= 0.0)
+    assert lam.max() > 0.0
