@@ -156,12 +156,19 @@ def _twonn_two_smallest_device(device_data, indices) -> np.ndarray:
         neg_top, _ = jax.lax.top_k(-d2, 2)
         return -neg_top  # negation flips descending top-k to ascending
 
-    out = []
+    # pad the sample count to a multiple of the chunk (repeating index 0)
+    # so every corpus compiles ONE tile shape, not one per tail size;
+    # duplicate rows are dropped from the output
+    n_sel = len(indices)
     chunk = 256
-    for s0 in range(0, len(indices), chunk):
-        sel = jnp.asarray(indices[s0:s0 + chunk].astype(np.int32))
+    pad = (-n_sel) % chunk
+    padded = np.concatenate([indices, np.full(pad, indices[0])]) \
+        if pad else indices
+    out = []
+    for s0 in range(0, len(padded), chunk):
+        sel = jnp.asarray(padded[s0:s0 + chunk].astype(np.int32))
         out.append(np.asarray(tile(device_data, sel), dtype=np.float64))
-    return np.concatenate(out, axis=0)
+    return np.concatenate(out, axis=0)[:n_sel]
 
 
 def estimate_intrinsic_dimension(rows, n: int, f: int, base_seed: int,
@@ -404,12 +411,14 @@ class _DeviceChunkDistances:
 
         self._jnp = jnp
         n, f = device_data.shape
+        assert chunk <= n
         self.n = n
         self.chunk = chunk
         self.max_clusters = max_clusters
-        pad = (-n) % chunk
-        self.corpus = jnp.pad(device_data, ((0, pad), (0, 0))) \
-            if pad else device_data
+        # no padded copy: dynamic_slice clamps a tail start to n - chunk,
+        # and __call__ takes the LAST m results — the corpus would
+        # otherwise be held twice in HBM for the whole scan
+        self.corpus = device_data
 
         @functools.partial(jax.jit, static_argnames=())
         def _dist(corpus, start, cent_pad, n_c):
@@ -436,8 +445,10 @@ class _DeviceChunkDistances:
             self.corpus, c0, jnp.asarray(cent_pad, dtype=self.corpus.dtype),
             n_c)
         m = min(self.chunk, self.n - c0)
-        return (np.asarray(best[:m]).astype(np.int64),
-                np.asarray(bd[:m], dtype=np.float64))
+        # tail chunk: the device window was clamped to [n - chunk, n), so
+        # rows [c0, n) are the last m entries
+        return (np.asarray(best[-m:]).astype(np.int64),
+                np.asarray(bd[-m:], dtype=np.float64))
 
 
 def _apply_chunk_decisions(rows_c, best, best_d2, offset, builder, sampler,
@@ -519,15 +530,12 @@ def _apply_chunk_decisions(rows_c, best, best_d2, offset, builder, sampler,
             cand_best_idx[closer] = new_id
             leaving = active & (cand_best <= half)
             if leaving.any():
-                lv = creators[leaving]
-                lb = cand_best[leaving].astype(np.float64)
-                li = cand_best_idx[leaving]
-                a_ok = lb <= radius
-                reroute_assign_rows.extend(lv[a_ok].tolist())
-                reroute_assign_tgt.extend(li[a_ok].tolist())
-                s_ok = ~a_ok & (lb <= radius * relax)
-                soft_extra_rows.extend(lv[s_ok].tolist())
-                soft_extra_tgt.extend(li[s_ok].tolist())
+                # a leaver satisfies best <= radius*0.5 < radius, so it
+                # always re-routes to ASSIGN (the soft-outlier band
+                # radius..1.5*radius is unreachable from here)
+                reroute_assign_rows.extend(creators[leaving].tolist())
+                reroute_assign_tgt.extend(
+                    cand_best_idx[leaving].tolist())
                 active &= ~leaving
         if active.any():
             # cap reached (or candidates exhausted mid-pass): remaining

@@ -46,15 +46,16 @@ def bucket_rows(n: int, floor: int = 1024) -> int:
     order-of-magnitude better cold-build latency across corpus sizes.
 
     Schedule: identity up to `floor`; next power of two up to 262144;
-    above that, multiples of a quarter of the next power of two
-    (logarithmically many buckets, <= 25% padding).
+    above that, multiples of an eighth of the next power of two — since
+    n > p2/2, the padding is at most (p2/8)/(p2/2) = 25%, with
+    logarithmically many buckets per octave.
     """
     if n <= floor:
         return n
     p2 = 1 << (n - 1).bit_length()
     if p2 <= 262144:
         return p2
-    q = p2 // 4
+    q = p2 // 8
     return ((n + q - 1) // q) * q
 
 

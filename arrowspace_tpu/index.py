@@ -73,6 +73,7 @@ class SearchSession:
                       and index.nitems >= 65536 and k_eff <= 128)
 
         has_proj = proj is not None
+        pad_tall = aspace.pad_tall_graphs
 
         # The corpus arrays are ARGUMENTS, not closure captures: jit would
         # otherwise embed them as HLO constants (a 512 MB program blows the
@@ -81,7 +82,8 @@ class SearchSession:
             q_prep = q_raw if not has_proj else jnp.dot(
                 q_raw, proj_a, preferred_element_type=dt)
             taus = select_tau_batch(q_prep, taumode)
-            qlam = synthetic_lambda_batch(q_prep, lap_a, taus)
+            qlam = synthetic_lambda_batch(q_prep, lap_a, taus,
+                                          pad_items=pad_tall)
             if use_pallas:
                 return fused_lambda_topk(q_raw, qlam, data_a, lambdas_a,
                                          float(alpha), k=k_eff)
@@ -104,18 +106,29 @@ class SearchSession:
     def search_stream(self, batches: Iterable) -> Iterable[Tuple[np.ndarray,
                                                                  np.ndarray]]:
         """Yield (scores, ids) per input batch, keeping `depth` batches in
-        flight (dispatch batch i+1 before fetching batch i's results)."""
+        flight (dispatch batch i+1 before fetching batch i's results).
+        Partial batches (e.g. a stream tail) are padded to batch_size so
+        the compiled step is never retraced mid-stream; their results are
+        sliced back."""
         jnp = self._jnp
         pending = deque()
         for qb in batches:
-            q = jnp.asarray(np.ascontiguousarray(qb), dtype=self._dt)
-            pending.append(self._step(q))  # async dispatch
+            qb = np.ascontiguousarray(qb)
+            nq = qb.shape[0]
+            if nq != self.batch_size:
+                assert nq < self.batch_size, (
+                    f"batch of {nq} exceeds the session batch_size "
+                    f"{self.batch_size}")
+                qb = np.pad(qb, ((0, self.batch_size - nq), (0, 0)),
+                            constant_values=1.0)
+            q = jnp.asarray(qb, dtype=self._dt)
+            pending.append((self._step(q), nq))  # async dispatch
             if len(pending) > self.depth:
-                s, i = pending.popleft()
-                yield np.asarray(s), np.asarray(i)
+                (s, i), m = pending.popleft()
+                yield np.asarray(s[:m]), np.asarray(i[:m])
         while pending:
-            s, i = pending.popleft()
-            yield np.asarray(s), np.asarray(i)
+            (s, i), m = pending.popleft()
+            yield np.asarray(s[:m]), np.asarray(i[:m])
 
 
 class ArrowIndex:

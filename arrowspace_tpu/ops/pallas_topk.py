@@ -70,9 +70,8 @@ def _merge_topk(run_s, run_i, tile_s, tile_i, k: int):
     return _extract_topk(comb_s, comb_i, k)
 
 
-def _kernel(qhat_ref, qlam_ref, xhat_ref, xlam_ref, alpha_ref,
-            out_s_ref, out_i_ref, run_s, run_i, *, k: int, tile: int,
-            n_items: int):
+def _kernel(qhat_ref, qlam_ref, xhat_ref, xlam_ref, alpha_ref, n_ref,
+            out_s_ref, out_i_ref, run_s, run_i, *, k: int, tile: int):
     t = pl.program_id(0)
     n_tiles = pl.num_programs(0)
 
@@ -92,11 +91,12 @@ def _kernel(qhat_ref, qlam_ref, xhat_ref, xlam_ref, alpha_ref,
     lam_sim = 1.0 - jnp.minimum(dl, 1.0)
     scores = alpha * cos + (1.0 - alpha) * lam_sim
 
-    # mask padding rows beyond N
+    # mask padding rows beyond N (true N arrives as an SMEM scalar so the
+    # compiled Mosaic module is reusable across corpus sizes in a bucket)
     base = t * tile
     local = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
     gidx = local + base
-    scores = jnp.where(gidx < n_items, scores, NEG_INF)
+    scores = jnp.where(gidx < n_ref[0, 0], scores, NEG_INF)
 
     # Threshold gate: after the running buffer warms up, most tiles cannot
     # beat any row's current kth score — skip the merge entirely then.
@@ -217,6 +217,8 @@ def fused_lambda_topk(
                          memory_space=pltpu.VMEM),      # xlam tile
             pl.BlockSpec((1, 1), lambda t: (0, 0),
                          memory_space=pltpu.SMEM),      # alpha
+            pl.BlockSpec((1, 1), lambda t: (0, 0),
+                         memory_space=pltpu.SMEM),      # true N
         ],
         out_specs=(
             pl.BlockSpec((bsz, k), lambda t: (0, 0),
@@ -226,7 +228,7 @@ def fused_lambda_topk(
         ),
     )
 
-    kernel = functools.partial(_kernel, k=k, tile=tile, n_items=n)
+    kernel = functools.partial(_kernel, k=k, tile=tile)
     out_s, out_i = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -239,5 +241,6 @@ def fused_lambda_topk(
             transcendentals=0,
         ),
     )(qhat, qlam, xhat, xlam,
-      jnp.asarray(alpha, dtype=dt).reshape(1, 1))
+      jnp.asarray(alpha, dtype=dt).reshape(1, 1),
+      jnp.asarray(n, dtype=jnp.int32).reshape(1, 1))
     return out_s, out_i

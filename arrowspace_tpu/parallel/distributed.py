@@ -280,6 +280,10 @@ def sharded_incremental_clustering(
                            "rejected by sampling)")
 
     for start in range(0, shard_n, chunk):
+        # m < chunk on a partial final round: dynamic_slice clamps the
+        # device window to [shard_n - chunk, shard_n), so the wanted rows
+        # [start, shard_n) are the LAST m entries of each shard's result.
+        m = min(chunk, shard_n - start)
         cent_pad = jnp.asarray(cent, dtype=dt)
         round_start_nc = state["n_c"]
         best_all, bd_all = dist_fn(
@@ -291,13 +295,13 @@ def sharded_incremental_clustering(
         # device-order serialisation: apply each shard's chunk in turn
         for d in range(n_dev):
             offset = d * shard_n + start
-            lo, hi = d * chunk, (d + 1) * chunk
-            rows_c = x_host[offset:offset + chunk]
-            sl = slice(0, chunk)
-            if offset + chunk > boot > offset:
+            lo, hi = d * chunk + (chunk - m), (d + 1) * chunk
+            rows_c = x_host[offset:offset + m]
+            sl = slice(0, m)
+            if offset + m > boot > offset:
                 # rows consumed by the bootstrap scan are already decided
-                sl = slice(boot - offset, chunk)
-            elif offset + chunk <= boot:
+                sl = slice(boot - offset, m)
+            elif offset + m <= boot:
                 continue
             best_c = best_all[lo:hi][sl].copy()
             bd_c = bd_all[lo:hi][sl].copy()

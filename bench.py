@@ -250,8 +250,14 @@ def main() -> None:
     record("lookup_topk3_batch256_latency", ours_ms, "ms",
            vs_baseline=round(2024.3 / ours_ms, 1))
 
-    # The device sweeps must not jeopardise the recorded headline if the
-    # TPU tunnel fails mid-run: any error falls through to emit().
+    # Emit the headline IMMEDIATELY: a tunnel stall or kill during the
+    # device sweeps (both real axon failure modes) must not lose the
+    # already-measured result.  The enriched line re-emits at the end; a
+    # consumer taking either the first or the last JSON line gets a valid
+    # record.
+    emit()
+
+    # Raised errors additionally fall through to the final emit().
     try:
         laplacian_sweep()
         if backend == "tpu":

@@ -370,3 +370,18 @@ def test_chunked_drift_from_sequential_characterized():
     both = (a_seq_arr >= 0) & (a_chk_arr >= 0)
     agreement = np.mean(a_seq_arr[both] == a_chk_arr[both])
     assert agreement > 0.95, agreement
+
+
+def test_bucket_rows_schedule():
+    """bucket_rows: identity below the floor, pow2 to 256k, <=25% padding
+    above, and monotone (same bucket => same compiled program)."""
+    from arrowspace_tpu.config import bucket_rows
+    assert bucket_rows(512) == 512
+    assert bucket_rows(1500) == 2048
+    assert bucket_rows(262144) == 262144
+    for n in (262145, 300000, 500000, 1_000_000, 7_777_777):
+        b = bucket_rows(n)
+        assert b >= n
+        assert (b - n) / n <= 0.25, (n, b)
+    # all sizes inside a bucket map to the same padded shape
+    assert bucket_rows(999_000) == bucket_rows(1_000_000)

@@ -236,3 +236,36 @@ def test_distributed_build_step_end_to_end(mesh):
     for qi in range(4):
         assert int(idx[qi][0]) == qi
     assert np.all(np.isfinite(np.asarray(lambdas)))
+
+
+def test_sharded_clustering_tail_round(mesh):
+    """shard_n not divisible by the round chunk: the clamped device
+    window's results must align with the host rows (regression: the tail
+    round silently paired rows with other rows' distances)."""
+    from arrowspace_tpu.builder import ArrowSpaceBuilder
+    from arrowspace_tpu.parallel import sharded_incremental_clustering
+    from arrowspace_tpu.sampling import SamplerType
+
+    rng = np.random.default_rng(61)
+    centers = rng.uniform(0, 1, (6, 16))
+    rows = centers[rng.integers(0, 6, 8192)] + rng.normal(0, 0.03,
+                                                          (8192, 16))
+    items = jax.device_put(jnp.asarray(rows),
+                           jax.sharding.NamedSharding(
+                               mesh, jax.sharding.PartitionSpec("items",
+                                                                None)))
+    b = ArrowSpaceBuilder()
+    b.sampling = None
+    s = SamplerType.simple(1.0).make(seed=1)
+    # shard_n = 1024, chunk = 300 -> rounds of 300/300/300/124
+    cents, assigns, sizes = sharded_incremental_clustering(
+        items, b, 16, 0.3, s, mesh, rounds_chunk=300)
+    assert len(assigns) == 8192
+    assert all(a is not None for a in assigns)  # no sampling: all decided
+    assert sum(sizes) == 8192
+    # clustered data: every row's assigned centroid is its true nearest
+    # within the relaxed radius
+    d = np.linalg.norm(rows[:, None, :] - cents[None, :, :], axis=2) ** 2
+    a = np.asarray(assigns)
+    chosen = d[np.arange(8192), a]
+    assert np.all(chosen <= 0.3 * 1.5 + 1e-9)

@@ -160,3 +160,40 @@ def test_search_session_with_projection():
         s_ref, i_ref = idx.search(qb, k=5, alpha=0.9)
         np.testing.assert_array_equal(i, i_ref)
         np.testing.assert_allclose(s, s_ref, rtol=1e-6)
+
+
+def test_search_session_partial_batch():
+    """A stream tail smaller than batch_size is padded (no mid-stream
+    retrace) and its results sliced back."""
+    rows, idx = _index()
+    sess = idx.make_search_session(batch_size=8, k=5, alpha=0.9)
+    batches = [rows[:8] * 1.01, rows[8:11] * 1.01]  # tail of 3
+    got = list(sess.search_stream(batches))
+    assert got[0][1].shape == (8, 5)
+    assert got[1][1].shape == (3, 5)
+    s_ref, i_ref = idx.search(batches[1], k=5, alpha=0.9)
+    np.testing.assert_array_equal(got[1][1], i_ref)
+
+
+def test_search_session_tall_graph_index():
+    """A session over an allow_tall_graphs energy index must prepare
+    query λ with padding instead of raising the n>F error."""
+    from arrowspace_tpu import energymaps as en
+    from arrowspace_tpu.builder import ArrowSpaceBuilder
+    from arrowspace_tpu.energymaps import EnergyParams
+    rng = np.random.default_rng(0)
+    centers = rng.uniform(0, 1, (40, 16))
+    rows = centers[rng.integers(0, 40, 800)] + rng.normal(0, 0.02, (800, 16))
+    b = (ArrowSpaceBuilder().with_seed(7).with_dims_reduction(True, 0.3)
+         .with_inline_sampling(None))
+    aspace, gl = en.build_energy(
+        b, rows.tolist(),
+        EnergyParams(split_quantile=0.2, allow_tall_graphs=True))
+    assert gl.shape()[0] > aspace.nfeatures
+    idx = ArrowIndex(aspace, gl, b)
+    sess = idx.make_search_session(batch_size=4, k=5, alpha=0.9)
+    sess.warmup()
+    (s, i), = list(sess.search_stream([rows[:4] * 1.01]))
+    assert s.shape == (4, 5)
+    s_ref, i_ref = idx.search(rows[:4] * 1.01, k=5, alpha=0.9)
+    np.testing.assert_array_equal(i, i_ref)
