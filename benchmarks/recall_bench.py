@@ -78,6 +78,22 @@ def main() -> None:
         if alpha == 1.0:
             assert r10 == 1.0, "alpha=1 must equal brute cosine"
 
+    # exact-recall serving path: f64 re-ranking of the device candidate
+    # pool against the original rows (recovers f32 tie flips; see
+    # index.search(precision="f64_rescore"))
+    from arrowspace_tpu.index import ArrowIndex
+    index = ArrowIndex(aspace, gl, builder)
+    s64, i64 = index.search(queries, k=10, alpha=1.0,
+                            precision="f64_rescore")
+    cosd = queries @ corpus.T / (
+        np.linalg.norm(queries, axis=1)[:, None]
+        * np.linalg.norm(corpus, axis=1)[None, :])
+    gt64 = np.argsort(-cosd, axis=1, kind="stable")[:, :10]
+    exact = np.mean([list(i64[i]) == list(gt64[i])
+                     for i in range(n_queries)])
+    print(f"f64_rescore exact-order@10 vs f64 brute force: {exact:.3f}")
+    assert exact == 1.0
+
 
 if __name__ == "__main__":
     main()
