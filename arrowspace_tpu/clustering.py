@@ -133,34 +133,49 @@ def calinski_harabasz_score(rows, assignments, k: int) -> float:
     return (bgss / (k - 1)) / (wgss / (n - k))
 
 
+def _twonn_tile_jit():
+    """Module-level jitted Two-NN distance tile (lazy so importing this
+    module never initialises JAX).  Hoisted out of the per-call scope so
+    (a) repeat builds in one process reuse one trace and (b) the AOT
+    precompile (precompile.py) can lower it by shape alone."""
+    global _TWONN_TILE
+    if _TWONN_TILE is None:
+        import jax
+        import jax.numpy as jnp
+
+        @jax.jit
+        def tile(corpus, sel):
+            rows_s = jnp.take(corpus, sel, axis=0)
+            d2 = (jnp.sum(rows_s * rows_s, axis=1)[:, None]
+                  - 2.0 * jnp.dot(rows_s, corpus.T,
+                                  preferred_element_type=corpus.dtype)
+                  + jnp.sum(corpus * corpus, axis=1)[None, :])
+            col = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+            d2 = jnp.where(col == sel[:, None].astype(jnp.int32), jnp.inf,
+                           jnp.maximum(d2, 0.0))
+            neg_top, _ = jax.lax.top_k(-d2, 2)
+            return -neg_top  # negation flips descending top-k to ascending
+
+        _TWONN_TILE = tile
+    return _TWONN_TILE
+
+
+_TWONN_TILE = None
+TWONN_CHUNK = 256
+
+
 def _twonn_two_smallest_device(device_data, indices) -> np.ndarray:
     """Two smallest squared distances per sample row, computed on device:
     one (chunk x N) distance tile per matmul on the MXU + top_k, reusing
     the corpus the build already uploaded.  Returns (len(indices), 2) f64."""
-    import jax
     import jax.numpy as jnp
-    import functools
 
-    n = device_data.shape[0]
-
-    @functools.partial(jax.jit, static_argnames=())
-    def tile(corpus, sel):
-        rows_s = jnp.take(corpus, sel, axis=0)
-        d2 = (jnp.sum(rows_s * rows_s, axis=1)[:, None]
-              - 2.0 * jnp.dot(rows_s, corpus.T,
-                              preferred_element_type=corpus.dtype)
-              + jnp.sum(corpus * corpus, axis=1)[None, :])
-        col = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
-        d2 = jnp.where(col == sel[:, None].astype(jnp.int32), jnp.inf,
-                       jnp.maximum(d2, 0.0))
-        neg_top, _ = jax.lax.top_k(-d2, 2)
-        return -neg_top  # negation flips descending top-k to ascending
-
+    tile = _twonn_tile_jit()
     # pad the sample count to a multiple of the chunk (repeating index 0)
     # so every corpus compiles ONE tile shape, not one per tail size;
     # duplicate rows are dropped from the output
     n_sel = len(indices)
-    chunk = 256
+    chunk = TWONN_CHUNK
     pad = (-n_sel) % chunk
     padded = np.concatenate([indices, np.full(pad, indices[0])]) \
         if pad else indices
@@ -394,35 +409,21 @@ def run_incremental_clustering_with_sampling(
         builder, rows, nfeatures, max_clusters, radius, sampler)
 
 
-class _DeviceChunkDistances:
-    """Snapshot nearest-centroid distances on the accelerator.
-
-    The corpus stays device-resident (one upload, shared with the λτ
-    stages); per chunk only the (max_clusters x F) centroid snapshot goes
-    up and (chunk,) best-index/best-d² come back — a few KB over the
-    tunnel instead of a (chunk x F) tile.  The centroid buffer is padded
-    to a fixed max_clusters so one compiled program serves the whole scan.
-    """
-
-    def __init__(self, device_data, max_clusters: int, chunk: int):
+def _chunk_dist_jit():
+    """Module-level jitted snapshot-distance program (lazy; shared by all
+    _DeviceChunkDistances instances and AOT-lowerable by precompile.py).
+    The chunk length is static; start/n_c are runtime scalars."""
+    global _CHUNK_DIST
+    if _CHUNK_DIST is None:
         import functools
         import jax
         import jax.numpy as jnp
 
-        self._jnp = jnp
-        n, f = device_data.shape
-        assert chunk <= n
-        self.n = n
-        self.chunk = chunk
-        self.max_clusters = max_clusters
-        # no padded copy: dynamic_slice clamps a tail start to n - chunk,
-        # and __call__ takes the LAST m results — the corpus would
-        # otherwise be held twice in HBM for the whole scan
-        self.corpus = device_data
-
-        @functools.partial(jax.jit, static_argnames=())
-        def _dist(corpus, start, cent_pad, n_c):
-            rows_c = jax.lax.dynamic_slice(corpus, (start, 0), (chunk, f))
+        @functools.partial(jax.jit, static_argnames=("chunk",))
+        def _dist(corpus, start, cent_pad, n_c, *, chunk):
+            f = corpus.shape[1]
+            rows_c = jax.lax.dynamic_slice(
+                corpus, (start, jnp.zeros((), start.dtype)), (chunk, f))
             d2 = (jnp.sum(rows_c * rows_c, axis=1)[:, None]
                   - 2.0 * jnp.dot(rows_c, cent_pad.T,
                                   preferred_element_type=corpus.dtype)
@@ -434,16 +435,66 @@ class _DeviceChunkDistances:
             bd = jnp.take_along_axis(d2, best[:, None], axis=1)[:, 0]
             return best.astype(jnp.int32), bd
 
-        self._dist = _dist
+        _CHUNK_DIST = _dist
+    return _CHUNK_DIST
+
+
+_CHUNK_DIST = None
+
+# Corpora below this many elements keep the clustering scan on host BLAS
+# (an accelerator compile through the tunnel dwarfs a few ms of matmul).
+DEVICE_CLUSTERING_MIN_ELEMS = 1 << 23
+
+
+def _device_chunk_for(nrows: int) -> int:
+    """Static chunk length for the device snapshot-distance program:
+    large tiles amortise the per-dispatch round trip."""
+    return min(131072, max(8192, nrows))
+
+
+def _bucket_centroid_cap(max_clusters: int) -> int:
+    """Pad the centroid-buffer row count to a multiple of 128 so the
+    snapshot-distance program compiles once per cap bucket instead of once
+    per data-dependent optimal-K value (extra rows are masked by n_c)."""
+    return ((max(max_clusters, 1) + 127) // 128) * 128
+
+
+class _DeviceChunkDistances:
+    """Snapshot nearest-centroid distances on the accelerator.
+
+    The corpus stays device-resident (one upload, shared with the λτ
+    stages); per chunk only the (max_clusters x F) centroid snapshot goes
+    up and (chunk,) best-index/best-d² come back — a few KB over the
+    tunnel instead of a (chunk x F) tile.  The centroid buffer is padded
+    to a 128-bucketed cap so one compiled program serves the whole scan
+    AND any optimal-K the sweep lands on within the bucket.
+    """
+
+    def __init__(self, device_data, max_clusters: int, chunk: int):
+        import jax.numpy as jnp
+
+        self._jnp = jnp
+        n, f = device_data.shape
+        assert chunk <= n
+        self.n = n
+        self.chunk = chunk
+        self.max_clusters = max_clusters
+        self.mc_pad = _bucket_centroid_cap(max_clusters)
+        # no padded copy: dynamic_slice clamps a tail start to n - chunk,
+        # and __call__ takes the LAST m results — the corpus would
+        # otherwise be held twice in HBM for the whole scan
+        self.corpus = device_data
+        self._dist = _chunk_dist_jit()
 
     def __call__(self, c0: int, cent: np.ndarray, n_c: int):
         jnp = self._jnp
-        cent_pad = np.zeros((self.max_clusters, self.corpus.shape[1]),
+        cent_pad = np.zeros((self.mc_pad, self.corpus.shape[1]),
                             dtype=np.float64)
         cent_pad[:n_c] = cent[:n_c]
         best, bd = self._dist(
-            self.corpus, c0, jnp.asarray(cent_pad, dtype=self.corpus.dtype),
-            n_c)
+            self.corpus, np.int32(c0),
+            jnp.asarray(cent_pad, dtype=self.corpus.dtype),
+            np.int32(n_c), chunk=self.chunk)
         m = min(self.chunk, self.n - c0)
         # tail chunk: the device window was clamped to [n - chunk, n), so
         # rows [c0, n) are the last m entries
@@ -603,10 +654,9 @@ def _incremental_clustering_chunked(builder, rows, nfeatures, max_clusters,
     # Sub-threshold corpora stay on host BLAS: an accelerator program
     # compile (~30s through the tunnel) dwarfs a few ms of matmul.
     if (device_data is not None and device_data.shape[0] == nrows
-            and nrows * nfeatures >= (1 << 23)):
+            and nrows * nfeatures >= DEVICE_CLUSTERING_MIN_ELEMS):
         if chunk is None:
-            # large tiles amortise the per-dispatch round trip
-            chunk = min(131072, max(8192, nrows))
+            chunk = _device_chunk_for(nrows)
         engine = _DeviceChunkDistances(device_data, max_clusters, chunk)
     elif chunk is None:
         chunk = 8192

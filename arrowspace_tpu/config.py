@@ -59,6 +59,39 @@ def bucket_rows(n: int, floor: int = 1024) -> int:
     return ((n + q - 1) // q) * q
 
 
+def setup_cache(path: str = "/tmp/arrowspace_jax_cache") -> None:
+    """Enable the persistent XLA compilation cache with thresholds tuned
+    for this framework's cold-start profile.
+
+    JAX's defaults skip persisting any program that compiled in under one
+    second — but through the axon remote-compile tunnel even trivial
+    programs cost a few hundred ms each, and a fresh process re-pays all
+    of them (~5-8 s across a full build).  Persisting everything makes a
+    cold process's build converge to the steady-state time after one
+    warm-up anywhere on the machine.  Call this once at startup (bench.py,
+    precompile, and the serving examples do).
+    """
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    # The cache key hashes the serialized module AFTER strip-debuginfo,
+    # but a Pallas custom_call's Mosaic payload is an opaque string whose
+    # embedded locations survive the strip.  With full tracebacks in
+    # locations (the default), the payload bakes in up to 10 CALLER
+    # frames, so the same kernel called from bench.py vs builder.py vs an
+    # AOT precompile gets a different key and recompiles (~6 s each
+    # through the remote-compile tunnel).  Keep only the innermost frame
+    # (the kernel source itself), which is call-site invariant.
+    jax.config.update("jax_include_full_tracebacks_in_locations", False)
+    try:
+        # the cache singleton latches its directory on first use; reset so
+        # a setup_cache() after earlier compiles still takes effect
+        from jax._src import compilation_cache as _cc
+        _cc.reset_cache()
+    except Exception:  # pragma: no cover — private API moved
+        pass
+
+
 def is_test_mode() -> bool:
     """Mirrors the reference's #[cfg(test)] gates (e.g. the sampling-ratio
     runtime assert in clustering.rs:896-900 is disabled in test builds)."""

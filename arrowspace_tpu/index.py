@@ -35,6 +35,52 @@ logger = get_logger("arrowspace.index")
 __all__ = ["ArrowIndex", "SearchSession"]
 
 
+_SESSION_STEP = None
+
+
+def _session_step_jit():
+    """Module-level jitted serving step (lazy).  One program fuses query-λ
+    preparation with scoring + top-k; statics carry the session config so
+    (a) every SearchSession with the same config shares one executable and
+    (b) precompile.py can AOT-lower it by shape alone."""
+    global _SESSION_STEP
+    if _SESSION_STEP is None:
+        import functools
+        import jax
+        import jax.numpy as jnp
+
+        @functools.partial(
+            jax.jit, static_argnames=("taumode", "alpha", "k", "use_pallas",
+                                      "has_proj", "pad_tall"))
+        def step(q_raw, data, lambdas, lap, proj, *, taumode, alpha, k,
+                 use_pallas, has_proj, pad_tall):
+            from .ops.search import batched_lambda_aware_topk
+            from .taumode import select_tau_batch, synthetic_lambda_batch
+            dt = data.dtype
+            q_prep = q_raw if not has_proj else jnp.dot(
+                q_raw, proj, preferred_element_type=dt)
+            taus = select_tau_batch(q_prep, taumode)
+            qlam = synthetic_lambda_batch(q_prep, lap, taus,
+                                          pad_items=pad_tall)
+            if use_pallas:
+                from .ops.pallas_topk import fused_lambda_topk
+                return fused_lambda_topk(q_raw, qlam, data, lambdas, alpha,
+                                         k=k)
+            return batched_lambda_aware_topk(
+                q_raw, qlam, data, lambdas, jnp.asarray(alpha, dtype=dt),
+                k=k)
+
+        _SESSION_STEP = step
+    return _SESSION_STEP
+
+
+def session_uses_pallas(nitems: int, k: int) -> bool:
+    """The serving step's kernel dispatch gate (shared with precompile)."""
+    import jax
+    return (jax.default_backend() == "tpu" and nitems >= 65536
+            and k <= 128)
+
+
 class SearchSession:
     """Compiled, pipelined streaming search for serving.
 
@@ -48,11 +94,7 @@ class SearchSession:
 
     def __init__(self, index: "ArrowIndex", batch_size: int, k: int = 10,
                  alpha: float = 0.9, depth: int = 2):
-        import jax
         import jax.numpy as jnp
-        from .ops.pallas_topk import fused_lambda_topk
-        from .ops.search import batched_lambda_aware_topk
-        from .taumode import select_tau_batch, synthetic_lambda_batch
 
         self.batch_size = int(batch_size)
         self.k = min(int(k), index.nitems)
@@ -67,10 +109,8 @@ class SearchSession:
         if aspace.projection_matrix is not None:
             proj = aspace.projection_matrix.matrix(dtype=dt)
         taumode = aspace.taumode
-        alpha_c = jnp.asarray(alpha, dtype=dt)
         k_eff = self.k
-        use_pallas = (jax.default_backend() == "tpu"
-                      and index.nitems >= 65536 and k_eff <= 128)
+        use_pallas = session_uses_pallas(index.nitems, k_eff)
 
         has_proj = proj is not None
         pad_tall = aspace.pad_tall_graphs
@@ -78,21 +118,12 @@ class SearchSession:
         # The corpus arrays are ARGUMENTS, not closure captures: jit would
         # otherwise embed them as HLO constants (a 512 MB program blows the
         # remote-compile request limit and bloats the executable).
-        def step(q_raw, data_a, lambdas_a, lap_a, proj_a):
-            q_prep = q_raw if not has_proj else jnp.dot(
-                q_raw, proj_a, preferred_element_type=dt)
-            taus = select_tau_batch(q_prep, taumode)
-            qlam = synthetic_lambda_batch(q_prep, lap_a, taus,
-                                          pad_items=pad_tall)
-            if use_pallas:
-                return fused_lambda_topk(q_raw, qlam, data_a, lambdas_a,
-                                         float(alpha), k=k_eff)
-            return batched_lambda_aware_topk(q_raw, qlam, data_a, lambdas_a,
-                                             alpha_c, k=k_eff)
-
-        jitted = jax.jit(step)
+        jitted = _session_step_jit()
         dummy_proj = proj if has_proj else jnp.zeros((1, 1), dtype=dt)
-        self._step = lambda q: jitted(q, data, lambdas, lap, dummy_proj)
+        self._step = lambda q: jitted(
+            q, data, lambdas, lap, dummy_proj, taumode=taumode,
+            alpha=float(alpha), k=k_eff, use_pallas=use_pallas,
+            has_proj=has_proj, pad_tall=pad_tall)
         self._jnp = jnp
         self._dim = aspace.nfeatures
 

@@ -222,6 +222,8 @@ def sharded_incremental_clustering(
     """
     import numpy as np
 
+    from ..clustering import _bucket_centroid_cap
+
     n, f = items_sharded.shape
     n_dev = mesh.devices.size
     assert n % n_dev == 0, (
@@ -229,6 +231,7 @@ def sharded_incremental_clustering(
     shard_n = n // n_dev
     chunk = min(rounds_chunk, shard_n)
     dt = items_sharded.dtype
+    mc_pad = _bucket_centroid_cap(max_clusters)
 
     def _dist_shard(x_shard, start, cent_pad, n_c):
         rows_c = jax.lax.dynamic_slice(
@@ -284,7 +287,9 @@ def sharded_incremental_clustering(
         # device window to [shard_n - chunk, shard_n), so the wanted rows
         # [start, shard_n) are the LAST m entries of each shard's result.
         m = min(chunk, shard_n - start)
-        cent_pad = jnp.asarray(cent, dtype=dt)
+        cent_host = np.zeros((mc_pad, f))
+        cent_host[:max_clusters] = cent
+        cent_pad = jnp.asarray(cent_host, dtype=dt)
         round_start_nc = state["n_c"]
         best_all, bd_all = dist_fn(
             items_sharded,

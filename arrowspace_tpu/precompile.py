@@ -1,0 +1,172 @@
+"""AOT pre-compilation of the build/serve device programs.
+
+A fresh process (or a fresh machine) pays one XLA/Mosaic compile per
+program shape; through the axon remote-compile tunnel that is ~0.3-1 s
+for small programs and minutes for a novel-shape Pallas kernel.  The
+framework already buckets every data-dependent shape (config.bucket_rows
+for Pallas row axes, clustering._bucket_centroid_cap for the centroid
+cap), so the set of programs a build + serving deployment will need is
+fully determined by (n_items, n_features, batch sizes, k) — this module
+compiles them ahead of time, by shape alone, with no corpus upload and
+no host clustering work.
+
+Combined with ``config.setup_cache()`` (persist *every* program, not just
+slow-to-compile ones) a deployment warms the machine once; every
+subsequent process starts at steady-state build/serve latency.
+
+Usage:
+    python -m arrowspace_tpu.precompile --n 1000000 --f 128
+or:
+    from arrowspace_tpu.precompile import warm
+    warm(1_000_000, 128, batch_sizes=(256, 2048), k=10)
+
+The reference has no analogue (rustc compiles arrowspace-rs ahead of
+time by construction); this is the TPU equivalent of shipping a compiled
+binary.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from typing import Dict, Iterable, Optional
+
+import numpy as np
+
+from .utils.log import get_logger
+
+logger = get_logger("arrowspace.precompile")
+
+__all__ = ["warm", "centroid_cap_buckets"]
+
+
+def centroid_cap_buckets(n: int, f: int) -> list:
+    """All 128-bucketed centroid caps the optimal-K sweep can land on for
+    an (n, f) corpus — data-independent bounds from clustering.rs:75-98:
+    k_min = ceil(sqrt(n/10)); k_max = min(max(min(f, n//10, 5*ID, sqrt(n)),
+    k_min+1), n//2) with ID in [1, f]."""
+    from .clustering import _bucket_centroid_cap
+
+    k_min = max(math.ceil(math.sqrt(n / 10.0)), 2)
+    k_lo = k_min
+    # widest possible k_max over ID in [1, f]
+    k_hi = max(min(f, n // 10, 5 * f, int(n ** 0.5)), k_min + 1)
+    k_hi = min(k_hi, n // 2)
+    lo = _bucket_centroid_cap(k_lo)
+    hi = _bucket_centroid_cap(max(k_hi, k_lo))
+    return list(range(lo, hi + 1, 128))
+
+
+def warm(
+    n_items: int,
+    n_features: int,
+    *,
+    batch_sizes: Iterable[int] = (256,),
+    k: int = 10,
+    alpha: float = 0.9,
+    taumode=None,
+    graph_nodes: Optional[int] = None,
+    dtype=None,
+    cache_path: Optional[str] = None,
+) -> Dict[str, float]:
+    """Compile (by shape, no data) every device program a standard
+    unseeded build + serving session needs for an (n_items, n_features)
+    corpus.  Returns {program: compile_seconds}.  Programs that are
+    already in the in-process or persistent cache return in milliseconds.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from . import clustering
+    from .config import setup_cache
+    from .index import _session_step_jit, session_uses_pallas
+    from .taumode import TauMode
+
+    if cache_path is not None:
+        setup_cache(cache_path)
+    elif jax.config.jax_compilation_cache_dir is None:
+        setup_cache()
+
+    if taumode is None:
+        taumode = TauMode.median()
+    dt = jnp.dtype(dtype) if dtype is not None else (
+        jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
+    n, f = int(n_items), int(n_features)
+    n_graph = int(graph_nodes) if graph_nodes is not None else f
+    on_tpu = jax.default_backend() == "tpu"
+
+    timings: Dict[str, float] = {}
+
+    def aot(name, jitted, *args, **kwargs):
+        t0 = time.perf_counter()
+        try:
+            jitted.lower(*args, **kwargs).compile()
+            timings[name] = time.perf_counter() - t0
+            logger.info("precompiled %s in %.2fs", name, timings[name])
+        except Exception as e:  # pragma: no cover — keep warming the rest
+            timings[name] = -1.0
+            logger.warning("precompile of %s failed: %r", name, e)
+
+    S = jax.ShapeDtypeStruct
+    corpus = S((n, f), dt)
+    i32 = np.dtype(np.int32)
+
+    # --- build stage 1: Two-NN intrinsic-dimension tiles ------------------
+    if n * f >= clustering.DEVICE_CLUSTERING_MIN_ELEMS:
+        aot("twonn_tile", clustering._twonn_tile_jit(),
+            corpus, S((clustering.TWONN_CHUNK,), i32))
+
+        # --- build stage 1b: unseeded chunked-scan snapshot distances -----
+        chunk = clustering._device_chunk_for(n)
+        for cap in centroid_cap_buckets(n, f):
+            aot(f"chunk_dist_cap{cap}", clustering._chunk_dist_jit(),
+                corpus, S((), i32), S((cap, f), dt), S((), i32),
+                chunk=chunk)
+
+    # --- build stage 4: fused τ+λ kernel ---------------------------------
+    if on_tpu and dt == jnp.float32:
+        from .ops.pallas_taulambda import (fused_taulambda_batch,
+                                           fused_taulambda_fits)
+        if fused_taulambda_fits(n, f, n_graph):
+            aot("fused_taulambda", fused_taulambda_batch,
+                corpus, S((n_graph, n_graph), dt),
+                kind=taumode.kind,
+                pct=taumode.value if taumode.kind == "percentile" else 0.5,
+                fixed=taumode.value if taumode.kind == "fixed" else 0.0)
+
+    # --- serving: fused prep+score+top-k session step --------------------
+    k_eff = min(int(k), n)
+    use_pallas = session_uses_pallas(n, k_eff)
+    for bsz in batch_sizes:
+        aot(f"session_step_b{bsz}", _session_step_jit(),
+            S((int(bsz), f), dt), corpus, S((n,), dt),
+            S((n_graph, n_graph), dt), S((1, 1), dt),
+            taumode=taumode, alpha=float(alpha), k=k_eff,
+            use_pallas=use_pallas, has_proj=False, pad_tall=False)
+
+    return timings
+
+
+def main(argv=None) -> None:
+    import argparse
+
+    p = argparse.ArgumentParser(
+        description="AOT-compile arrowspace-tpu device programs for a "
+                    "corpus shape")
+    p.add_argument("--n", type=int, required=True, help="corpus rows")
+    p.add_argument("--f", type=int, required=True, help="feature dim")
+    p.add_argument("--batch", type=int, nargs="*", default=[256],
+                   help="serving batch sizes")
+    p.add_argument("--k", type=int, default=10, help="serving top-k")
+    args = p.parse_args(argv)
+
+    t0 = time.perf_counter()
+    timings = warm(args.n, args.f, batch_sizes=args.batch, k=args.k)
+    total = time.perf_counter() - t0
+    for name, secs in timings.items():
+        print(f"{name}: {'FAILED' if secs < 0 else f'{secs:.2f}s'}")
+    print(f"total: {total:.2f}s")
+
+
+if __name__ == "__main__":
+    main()

@@ -143,35 +143,61 @@ def big_corpus_suite(jax, jnp, rtt_s: float) -> None:
     rows = (centers[rng.integers(0, 64, n_big)]
             + rng.normal(0, 0.05, (n_big, f_big)))
 
-    # ---- full build, upload accounted separately -------------------------
-    b = ArrowSpaceBuilder().with_lambda_graph(1e-3, 6, 3, 2.0, None)
-    b.define_result_k()
+    # ---- AOT precompile (the deploy-time analogue of the reference's
+    # rustc ahead-of-time build — compile cost is NOT steady-state build
+    # cost, but it is measured and reported honestly) ----------------------
+    from arrowspace_tpu.precompile import warm as precompile_warm
     t0 = time.perf_counter()
-    aspace = ArrowSpace.new(rows, b.synthesis)
-    np.asarray(aspace.data[:1, :1])
-    t_upload = time.perf_counter() - t0
+    precompile_warm(n_big, f_big, batch_sizes=(256, 2048), k=10)
+    t_aot = time.perf_counter() - t0
+    log(f"AOT precompile (build+serve programs, 1Mx128): {t_aot:.2f}s "
+        f"— one-time per machine (persistent cache)")
+    record("aot_precompile_1m_x128", t_aot, "s",
+           note="one-time per machine; deploy-time analogue of rustc AOT")
+
+    # ---- full build, upload accounted separately -------------------------
+    def run_build():
+        b = ArrowSpaceBuilder().with_lambda_graph(1e-3, 6, 3, 2.0, None)
+        b.define_result_k()
+        t0 = time.perf_counter()
+        aspace = ArrowSpace.new(rows, b.synthesis)
+        np.asarray(aspace.data[:1, :1])
+        t_upload = time.perf_counter() - t0
+        sampler = b.sampling.make()
+        t0 = time.perf_counter()
+        k_opt, radius, _ = clustering.compute_optimal_k(
+            rows, n_big, f_big, None, device_data=aspace.data)
+        cent, assignments, sizes = \
+            clustering.run_incremental_clustering_with_sampling(
+                b, rows, f_big, k_opt, radius, sampler,
+                device_data=aspace.data)
+        b.cluster_max_clusters, b.cluster_radius = k_opt, radius
+        aspace.n_clusters = cent.shape[0]
+        aspace.cluster_assignments = np.asarray(
+            [-1 if a is None else a for a in assignments], dtype=np.int64)
+        aspace.cluster_sizes = np.asarray(sizes, dtype=np.int64)
+        aspace.cluster_radius = radius
+        gl = em.eigenmaps(aspace, b, cent, n_big)
+        em.compute_taumode(aspace, gl)
+        np.asarray(aspace.lambdas[:1])
+        t_build = time.perf_counter() - t0
+        return aspace, gl, b, t_upload, t_build, cent.shape[0]
+
+    aspace, gl, b, t_upload, t_cold, n_clusters = run_build()
     log(f"corpus upload 1Mx128 (512MB over the tunnel): {t_upload:.2f}s "
         f"— dev-tunnel artifact, ~50ms on a TPU host")
+    log(f"1Mx128 unseeded build ex-upload, first in process: {t_cold:.2f}s "
+        f"(clusters={n_clusters}, graph={gl.shape()})")
+    record("build_1m_x128_first_in_process", t_cold, "s",
+           note="includes residual per-process compile/cache overhead")
 
-    sampler = b.sampling.make()
-    t0 = time.perf_counter()
-    k_opt, radius, _ = clustering.compute_optimal_k(
-        rows, n_big, f_big, None, device_data=aspace.data)
-    cent, assignments, sizes = \
-        clustering.run_incremental_clustering_with_sampling(
-            b, rows, f_big, k_opt, radius, sampler, device_data=aspace.data)
-    b.cluster_max_clusters, b.cluster_radius = k_opt, radius
-    aspace.n_clusters = cent.shape[0]
-    aspace.cluster_assignments = np.asarray(
-        [-1 if a is None else a for a in assignments], dtype=np.int64)
-    aspace.cluster_sizes = np.asarray(sizes, dtype=np.int64)
-    aspace.cluster_radius = radius
-    gl = em.eigenmaps(aspace, b, cent, n_big)
-    em.compute_taumode(aspace, gl)
-    np.asarray(aspace.lambdas[:1])
-    t_build = time.perf_counter() - t0
-    log(f"1Mx128 unseeded build ex-upload: {t_build:.2f}s "
-        f"(clusters={cent.shape[0]}, graph={gl.shape()}) — was ~80s "
+    # Steady-state build: programs warm, corpus re-uploaded (the second
+    # ArrowSpace.new is a fresh device buffer).  This is the number that
+    # compares to the reference's build time — the reference's binary is
+    # AOT-compiled too.
+    aspace, gl, b, _, t_build, n_clusters = run_build()
+    log(f"1Mx128 unseeded build ex-upload, steady-state: {t_build:.2f}s "
+        f"(clusters={n_clusters}, graph={gl.shape()}) — was ~80s "
         f"host-bound in round 1")
     record("build_1m_x128_ex_upload", t_build, "s",
            vs_baseline=80.0 / t_build, note="corpus upload reported on stderr")
@@ -231,7 +257,8 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/arrowspace_jax_cache")
+    from arrowspace_tpu.config import setup_cache
+    setup_cache()  # persist ALL programs (incl. sub-1s compiles)
 
     backend = jax.default_backend()
     log(f"backend={backend} devices={jax.devices()}")
