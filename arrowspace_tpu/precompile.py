@@ -64,6 +64,7 @@ def warm(
     batch_sizes: Iterable[int] = (256,),
     k: int = 10,
     alpha: float = 0.9,
+    precisions: Iterable[str] = ("f32",),
     taumode=None,
     graph_nodes: Optional[int] = None,
     dtype=None,
@@ -138,11 +139,16 @@ def warm(
     k_eff = min(int(k), n)
     use_pallas = session_uses_pallas(n, k_eff)
     for bsz in batch_sizes:
-        aot(f"session_step_b{bsz}", _session_step_jit(),
-            S((int(bsz), f), dt), corpus, S((n,), dt),
-            S((n_graph, n_graph), dt), S((1, 1), dt),
-            taumode=taumode, alpha=float(alpha), k=k_eff,
-            use_pallas=use_pallas, has_proj=False, pad_tall=False)
+        for prec in precisions:
+            use_bf16 = prec == "bf16" and use_pallas
+            if prec == "bf16" and not use_pallas:
+                continue  # bf16 is a Pallas-kernel feature
+            aot(f"session_step_b{bsz}_{prec}", _session_step_jit(),
+                S((int(bsz), f), dt), corpus, S((n,), dt),
+                S((n_graph, n_graph), dt), S((1, 1), dt),
+                taumode=taumode, alpha=float(alpha), k=k_eff,
+                use_pallas=use_pallas, has_proj=False, pad_tall=False,
+                use_bf16=use_bf16)
 
     return timings
 

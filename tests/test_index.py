@@ -144,6 +144,26 @@ def test_search_session_matches_search():
         np.testing.assert_allclose(s, s_ref, rtol=1e-9)
 
 
+def test_search_session_bf16_precision_option():
+    """precision="bf16" is a TPU Pallas-kernel feature; off the TPU the
+    session must fall back to the exact f32 path (identical results), and
+    an unknown precision must be rejected."""
+    rows, idx = _index()
+    rng = np.random.default_rng(6)
+    batches = [rows[rng.integers(0, 80, 4)] * 1.02 for _ in range(3)]
+
+    ref = idx.make_search_session(batch_size=4, k=5, alpha=0.9)
+    bf = idx.make_search_session(batch_size=4, k=5, alpha=0.9,
+                                 precision="bf16")
+    for (s_r, i_r), (s_b, i_b) in zip(ref.search_stream(batches),
+                                      bf.search_stream(batches)):
+        np.testing.assert_array_equal(i_r, i_b)
+        np.testing.assert_allclose(s_r, s_b, rtol=1e-9)
+
+    with pytest.raises(ValueError):
+        idx.make_search_session(batch_size=4, k=5, precision="fp8")
+
+
 def test_search_session_with_projection():
     """Streaming session over a dims-reduced index: queries are projected
     for lambda preparation on device, scored raw."""
