@@ -218,6 +218,11 @@ def sharded_incremental_clustering(
     still a valid serialisation of the reference's racy rayon semantics
     (clustering.rs:570-660).
 
+    The corpus stays device-resident throughout: the host fetches one
+    chunk's rows at a time for the create/assign bookkeeping (peak host
+    memory O(chunk x F), total transfer one pass of the data), so the
+    100M x 768 sharded config never materialises ~600 GB on the host.
+
     Returns (centroids (X, F) host f64, assignments list, sizes list).
     """
     import numpy as np
@@ -256,27 +261,37 @@ def sharded_incremental_clustering(
     ))
 
     # Host bookkeeping state (identical rules to clustering.py's chunked
-    # mode, reused via its helpers).
+    # mode, reused via its helpers).  The corpus is NEVER materialised on
+    # host in full — at the 100M x 768 target that would be ~600 GB — the
+    # host fetches one chunk's rows at a time (O(chunk x F) transient,
+    # total one pass of the data over PCIe).
     from ..clustering import _apply_chunk_decisions
 
-    x_host = np.asarray(items_sharded, dtype=np.float64)
+    def fetch_rows(lo: int, hi: int) -> np.ndarray:
+        return np.asarray(items_sharded[lo:hi], dtype=np.float64)
+
     cent = np.zeros((max_clusters, f), dtype=np.float64)
     counts = np.zeros(max_clusters, dtype=np.int64)
     assign = np.full(n, -1, dtype=np.int64)
     state = {"n_c": 0}
 
-    # bootstrap centroid 0 from the first kept row (host scan)
+    # bootstrap centroid 0 from the first kept row (host scan over small
+    # fetched blocks; with any realistic keep-rate this is one block)
     sampling_enabled = builder.sampling is not None
     boot = 0
-    for r in range(n):
-        kept = (not sampling_enabled) or sampler.should_keep(
-            x_host[r], float("inf"), 0, max_clusters)
-        boot = r + 1
-        if kept:
-            cent[0] = x_host[r]
-            counts[0] = 1
-            assign[r] = 0
-            state["n_c"] = 1
+    for b0 in range(0, n, 1024):
+        block = fetch_rows(b0, min(b0 + 1024, n))
+        for j in range(block.shape[0]):
+            kept = (not sampling_enabled) or sampler.should_keep(
+                block[j], float("inf"), 0, max_clusters)
+            boot = b0 + j + 1
+            if kept:
+                cent[0] = block[j]
+                counts[0] = 1
+                assign[b0 + j] = 0
+                state["n_c"] = 1
+                break
+        if state["n_c"]:
             break
     if state["n_c"] == 0:
         raise RuntimeError("No clusters created from data (all rows "
@@ -301,13 +316,13 @@ def sharded_incremental_clustering(
         for d in range(n_dev):
             offset = d * shard_n + start
             lo, hi = d * chunk + (chunk - m), (d + 1) * chunk
-            rows_c = x_host[offset:offset + m]
             sl = slice(0, m)
             if offset + m > boot > offset:
                 # rows consumed by the bootstrap scan are already decided
                 sl = slice(boot - offset, m)
             elif offset + m <= boot:
                 continue
+            rows_c = fetch_rows(offset, offset + m)
             best_c = best_all[lo:hi][sl].copy()
             bd_c = bd_all[lo:hi][sl].copy()
             # Refresh against centroids created by EARLIER chunks of this

@@ -3,12 +3,18 @@
 No reference analogue (the reference has no serving runtime); this shows
 the TPU-deployment shape of the engine:
 
+0. warm the machine at deploy time: config.setup_cache() + an AOT
+   precompile of every device program the corpus shape needs (the
+   analogue of shipping a compiled binary — a later fresh process
+   builds and serves at steady-state speed, no compile stalls);
 1. build an index once (device clustering tiles at scale);
 2. open a SearchSession — ONE jitted program fuses query-λ preparation
    (projection, τ, synthetic λ) with scoring + top-k, and the stream
    driver keeps two batches in flight so result readback overlaps the
    next batch's compute;
-3. serve a stream of query batches at sustained throughput;
+3. serve a stream of query batches at sustained throughput — on TPU,
+   precision="bf16" scores in bf16 with f32 accumulation for ~2x the
+   device throughput at top-10 overlap 1.000;
 4. use precision="f64_rescore" when exact f64 tie ordering matters
    (recall@10 = 1.000 vs an f64 brute force on clustered data).
 """
@@ -31,6 +37,15 @@ def main():
     n, f = 50_000, 128
     centers = rng.uniform(0.2, 0.8, (64, f))
     rows = centers[rng.integers(0, 64, n)] + rng.normal(0, 0.2, (n, f))
+
+    # deploy-time warmup: persistent cache + AOT compile by shape alone
+    # (idempotent; ~seconds when the machine is already warm)
+    from arrowspace_tpu.config import setup_cache
+    from arrowspace_tpu.precompile import warm
+    setup_cache()
+    t0 = time.perf_counter()
+    warm(n, f, batch_sizes=(256,), k=10)
+    print(f"AOT precompile for {n}x{f}: {time.perf_counter() - t0:.2f}s")
 
     t0 = time.perf_counter()
     idx = ArrowIndex.build(rows, eps=1.0, k=6, topk=3, seed=11)
