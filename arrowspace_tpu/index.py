@@ -122,9 +122,11 @@ class SearchSession:
         # otherwise embed them as HLO constants (a 512 MB program blows the
         # remote-compile request limit and bloats the executable).
         # bf16 runs the scoring matmul in bf16 with f32 accumulation
-        # (4x MXU rate, half the corpus HBM traffic; measured 2.1x device
-        # speedup at 1Mx128, top-10 overlap 1.000 vs f32 on embedding
-        # data); it requires the Pallas kernel, so f32 is kept otherwise.
+        # (4x MXU rate, half the corpus HBM traffic).  Amortised device
+        # measurement at 1Mx128/B=256: 7.8 vs 9.1 ms — ~15%, because the
+        # kernel is VPU-bound there; wider F (more MXU share) gains more.
+        # Top-10 overlap 1.000 vs f32 on embedding data.  Requires the
+        # Pallas kernel, so f32 is kept otherwise.
         use_bf16 = precision == "bf16" and use_pallas
         jitted = _session_step_jit()
         dummy_proj = proj if has_proj else jnp.zeros((1, 1), dtype=dt)
@@ -351,8 +353,9 @@ class ArrowIndex:
                             precision: str = "f32") -> SearchSession:
         """Compiled streaming search for serving: one fused
         prep+score+top-k program per batch, `depth` batches in flight.
-        precision="bf16" scores in bf16 with f32 accumulation (~2x device
-        throughput on TPU; top-k overlap 1.000 vs f32 on embedding data)."""
+        precision="bf16" scores in bf16 with f32 accumulation (~15%
+        device gain at F=128 where the kernel is VPU-bound, more at wider
+        F; top-k overlap 1.000 vs f32 on embedding data)."""
         return SearchSession(self, batch_size, k=k, alpha=alpha, depth=depth,
                              precision=precision)
 

@@ -13,6 +13,23 @@ primitive, so selection is done with max+mask passes — k is small).
 
 Score (core.rs:135-175): α·cos(q, x) + (1-α)·(1 - min(|λ_q - λ_x|, 1)).
 Inputs are pre-normalised unit rows so cos is a plain dot product.
+
+Negative results (measured at 1M x 128 on v5e, kept here so they are
+not re-tried blind):
+- Multi-query-block kernel (one corpus stream feeding several gated
+  128-blocks, on the theory that re-streaming the corpus per block
+  dominates batch-2048 cost): equal-or-worse walls across f32/bf16 at
+  B=256/2048.  The kernel is VPU-bound (λ plane + merge passes), not
+  HBM-bound, and Mosaic pipelines the simple per-block kernel better
+  than the 16-way unrolled body.
+- Cheap-bound gate (score <= α·max(cos) + (1-α)) hoisting the λ plane
+  and padding mask inside the conditional: walls unchanged-to-worse.
+  Conditional bodies break Mosaic's software pipelining with the next
+  tile's DMA/matmul, so only the k-pass merge belongs behind the gate;
+  the unconditional score plane is effectively free.
+- Measurement note: single-dispatch device times through the dev tunnel
+  carry +-6 ms of RTT-estimation noise; kernel A/Bs at this scale need
+  the amortised lax.scan harness in benchmarks/device_time.py.
 """
 
 from __future__ import annotations
