@@ -8,4 +8,5 @@ from .distributed import (  # noqa: F401
     distributed_index_step,
     sharded_incremental_clustering,
     distributed_build_step,
+    DistributedSearchSession,
 )

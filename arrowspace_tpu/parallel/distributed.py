@@ -26,7 +26,8 @@ from .mesh import ITEMS_AXIS, items_sharding, replicated_sharding
 
 __all__ = ["sharded_compute_taumode_lambdas",
            "distributed_lambda_aware_topk", "distributed_index_step",
-           "sharded_incremental_clustering", "distributed_build_step"]
+           "sharded_incremental_clustering", "distributed_build_step",
+           "DistributedSearchSession"]
 
 
 def sharded_compute_taumode_lambdas(
@@ -267,8 +268,19 @@ def sharded_incremental_clustering(
     # total one pass of the data over PCIe).
     from ..clustering import _apply_chunk_decisions
 
+    # One compiled fetch program per window LENGTH (runtime offset via
+    # dynamic_slice): python slicing would bake each distinct offset into
+    # its own program — 8-16 fresh compiles per build through the tunnel.
+    fetch_cache = {}
+
     def fetch_rows(lo: int, hi: int) -> np.ndarray:
-        return np.asarray(items_sharded[lo:hi], dtype=np.float64)
+        m = hi - lo
+        if m not in fetch_cache:
+            fetch_cache[m] = jax.jit(
+                lambda arr, start, _m=m: jax.lax.dynamic_slice(
+                    arr, (start, jnp.zeros((), start.dtype)), (_m, f)))
+        out = fetch_cache[m](items_sharded, np.int32(min(lo, n - m)))
+        return np.asarray(out, dtype=np.float64)
 
     cent = np.zeros((max_clusters, f), dtype=np.float64)
     counts = np.zeros(max_clusters, dtype=np.int64)
@@ -381,6 +393,101 @@ def distributed_build_step(
     lambdas, scores, idx = distributed_index_step(
         items, centroids, queries, taumode, graph_params, k, mesh)
     return centroids, lambdas, scores, idx
+
+
+class DistributedSearchSession:
+    """Pipelined streaming search over a device mesh — the multi-chip
+    counterpart of index.SearchSession.
+
+    ONE jitted program per batch fuses query-λ preparation (τ selection +
+    synthetic λ against the replicated graph) with per-shard scoring,
+    per-shard ``lax.top_k`` and the ``all_gather`` candidate merge (the
+    reference's per-thread-heap fold/reduce, core.rs:818-888, as ICI
+    collectives).  The stream driver keeps ``depth`` batches in flight so
+    result readback overlaps the next batch's compute on every chip.
+    """
+
+    def __init__(self, items, item_lambdas, laplacian, mesh: Mesh,
+                 batch_size: int, k: int = 10, alpha: float = 0.9,
+                 taumode: TauMode = None, depth: int = 2):
+        import numpy as np
+
+        self.batch_size = int(batch_size)
+        self.depth = max(1, int(depth))
+        self.mesh = mesh
+        n = items.shape[0]
+        n_dev = mesh.devices.size
+        assert n % n_dev == 0, (
+            f"N={n} must be padded to a multiple of the mesh size {n_dev}")
+        k_eff = min(int(k), n)
+        k_local = min(k_eff, n // n_dev)
+        taumode = taumode if taumode is not None else TauMode.median()
+        dt = items.dtype
+        self._dt = dt
+        self._dim = items.shape[1]
+        self._np = np
+
+        items = jax.device_put(items, items_sharding(mesh))
+        item_lambdas = jax.device_put(item_lambdas,
+                                      items_sharding(mesh, ndim=1))
+        laplacian = jax.device_put(jnp.asarray(laplacian, dtype=dt),
+                                   replicated_sharding(mesh))
+        shard_n = n // n_dev
+
+        def _shard_fn(q, x, xlam, lap):
+            taus = select_tau_batch(q, taumode)
+            qlam = synthetic_lambda_batch(q, lap, taus)
+            scores = lambda_aware_scores(
+                q, qlam, x, xlam, jnp.asarray(alpha, dtype=dt))
+            local_scores, local_idx = jax.lax.top_k(scores, k_local)
+            shard_id = jax.lax.axis_index(ITEMS_AXIS)
+            gidx = local_idx + shard_id * shard_n
+            all_scores = jax.lax.all_gather(local_scores, ITEMS_AXIS,
+                                            axis=1, tiled=True)
+            all_idx = jax.lax.all_gather(gidx, ITEMS_AXIS,
+                                         axis=1, tiled=True)
+            top_scores, pos = jax.lax.top_k(all_scores, k_eff)
+            top_idx = jnp.take_along_axis(all_idx, pos, axis=1)
+            return top_scores, top_idx
+
+        fn = shard_map(_shard_fn, mesh=mesh,
+                       in_specs=(P(), P(ITEMS_AXIS, None), P(ITEMS_AXIS),
+                                 P()),
+                       out_specs=(P(), P()), check_vma=False)
+        jitted = jax.jit(fn)
+        self._step = lambda q: jitted(q, items, item_lambdas, laplacian)
+
+    def warmup(self) -> None:
+        """Compile the fused multi-chip step so serving is dispatch-only."""
+        np = self._np
+        dummy = jnp.ones((self.batch_size, self._dim), dtype=self._dt)
+        s, _ = self._step(dummy)
+        np.asarray(s[:1, :1])
+
+    def search_stream(self, batches):
+        """Yield (scores, ids) per input batch with ``depth`` batches in
+        flight across the mesh; partial batches are padded and sliced
+        back (same contract as index.SearchSession.search_stream)."""
+        from collections import deque
+        np = self._np
+        pending = deque()
+        for qb in batches:
+            qb = np.ascontiguousarray(qb)
+            nq = qb.shape[0]
+            if nq != self.batch_size:
+                assert nq < self.batch_size, (
+                    f"batch of {nq} exceeds the session batch_size "
+                    f"{self.batch_size}")
+                qb = np.pad(qb, ((0, self.batch_size - nq), (0, 0)),
+                            constant_values=1.0)
+            q = jnp.asarray(qb, dtype=self._dt)
+            pending.append((self._step(q), nq))  # async dispatch
+            if len(pending) > self.depth:
+                (s, i), m = pending.popleft()
+                yield np.asarray(s[:m]), np.asarray(i[:m])
+        while pending:
+            (s, i), m = pending.popleft()
+            yield np.asarray(s[:m]), np.asarray(i[:m])
 
 
 def distributed_index_step(

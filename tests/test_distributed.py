@@ -64,6 +64,36 @@ def test_distributed_topk_matches_single_device(mesh):
     np.testing.assert_array_equal(np.asarray(i_dist), np.asarray(i_single))
 
 
+def test_distributed_search_session_matches_single(mesh):
+    """The pipelined multi-chip serving session must return exactly what
+    the single-program query path returns (λ prep + scoring + merged
+    top-k fused into one sharded dispatch), including partial batches."""
+    from arrowspace_tpu.parallel import DistributedSearchSession
+
+    items, lap = _setup(n=256)
+    lambdas = compute_taumode_lambdas(items, lap, TauMode.median())
+
+    sess = DistributedSearchSession(items, lambdas, lap, mesh,
+                                    batch_size=8, k=10, alpha=0.8,
+                                    taumode=TauMode.median(), depth=2)
+    sess.warmup()
+
+    rng = np.random.default_rng(11)
+    batches = [np.asarray(items[rng.integers(0, 256, 8)]) * 1.01
+               for _ in range(5)] + [np.asarray(items[:3]) * 1.02]
+    got = list(sess.search_stream(batches))
+    assert len(got) == 6
+    assert got[-1][1].shape == (3, 10)
+
+    for qb, (s, i) in zip(batches, got):
+        q = jnp.asarray(qb)
+        qlam = compute_taumode_lambdas(q, lap, TauMode.median())
+        s_ref, i_ref = batched_lambda_aware_topk(
+            q, qlam, items, lambdas, jnp.asarray(0.8, items.dtype), k=10)
+        np.testing.assert_array_equal(i, np.asarray(i_ref))
+        np.testing.assert_allclose(s, np.asarray(s_ref), rtol=1e-12)
+
+
 def test_distributed_index_step_runs(mesh):
     """The full device-side step compiles and executes over the mesh."""
     items, _ = _setup(n=128, f=16)
