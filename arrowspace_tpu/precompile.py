@@ -164,10 +164,14 @@ def main(argv=None) -> None:
     p.add_argument("--batch", type=int, nargs="*", default=[256],
                    help="serving batch sizes")
     p.add_argument("--k", type=int, default=10, help="serving top-k")
+    p.add_argument("--precision", nargs="*", default=["f32"],
+                   choices=["f32", "bf16"],
+                   help="serving session precisions to warm")
     args = p.parse_args(argv)
 
     t0 = time.perf_counter()
-    timings = warm(args.n, args.f, batch_sizes=args.batch, k=args.k)
+    timings = warm(args.n, args.f, batch_sizes=args.batch, k=args.k,
+                   precisions=tuple(args.precision))
     total = time.perf_counter() - t0
     for name, secs in timings.items():
         print(f"{name}: {'FAILED' if secs < 0 else f'{secs:.2f}s'}")

@@ -65,6 +65,16 @@ def test_warm_returns_no_failures(cache_dir):
     assert all(v >= 0 for v in t.values()), f"precompile failures: {t}"
 
 
+def test_warm_bf16_skipped_off_tpu(cache_dir):
+    """bf16 sessions are a Pallas/TPU feature; off-TPU warm must warm the
+    f32 step and silently skip the bf16 one."""
+    t = warm(4096, 32, batch_sizes=(8,), k=3, cache_path=cache_dir,
+             precisions=("f32", "bf16"))
+    assert "session_step_b8_f32" in t
+    assert "session_step_b8_bf16" not in t
+    assert all(v >= 0 for v in t.values()), f"precompile failures: {t}"
+
+
 def test_aot_matches_runtime_build_programs(cache_dir):
     """warm() then the REAL clustering device paths: no new cache entries
     for the warmed program names => identical executables (key match)."""
