@@ -15,6 +15,7 @@ Tests assert exact equivalence between this staged path and the monolithic
 
 from __future__ import annotations
 
+import logging
 from dataclasses import dataclass
 from typing import List, Optional, Tuple
 
@@ -150,9 +151,15 @@ def compute_taumode(aspace: ArrowSpace, gl: GraphLaplacian) -> None:
         aspace.data, graph, aspace.taumode,
         pad_items=aspace.pad_tall_graphs)
     aspace._lambda_order = None  # invalidate the sorted λ-band index
-    lam = np.asarray(aspace.lambdas)
-    logger.info("λ computation complete: min=%.6f, max=%.6f, mean=%.6f",
-                lam.min(), lam.max(), lam.mean())
+    if logger.isEnabledFor(logging.INFO):
+        # stats reduce on device, ONE 3-scalar fetch: pulling the full λ
+        # vector to host for this log line cost ~200 ms (tunnel) per
+        # build at 1M+ rows
+        stats = jax.jit(lambda v: jnp.stack(
+            [jnp.min(v), jnp.max(v), jnp.mean(v)]))(aspace.lambdas)
+        mn, mx, mean = np.asarray(stats)
+        logger.info("λ computation complete: min=%.6f, max=%.6f, "
+                    "mean=%.6f", mn, mx, mean)
 
 
 def search(aspace: ArrowSpace, item, gl: GraphLaplacian, k: int,
