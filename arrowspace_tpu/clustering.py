@@ -40,11 +40,56 @@ logger = get_logger("arrowspace.clustering")
 CLUSTERING_SEED = 128  # clustering.rs:30
 
 __all__ = [
-    "CLUSTERING_SEED", "compute_optimal_k", "estimate_intrinsic_dimension",
-    "calinski_harabasz_score", "compute_threshold_from_pilot", "kmeans_lloyd",
-    "euclidean_dist", "run_incremental_clustering_with_sampling",
-    "nearest_centroid",
+    "CLUSTERING_SEED", "Assignments", "compute_optimal_k",
+    "estimate_intrinsic_dimension", "calinski_harabasz_score",
+    "compute_threshold_from_pilot", "kmeans_lloyd", "euclidean_dist",
+    "run_incremental_clustering_with_sampling", "nearest_centroid",
 ]
+
+
+class Assignments:
+    """Per-row cluster ids with ``None`` for dropped rows — the
+    reference's ``Vec<Option<usize>>`` (clustering.rs:547) — backed by a
+    dense int64 array with a -1 sentinel.  Materialising a 1M-element
+    Python list (and converting it back to an array downstream) measured
+    ~0.3 s per build; this keeps list semantics (len / index / iterate /
+    ``a is None`` checks) lazy over the array, and bulk consumers read
+    ``.array`` directly."""
+
+    __slots__ = ("array",)
+
+    def __init__(self, array):
+        self.array = np.asarray(array, dtype=np.int64)
+
+    def __len__(self) -> int:
+        return self.array.shape[0]
+
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            return Assignments(self.array[i])
+        v = int(self.array[i])
+        return None if v < 0 else v
+
+    def __iter__(self):
+        for v in self.array:
+            yield None if v < 0 else int(v)
+
+    def __array__(self, dtype=None, copy=None):
+        a = self.array
+        if dtype is not None:
+            a = a.astype(dtype, copy=False)
+        return a.copy() if copy else a
+
+    def __eq__(self, other):
+        if isinstance(other, Assignments):
+            return np.array_equal(self.array, other.array)
+        if isinstance(other, (list, tuple)):
+            return len(self) == len(other) and all(
+                a == b for a, b in zip(self, other))
+        return NotImplemented
+
+    def __repr__(self) -> str:
+        return f"Assignments({self.array!r})"
 
 
 def euclidean_dist(a, b) -> float:
@@ -728,9 +773,7 @@ def _incremental_clustering_chunked(builder, rows, nfeatures, max_clusters,
             assert 0.325 < ratio < 0.89, (
                 f"sampling_rate not in the interval 0.325..0.875 but {ratio}")
 
-    assignments: List[Optional[int]] = [
-        None if a < 0 else int(a) for a in assign]
-    return cent[:n_c].copy(), assignments, counts[:n_c].tolist()
+    return cent[:n_c].copy(), Assignments(assign), counts[:n_c].tolist()
 
 
 def _incremental_clustering_numpy(builder, rows, nfeatures, max_clusters,

@@ -82,12 +82,17 @@ def start_clustering(builder, rows) -> ClusteredOutput:
             device_data=device_data)
 
     n_clusters = clustered_dm.shape[0]
+    # bulk path: chunked/native/sharded modes return Assignments (dense
+    # -1-sentinel array) — avoid a 1M-element python list round trip
+    assign_arr = getattr(assignments, "array", None)
+    if assign_arr is None:
+        assign_arr = np.asarray(
+            [-1 if a is None else a for a in assignments], dtype=np.int64)
     logger.info("Clustering complete: %d centroids, %d items assigned",
-                n_clusters, sum(1 for a in assignments if a is not None))
+                n_clusters, int((assign_arr >= 0).sum()))
 
     aspace.n_clusters = n_clusters
-    aspace.cluster_assignments = np.asarray(
-        [-1 if a is None else a for a in assignments], dtype=np.int64)
+    aspace.cluster_assignments = assign_arr.copy()
     aspace.cluster_sizes = np.asarray(sizes, dtype=np.int64)
     aspace.cluster_radius = radius
 

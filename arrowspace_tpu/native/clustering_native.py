@@ -130,7 +130,6 @@ def native_incremental_clustering(builder, rows, nfeatures, max_clusters,
             assert 0.325 < ratio < 0.89, (
                 f"sampling_rate not in the interval 0.325..0.875 but {ratio}")
 
-    assignments: List[Optional[int]] = [
-        None if a < 0 else int(a) for a in out_assign]
-    return (out_cent[:n_c].copy(), assignments,
+    from ..clustering import Assignments
+    return (out_cent[:n_c].copy(), Assignments(out_assign),
             out_counts[:n_c].tolist())

@@ -361,8 +361,8 @@ def sharded_incremental_clustering(
     if state["n_c"] == 0:
         raise RuntimeError("No clusters created from data")
     n_c = state["n_c"]
-    assignments = [None if a < 0 else int(a) for a in assign]
-    return cent[:n_c].copy(), assignments, counts[:n_c].tolist()
+    from ..clustering import Assignments
+    return cent[:n_c].copy(), Assignments(assign), counts[:n_c].tolist()
 
 
 def distributed_build_step(

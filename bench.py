@@ -181,8 +181,7 @@ def big_corpus_suite(jax, jnp, rtt_s: float) -> None:
                 device_data=aspace.data)
         b.cluster_max_clusters, b.cluster_radius = k_opt, radius
         aspace.n_clusters = cent.shape[0]
-        aspace.cluster_assignments = np.asarray(
-            [-1 if a is None else a for a in assignments], dtype=np.int64)
+        aspace.cluster_assignments = np.asarray(assignments, dtype=np.int64)
         aspace.cluster_sizes = np.asarray(sizes, dtype=np.int64)
         aspace.cluster_radius = radius
         gl = em.eigenmaps(aspace, b, cent, n_big)
