@@ -486,6 +486,43 @@ def _chunk_dist_jit():
 
 _CHUNK_DIST = None
 
+
+def _chunk_segsum_jit():
+    """Module-level jitted grouped-sum program for the running-mean
+    updates: per-centroid sums and counts of a chunk window's rows,
+    keyed by host-decided targets (-1 = not assigned).  Replaces the
+    host's np.add.at over the fetched (chunk x F) rows — the largest
+    remaining host cost of the chunked scan (~100 ms per 131k-row
+    chunk) — with one small dispatch against the resident corpus."""
+    global _CHUNK_SEGSUM
+    if _CHUNK_SEGSUM is None:
+        import functools
+        import jax
+        import jax.numpy as jnp
+
+        @functools.partial(jax.jit, static_argnames=("chunk", "cap"))
+        def _segsum(corpus, start, tgt, *, chunk, cap):
+            f = corpus.shape[1]
+            rows_c = jax.lax.dynamic_slice(
+                corpus, (start, jnp.zeros((), start.dtype)), (chunk, f))
+            valid = tgt >= 0
+            t = jnp.where(valid, tgt, cap)   # park non-assigned in slot cap
+            # accumulate in the corpus dtype: f64 on the CPU/x64 oracle
+            # backend (exact parity with np.add.at), f32 on TPU (~1e-7
+            # relative on unit-scale means — inside the chunked mode's
+            # documented f32 relaxation)
+            sums = jnp.zeros((cap + 1, f), dtype=corpus.dtype)
+            sums = sums.at[t].add(jnp.where(valid[:, None], rows_c, 0.0))
+            counts = jnp.zeros((cap + 1,), dtype=jnp.int32).at[t].add(
+                valid.astype(jnp.int32))
+            return sums[:cap], counts[:cap]
+
+        _CHUNK_SEGSUM = _segsum
+    return _CHUNK_SEGSUM
+
+
+_CHUNK_SEGSUM = None
+
 # Corpora below this many elements keep the clustering scan on host BLAS
 # (an accelerator compile through the tunnel dwarfs a few ms of matmul).
 DEVICE_CLUSTERING_MIN_ELEMS = 1 << 23
@@ -530,6 +567,27 @@ class _DeviceChunkDistances:
         # otherwise be held twice in HBM for the whole scan
         self.corpus = device_data
         self._dist = _chunk_dist_jit()
+        self._segsum = _chunk_segsum_jit()
+
+    def segment_sums(self, c0: int, tgt: np.ndarray):
+        """Per-centroid (sums, counts) for the chunk window at c0, given
+        per-row targets over the LAST min(chunk, n-c0) rows (-1 = not
+        assigned).  The window alignment matches __call__: a tail start
+        is clamped to n - chunk and the leading rows are masked out.
+
+        Sums accumulate in f32 on device (the corpus dtype on TPU): for
+        unit-scale rows the running-mean error is ~1e-7 relative — well
+        inside the chunked (unseeded) mode's documented f32-distance
+        relaxation.  The seeded sequential path never uses this."""
+        jnp = self._jnp
+        m = min(self.chunk, self.n - c0)
+        tgt_pad = np.full(self.chunk, -1, dtype=np.int32)
+        tgt_pad[self.chunk - m:] = tgt
+        sums, counts = self._segsum(
+            self.corpus, np.int32(min(c0, self.n - self.chunk)),
+            jnp.asarray(tgt_pad), chunk=self.chunk, cap=self.mc_pad)
+        return (np.asarray(sums, dtype=np.float64),
+                np.asarray(counts, dtype=np.int64))
 
     def __call__(self, c0: int, cent: np.ndarray, n_c: int):
         jnp = self._jnp
@@ -549,12 +607,17 @@ class _DeviceChunkDistances:
 
 def _apply_chunk_decisions(rows_c, best, best_d2, offset, builder, sampler,
                            radius, max_clusters, cent, counts, assign,
-                           state) -> None:
+                           state, segsum=None) -> None:
     """Apply the per-row create/assign/soft-outlier rules for one chunk,
     given snapshot nearest-centroid results (best, best_d2).  Mutates
     cent/counts/assign in place and state["n_c"].  Shared by the
     single-chip chunked mode and the mesh-sharded build
-    (parallel/distributed.sharded_incremental_clustering)."""
+    (parallel/distributed.sharded_incremental_clustering).
+
+    segsum: optional device grouped-sum callable (tgt_local (m,) int32,
+    -1 = not assigned) -> (sums (cap, F), counts (cap,)); when given,
+    the running-mean reduction runs on the accelerator against the
+    resident corpus instead of np.add.at over host rows."""
     m = rows_c.shape[0]
     if m == 0:
         return
@@ -653,9 +716,16 @@ def _apply_chunk_decisions(rows_c, best, best_d2, offset, builder, sampler,
         tgt = np.concatenate([tgt, np.asarray(reroute_assign_tgt,
                                               dtype=np.int64)])
     if a_idx.size:
-        add_cnt = np.bincount(tgt, minlength=n_c)
-        add_sum = np.zeros((n_c, nfeatures))
-        np.add.at(add_sum, tgt, rows_c[a_idx])
+        if segsum is not None:
+            tgt_local = np.full(m, -1, dtype=np.int32)
+            tgt_local[a_idx] = tgt
+            sums_full, cnt_full = segsum(tgt_local)
+            add_cnt = cnt_full[:n_c]
+            add_sum = sums_full[:n_c]
+        else:
+            add_cnt = np.bincount(tgt, minlength=n_c)
+            add_sum = np.zeros((n_c, nfeatures))
+            np.add.at(add_sum, tgt, rows_c[a_idx])
         upd = add_cnt > 0
         new_counts = counts[:n_c] + add_cnt
         cent[:n_c][upd] = (
@@ -742,8 +812,11 @@ def _incremental_clustering_chunked(builder, rows, nfeatures, max_clusters,
             # on the host, the device engine resumes at the next boundary
             use_engine = False
 
+        segsum = None
         if use_engine:
             best, best_d2 = engine(c0, cent, n_c)
+            segsum = (lambda tgt_local, _c0=c0:
+                      engine.segment_sums(_c0, tgt_local))
         else:
             snap = cent[:n_c]
             d2 = (np.sum(rows_c * rows_c, axis=1)[:, None]
@@ -756,7 +829,7 @@ def _incremental_clustering_chunked(builder, rows, nfeatures, max_clusters,
         state = {"n_c": n_c}
         _apply_chunk_decisions(rows_c, best, best_d2, offset, builder,
                                sampler, radius, max_clusters, cent, counts,
-                               assign, state)
+                               assign, state, segsum=segsum)
         n_c = state["n_c"]
 
     if n_c == 0:

@@ -123,6 +123,9 @@ def warm(
             aot(f"chunk_dist_cap{cap}", clustering._chunk_dist_jit(),
                 corpus, S((), i32), S((cap, f), dt), S((), i32),
                 chunk=chunk)
+            aot(f"chunk_segsum_cap{cap}", clustering._chunk_segsum_jit(),
+                corpus, S((), i32), S((chunk,), i32),
+                chunk=chunk, cap=cap)
 
     # --- build stage 4: fused τ+λ kernel ---------------------------------
     if on_tpu and dt == jnp.float32:

@@ -256,15 +256,18 @@ def test_single_feature_dataset():
     assert k >= 2 and radius > 0 and ident == 1
 
 
-def test_chunked_device_engine_matches_host():
+def test_chunked_device_engine_matches_host(monkeypatch):
     """The device-tile chunked path (distances via the resident corpus on
     the accelerator) must reproduce the host-BLAS chunked path exactly when
     run at the same chunking: on the CPU/f64 test backend the two engines
     compute the same distances, so decisions, centroids, assignments and
-    sampler consumption all coincide."""
+    sampler consumption all coincide.  (The engine's size gate is lowered
+    so the test corpus actually takes the device path — without this the
+    comparison is host-vs-host and proves nothing.)"""
     import jax.numpy as jnp
     from arrowspace_tpu.clustering import _incremental_clustering_chunked
 
+    monkeypatch.setattr(clustering, "DEVICE_CLUSTERING_MIN_ELEMS", 0)
     rng = np.random.default_rng(41)
     centers = rng.uniform(0, 1, (8, 16))
     rows = centers[rng.integers(0, 8, 9000)] + rng.normal(0, 0.04, (9000, 16))
@@ -288,12 +291,13 @@ def test_chunked_device_engine_matches_host():
     assert z_dev == z_host
 
 
-def test_chunked_device_engine_partial_tail():
+def test_chunked_device_engine_partial_tail(monkeypatch):
     """Device engine with a row count that is not a multiple of the chunk:
     the padded tail must not leak into assignments or centroids."""
     import jax.numpy as jnp
     from arrowspace_tpu.clustering import _incremental_clustering_chunked
 
+    monkeypatch.setattr(clustering, "DEVICE_CLUSTERING_MIN_ELEMS", 0)
     rng = np.random.default_rng(43)
     rows = rng.uniform(0, 1, (5000 + 777, 16))  # 2048-chunk misaligned
 

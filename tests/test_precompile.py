@@ -81,7 +81,7 @@ def test_aot_matches_runtime_build_programs(cache_dir):
     n, f = 9_000, 1_024  # above DEVICE_CLUSTERING_MIN_ELEMS
     assert n * f >= clustering.DEVICE_CLUSTERING_MIN_ELEMS
     warm(n, f, batch_sizes=(), cache_path=cache_dir)
-    names = ("tile", "_dist")
+    names = ("tile", "_dist", "_segsum")
     before = _entries(cache_dir, names)
     assert before, "warm() wrote no build-program cache entries"
 
@@ -92,12 +92,16 @@ def test_aot_matches_runtime_build_programs(cache_dir):
     rng = np.random.default_rng(0)
     clustering._twonn_two_smallest_device(corpus, rng.permutation(n)[:500])
 
-    # chunked-scan snapshot distances at every cap bucket the sweep allows
+    # chunked-scan snapshot distances + grouped sums at every cap bucket
+    # the sweep allows
     for cap_k in centroid_cap_buckets(n, f):
         eng = clustering._DeviceChunkDistances(
             corpus, cap_k, clustering._device_chunk_for(n))
         cent = np.zeros((cap_k, f))
         eng(0, cent, 1)
+        tgt = np.full(min(eng.chunk, n), -1, dtype=np.int32)
+        tgt[:16] = 0
+        eng.segment_sums(0, tgt)
 
     after = _entries(cache_dir, names)
     assert after == before, (
