@@ -409,7 +409,8 @@ class DistributedSearchSession:
 
     def __init__(self, items, item_lambdas, laplacian, mesh: Mesh,
                  batch_size: int, k: int = 10, alpha: float = 0.9,
-                 taumode: TauMode = None, depth: int = 2):
+                 taumode: TauMode = None, depth: int = 2,
+                 projection=None):
         import numpy as np
 
         self.batch_size = int(batch_size)
@@ -432,11 +433,28 @@ class DistributedSearchSession:
                                       items_sharding(mesh, ndim=1))
         laplacian = jax.device_put(jnp.asarray(laplacian, dtype=dt),
                                    replicated_sharding(mesh))
+        has_proj = projection is not None
+        if has_proj:
+            proj = jax.device_put(jnp.asarray(projection, dtype=dt),
+                                  replicated_sharding(mesh))
+        else:
+            proj = jax.device_put(jnp.zeros((1, 1), dtype=dt),
+                                  replicated_sharding(mesh))
+        if not has_proj and laplacian.shape[0] != items.shape[1]:
+            raise ValueError(
+                f"graph has {laplacian.shape[0]} nodes but items have "
+                f"{items.shape[1]} coordinates — a dims-reduced index "
+                f"needs the projection matrix (projection=...)")
         shard_n = n // n_dev
 
-        def _shard_fn(q, x, xlam, lap):
-            taus = select_tau_batch(q, taumode)
-            qlam = synthetic_lambda_batch(q, lap, taus)
+        def _shard_fn(q, x, xlam, lap, pr):
+            # dims-reduced index: the projected query prepares λ, the RAW
+            # query scores against the raw items (ArrowIndex.search
+            # semantics; core.rs:509-549)
+            q_prep = q if not has_proj else jnp.dot(
+                q, pr, preferred_element_type=dt)
+            taus = select_tau_batch(q_prep, taumode)
+            qlam = synthetic_lambda_batch(q_prep, lap, taus)
             scores = lambda_aware_scores(
                 q, qlam, x, xlam, jnp.asarray(alpha, dtype=dt))
             local_scores, local_idx = jax.lax.top_k(scores, k_local)
@@ -452,10 +470,28 @@ class DistributedSearchSession:
 
         fn = shard_map(_shard_fn, mesh=mesh,
                        in_specs=(P(), P(ITEMS_AXIS, None), P(ITEMS_AXIS),
-                                 P()),
+                                 P(), P()),
                        out_specs=(P(), P()), check_vma=False)
         jitted = jax.jit(fn)
-        self._step = lambda q: jitted(q, items, item_lambdas, laplacian)
+        self._step = lambda q: jitted(q, items, item_lambdas, laplacian,
+                                      proj)
+
+    @classmethod
+    def from_index(cls, index, mesh: Mesh, batch_size: int, k: int = 10,
+                   alpha: float = 0.9,
+                   depth: int = 2) -> "DistributedSearchSession":
+        """Open a mesh session over a built/loaded ArrowIndex (the corpus
+        and λ re-shard over the mesh; the graph and any JL projection
+        replicate)."""
+        aspace, gl = index.aspace, index.gl
+        dt = aspace.data.dtype
+        proj = None
+        if aspace.projection_matrix is not None:
+            proj = aspace.projection_matrix.matrix(dtype=dt)
+        return cls(aspace.data, aspace.lambdas,
+                   jnp.asarray(gl.matrix, dtype=dt), mesh, batch_size,
+                   k=k, alpha=alpha, taumode=aspace.taumode, depth=depth,
+                   projection=proj)
 
     def warmup(self) -> None:
         """Compile the fused multi-chip step so serving is dispatch-only."""

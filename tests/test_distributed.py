@@ -94,6 +94,38 @@ def test_distributed_search_session_matches_single(mesh):
         np.testing.assert_allclose(s, np.asarray(s_ref), rtol=1e-12)
 
 
+def test_distributed_session_projected_index(mesh):
+    """from_index over a dims-reduced index: the projected query prepares
+    λ against the r x r graph while the raw query scores raw items —
+    results must match the one-shot ArrowIndex.search exactly (both
+    paths share the same f64 CPU backend here)."""
+    from arrowspace_tpu.index import ArrowIndex
+    from arrowspace_tpu.parallel import DistributedSearchSession
+
+    rng = np.random.default_rng(17)
+    centers = rng.uniform(0.2, 0.8, (6, 96))
+    rows = centers[rng.integers(0, 6, 512)] + rng.normal(0, 0.05,
+                                                         (512, 96))
+    idx = ArrowIndex.build(rows, eps=1.0, k=5, topk=3, seed=9,
+                           sampling=None, dims_reduction=True, rp_eps=0.9)
+    assert idx.aspace.projection_matrix is not None
+
+    sess = DistributedSearchSession.from_index(idx, mesh, batch_size=8,
+                                               k=7, alpha=0.85)
+    sess.warmup()
+    q = rows[:8] * 1.01
+    (s, i), = tuple(sess.search_stream([q]))
+    s_ref, i_ref = idx.search(q, k=7, alpha=0.85)
+    np.testing.assert_array_equal(i, np.asarray(i_ref))
+    np.testing.assert_allclose(s, np.asarray(s_ref), rtol=1e-10)
+
+    # an un-projected session over a reduced graph must refuse clearly
+    with pytest.raises(ValueError, match="projection"):
+        DistributedSearchSession(
+            idx.aspace.data, idx.aspace.lambdas,
+            jnp.asarray(idx.gl.matrix), mesh, batch_size=8, k=7)
+
+
 def test_distributed_index_step_runs(mesh):
     """The full device-side step compiles and executes over the mesh."""
     items, _ = _setup(n=128, f=16)
