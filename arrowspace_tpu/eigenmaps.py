@@ -147,6 +147,19 @@ def eigenmaps(aspace: ArrowSpace, builder, centroids,
     return gl
 
 
+_LAMBDA_STATS = None
+
+
+def _lambda_stats_jit():
+    """Module-level cached jit for the 3-scalar λ stats reduction (a
+    fresh jax.jit(lambda) per call would retrace every build)."""
+    global _LAMBDA_STATS
+    if _LAMBDA_STATS is None:
+        _LAMBDA_STATS = jax.jit(lambda v: jnp.stack(
+            [jnp.min(v), jnp.max(v), jnp.mean(v)]))
+    return _LAMBDA_STATS
+
+
 def compute_taumode(aspace: ArrowSpace, gl: GraphLaplacian) -> None:
     """Stage 3: batched λτ (reference: eigenmaps.rs:358-383).  Uses the
     precomputed signals matrix when present (taumode.rs:195-200)."""
@@ -160,9 +173,7 @@ def compute_taumode(aspace: ArrowSpace, gl: GraphLaplacian) -> None:
         # stats reduce on device, ONE 3-scalar fetch: pulling the full λ
         # vector to host for this log line cost ~200 ms (tunnel) per
         # build at 1M+ rows
-        stats = jax.jit(lambda v: jnp.stack(
-            [jnp.min(v), jnp.max(v), jnp.mean(v)]))(aspace.lambdas)
-        mn, mx, mean = np.asarray(stats)
+        mn, mx, mean = np.asarray(_lambda_stats_jit()(aspace.lambdas))
         logger.info("λ computation complete: min=%.6f, max=%.6f, "
                     "mean=%.6f", mn, mx, mean)
 

@@ -81,6 +81,42 @@ def session_uses_pallas(nitems: int, k: int) -> bool:
             and k <= 128)
 
 
+def stream_search(step, batches, batch_size: int, depth: int, dt):
+    """Shared pipelined stream driver (used by SearchSession and
+    parallel.DistributedSearchSession): yield (scores, ids) per input
+    batch with `depth` batches in flight — dispatch batch i+1 before
+    fetching batch i's results.  Partial batches (e.g. a stream tail)
+    are padded to batch_size so the compiled step is never retraced
+    mid-stream; their results are sliced back."""
+    import jax.numpy as jnp
+
+    pending = deque()
+    for qb in batches:
+        qb = np.ascontiguousarray(qb)
+        nq = qb.shape[0]
+        if nq != batch_size:
+            assert nq < batch_size, (
+                f"batch of {nq} exceeds the session batch_size "
+                f"{batch_size}")
+            qb = np.pad(qb, ((0, batch_size - nq), (0, 0)),
+                        constant_values=1.0)
+        q = jnp.asarray(qb, dtype=dt)
+        pending.append((step(q), nq))  # async dispatch
+        if len(pending) > depth:
+            (s, i), m = pending.popleft()
+            yield np.asarray(s[:m]), np.asarray(i[:m])
+    while pending:
+        (s, i), m = pending.popleft()
+        yield np.asarray(s[:m]), np.asarray(i[:m])
+
+
+def warm_step(step, batch_size: int, dim: int, dt) -> None:
+    """Compile a session step so serving latency is dispatch-only."""
+    import jax.numpy as jnp
+    s, _ = step(jnp.ones((batch_size, dim), dtype=dt))
+    np.asarray(s[:1, :1])
+
+
 class SearchSession:
     """Compiled, pipelined streaming search for serving.
 
@@ -139,37 +175,14 @@ class SearchSession:
 
     def warmup(self) -> None:
         """Compile the step program so serving latency is dispatch-only."""
-        jnp = self._jnp
-        dummy = jnp.ones((self.batch_size, self._dim), dtype=self._dt)
-        s, _ = self._step(dummy)
-        np.asarray(s[:1, :1])
+        warm_step(self._step, self.batch_size, self._dim, self._dt)
 
     def search_stream(self, batches: Iterable) -> Iterable[Tuple[np.ndarray,
                                                                  np.ndarray]]:
         """Yield (scores, ids) per input batch, keeping `depth` batches in
-        flight (dispatch batch i+1 before fetching batch i's results).
-        Partial batches (e.g. a stream tail) are padded to batch_size so
-        the compiled step is never retraced mid-stream; their results are
-        sliced back."""
-        jnp = self._jnp
-        pending = deque()
-        for qb in batches:
-            qb = np.ascontiguousarray(qb)
-            nq = qb.shape[0]
-            if nq != self.batch_size:
-                assert nq < self.batch_size, (
-                    f"batch of {nq} exceeds the session batch_size "
-                    f"{self.batch_size}")
-                qb = np.pad(qb, ((0, self.batch_size - nq), (0, 0)),
-                            constant_values=1.0)
-            q = jnp.asarray(qb, dtype=self._dt)
-            pending.append((self._step(q), nq))  # async dispatch
-            if len(pending) > self.depth:
-                (s, i), m = pending.popleft()
-                yield np.asarray(s[:m]), np.asarray(i[:m])
-        while pending:
-            (s, i), m = pending.popleft()
-            yield np.asarray(s[:m]), np.asarray(i[:m])
+        flight — see stream_search (shared with the multi-chip session)."""
+        return stream_search(self._step, batches, self.batch_size,
+                             self.depth, self._dt)
 
 
 class ArrowIndex:

@@ -410,9 +410,7 @@ class DistributedSearchSession:
     def __init__(self, items, item_lambdas, laplacian, mesh: Mesh,
                  batch_size: int, k: int = 10, alpha: float = 0.9,
                  taumode: TauMode = None, depth: int = 2,
-                 projection=None):
-        import numpy as np
-
+                 projection=None, pad_tall: bool = False):
         self.batch_size = int(batch_size)
         self.depth = max(1, int(depth))
         self.mesh = mesh
@@ -426,7 +424,6 @@ class DistributedSearchSession:
         dt = items.dtype
         self._dt = dt
         self._dim = items.shape[1]
-        self._np = np
 
         items = jax.device_put(items, items_sharding(mesh))
         item_lambdas = jax.device_put(item_lambdas,
@@ -440,11 +437,13 @@ class DistributedSearchSession:
         else:
             proj = jax.device_put(jnp.zeros((1, 1), dtype=dt),
                                   replicated_sharding(mesh))
-        if not has_proj and laplacian.shape[0] != items.shape[1]:
+        if (not has_proj and not pad_tall
+                and laplacian.shape[0] != items.shape[1]):
             raise ValueError(
                 f"graph has {laplacian.shape[0]} nodes but items have "
                 f"{items.shape[1]} coordinates — a dims-reduced index "
-                f"needs the projection matrix (projection=...)")
+                f"needs the projection matrix (projection=...), a tall "
+                f"energy graph needs pad_tall=True")
         shard_n = n // n_dev
 
         def _shard_fn(q, x, xlam, lap, pr):
@@ -454,7 +453,8 @@ class DistributedSearchSession:
             q_prep = q if not has_proj else jnp.dot(
                 q, pr, preferred_element_type=dt)
             taus = select_tau_batch(q_prep, taumode)
-            qlam = synthetic_lambda_batch(q_prep, lap, taus)
+            qlam = synthetic_lambda_batch(q_prep, lap, taus,
+                                          pad_items=pad_tall)
             scores = lambda_aware_scores(
                 q, qlam, x, xlam, jnp.asarray(alpha, dtype=dt))
             local_scores, local_idx = jax.lax.top_k(scores, k_local)
@@ -491,39 +491,19 @@ class DistributedSearchSession:
         return cls(aspace.data, aspace.lambdas,
                    jnp.asarray(gl.matrix, dtype=dt), mesh, batch_size,
                    k=k, alpha=alpha, taumode=aspace.taumode, depth=depth,
-                   projection=proj)
+                   projection=proj, pad_tall=aspace.pad_tall_graphs)
 
     def warmup(self) -> None:
         """Compile the fused multi-chip step so serving is dispatch-only."""
-        np = self._np
-        dummy = jnp.ones((self.batch_size, self._dim), dtype=self._dt)
-        s, _ = self._step(dummy)
-        np.asarray(s[:1, :1])
+        from ..index import warm_step
+        warm_step(self._step, self.batch_size, self._dim, self._dt)
 
     def search_stream(self, batches):
         """Yield (scores, ids) per input batch with ``depth`` batches in
-        flight across the mesh; partial batches are padded and sliced
-        back (same contract as index.SearchSession.search_stream)."""
-        from collections import deque
-        np = self._np
-        pending = deque()
-        for qb in batches:
-            qb = np.ascontiguousarray(qb)
-            nq = qb.shape[0]
-            if nq != self.batch_size:
-                assert nq < self.batch_size, (
-                    f"batch of {nq} exceeds the session batch_size "
-                    f"{self.batch_size}")
-                qb = np.pad(qb, ((0, self.batch_size - nq), (0, 0)),
-                            constant_values=1.0)
-            q = jnp.asarray(qb, dtype=self._dt)
-            pending.append((self._step(q), nq))  # async dispatch
-            if len(pending) > self.depth:
-                (s, i), m = pending.popleft()
-                yield np.asarray(s[:m]), np.asarray(i[:m])
-        while pending:
-            (s, i), m = pending.popleft()
-            yield np.asarray(s[:m]), np.asarray(i[:m])
+        flight across the mesh (shared driver: index.stream_search)."""
+        from ..index import stream_search
+        return stream_search(self._step, batches, self.batch_size,
+                             self.depth, self._dt)
 
 
 def distributed_index_step(

@@ -198,10 +198,10 @@ def big_corpus_suite(jax, jnp, rtt_s: float) -> None:
     record("build_1m_x128_first_in_process", t_cold, "s",
            note="includes residual per-process compile/cache overhead")
 
-    # Steady-state build: programs warm, corpus re-uploaded (the second
-    # ArrowSpace.new is a fresh device buffer).  This is the number that
-    # compares to the reference's build time — the reference's binary is
-    # AOT-compiled too.
+    # Steady-state build: programs warm, corpus reused device-side (see
+    # run_build's reuse_aspace — re-uploading would only re-measure the
+    # tunnel).  This is the number that compares to the reference's
+    # build time — the reference's binary is AOT-compiled too.
     aspace, gl, b, _, t_build, n_clusters = run_build(reuse_aspace=aspace)
     # both runs are steady-state measurements modulo tunnel/host noise
     # (the first additionally pays cache deserialisation); report the

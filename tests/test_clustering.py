@@ -2,15 +2,19 @@
 tests/test_clustering.rs."""
 
 import numpy as np
+import pytest
 
-from arrowspace_tpu.clustering import Assignments
+from arrowspace_tpu import clustering
+from arrowspace_tpu.builder import ArrowSpaceBuilder
+from arrowspace_tpu.sampling import SamplerType
+from data import make_gaussian_blob, make_moons_hd
 
 
 def test_assignments_sequence_semantics():
     """Assignments must behave as the reference's Vec<Option<usize>>:
     None for dropped rows, list-like access, plus a dense -1 array for
     bulk consumers."""
-    a = Assignments(np.asarray([0, -1, 2, 1]))
+    a = clustering.Assignments(np.asarray([0, -1, 2, 1]))
     assert len(a) == 4
     assert a[0] == 0 and a[1] is None and a[3] == 1
     assert list(a) == [0, None, 2, 1]
@@ -18,12 +22,6 @@ def test_assignments_sequence_semantics():
     assert a[1:3] == [None, 2]
     np.testing.assert_array_equal(np.asarray(a), [0, -1, 2, 1])
     assert sum(1 for x in a if x is not None) == 3
-import pytest
-
-from arrowspace_tpu import clustering
-from arrowspace_tpu.builder import ArrowSpaceBuilder
-from arrowspace_tpu.sampling import SamplerType
-from data import make_gaussian_blob, make_moons_hd
 
 
 def test_euclidean_and_nearest_centroid():

@@ -126,6 +126,37 @@ def test_distributed_session_projected_index(mesh):
             jnp.asarray(idx.gl.matrix), mesh, batch_size=8, k=7)
 
 
+def test_distributed_session_tall_graph_index(mesh):
+    """from_index over an allow_tall_graphs energy index (graph nodes >
+    F): query-λ preparation must pad instead of raising the n>F error,
+    matching the single-chip session (regression: pad_tall was not
+    threaded through the mesh session)."""
+    from arrowspace_tpu import energymaps as en
+    from arrowspace_tpu.builder import ArrowSpaceBuilder
+    from arrowspace_tpu.energymaps import EnergyParams
+    from arrowspace_tpu.index import ArrowIndex
+    from arrowspace_tpu.parallel import DistributedSearchSession
+
+    rng = np.random.default_rng(0)
+    centers = rng.uniform(0, 1, (40, 16))
+    rows = centers[rng.integers(0, 40, 800)] + rng.normal(0, 0.02,
+                                                          (800, 16))
+    b = (ArrowSpaceBuilder().with_seed(7).with_dims_reduction(True, 0.3)
+         .with_inline_sampling(None))
+    aspace, gl = en.build_energy(
+        b, rows.tolist(),
+        EnergyParams(split_quantile=0.2, allow_tall_graphs=True))
+    assert gl.shape()[0] > aspace.nfeatures
+    idx = ArrowIndex(aspace, gl, b)
+
+    sess = DistributedSearchSession.from_index(idx, mesh, batch_size=4,
+                                               k=5, alpha=0.9)
+    sess.warmup()
+    (s, i), = tuple(sess.search_stream([rows[:4] * 1.01]))
+    s_ref, i_ref = idx.search(rows[:4] * 1.01, k=5, alpha=0.9)
+    np.testing.assert_array_equal(i, np.asarray(i_ref))
+
+
 def test_distributed_index_step_runs(mesh):
     """The full device-side step compiles and executes over the mesh."""
     items, _ = _setup(n=128, f=16)
