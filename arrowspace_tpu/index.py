@@ -170,7 +170,6 @@ class SearchSession:
             q, data, lambdas, lap, dummy_proj, taumode=taumode,
             alpha=float(alpha), k=k_eff, use_pallas=use_pallas,
             has_proj=has_proj, pad_tall=pad_tall, use_bf16=use_bf16)
-        self._jnp = jnp
         self._dim = aspace.nfeatures
 
     def warmup(self) -> None:
