@@ -390,6 +390,71 @@ def test_chunked_drift_from_sequential_characterized():
     assert agreement > 0.95, agreement
 
 
+def test_threshold_pilot_scenarios():
+    """Pilot-radius scenarios (test_clustering.rs:threshold_from_pilot_*):
+    zero-variance clusters fall back to the inter-centroid gap, spread
+    data gets a large radius, identical points floor at 1e-6, tight
+    far-apart clusters use the gap rather than intra-cluster noise."""
+    # two zero-variance clusters 10√2 apart -> inter-centroid fallback
+    rows = [[0.0, 0.0]] * 50 + [[10.0, 10.0]] * 50
+    r = clustering.compute_threshold_from_pilot(rows, 2, 42)
+    assert 1.0 < r < 80.0
+    # widely spread line -> radius > 1
+    rows = [[(i - 50.0) * 0.5] * 2 for i in range(100)]
+    assert clustering.compute_threshold_from_pilot(rows, 3, 42) > 1.0
+    # all points identical -> minimum threshold
+    assert clustering.compute_threshold_from_pilot(
+        [[5.0, 5.0]] * 10, 3, 42) >= 1e-6
+    # very tight clusters 100 apart -> gap, not the 1e-4 jitter
+    rng = np.random.default_rng(0)
+    rows = ([[rng.random() * 1e-4, 0.0] for _ in range(20)]
+            + [[100.0 + rng.random() * 1e-4, 0.0] for _ in range(20)])
+    assert clustering.compute_threshold_from_pilot(rows, 2, 42) > 0.01
+
+
+def test_step1_bounds_scenarios():
+    """K-bound scenarios (test_clustering.rs:step1_bounds_*): k_min =
+    ceil(sqrt(N/10)) and k_max respects min(F, N/10, 5*ID, sqrt(N))
+    then the k_min+1 / N/2 clamps, across small, tall-skinny and
+    high-dimensional shapes."""
+    rng = np.random.default_rng(1)
+    for n, f in ((60, 4), (5000, 3), (200, 512)):
+        rows = rng.normal(size=(n, f))
+        k_min, k_max, id_est = clustering._step1_bounds(rows, n, f, 128)
+        assert k_min == max(int(np.ceil(np.sqrt(n / 10.0))), 2)
+        assert k_min < k_max <= max(
+            min(f, n // 10, 5 * id_est, int(n ** 0.5)), k_min + 1)
+        assert k_max <= n // 2
+        assert 1 <= id_est <= f
+
+
+def test_optimal_k_heuristic_scenarios():
+    """Optimal-K end-to-end scenarios (test_clustering.rs:optimal_k_*):
+    spherical clusters, high-dimensional random data, mixed-scale
+    features and the minimum viable dataset all produce a K inside the
+    bounds with a positive radius."""
+    rng = np.random.default_rng(2)
+    # spherical clusters
+    centers = rng.uniform(-5, 5, (4, 8))
+    rows = np.vstack([c + rng.normal(0, 0.1, (40, 8)) for c in centers])
+    k, r, _ = clustering.compute_optimal_k(rows, rows.shape[0], 8, 42)
+    assert 2 <= k <= rows.shape[0] // 2 and r > 0
+    # high-dimensional random (no structure): still a valid K
+    rows = rng.normal(size=(120, 64))
+    k, r, _ = clustering.compute_optimal_k(rows, 120, 64, 42)
+    assert 2 <= k <= 60 and r > 0
+    # mixed-scale features
+    rows = np.column_stack([rng.normal(0, 1000, 90),
+                            rng.normal(0, 0.001, 90),
+                            rng.normal(0, 1, 90)])
+    k, r, _ = clustering.compute_optimal_k(rows, 90, 3, 42)
+    assert 2 <= k <= 45 and r > 0
+    # minimum viable dataset
+    rows = rng.normal(size=(20, 2))
+    k, r, _ = clustering.compute_optimal_k(rows, 20, 2, 42)
+    assert 2 <= k <= 10 and r > 0
+
+
 def test_bucket_rows_schedule():
     """bucket_rows: identity below the floor, pow2 to 256k, <=25% padding
     above, and monotone (same bucket => same compiled program)."""
