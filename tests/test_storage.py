@@ -98,6 +98,75 @@ def test_checkpoint_multi_artifact(tmp_path):
     np.testing.assert_array_equal(raw, back)
 
 
+def test_sparse_matrix_empty(tmp_path):
+    """All-zero sparse matrix round-trips as diagonal-only storage
+    (storage/test_storage.rs:test_sparse_matrix_empty; the reference's
+    CSR always stores the diagonal)."""
+    m = np.zeros((5, 5))
+    pq.save_sparse_matrix(m, tmp_path, "sparse_empty")
+    back = pq.load_sparse_matrix(tmp_path / "sparse_empty.parquet")
+    np.testing.assert_array_equal(back, m)
+
+
+def test_dense_matrix_large_dimensions(tmp_path):
+    """Wide dense matrices keep the one-Float64-column-per-feature
+    schema (storage/test_storage.rs:test_dense_matrix_large_dimensions)."""
+    m = np.random.default_rng(8).normal(size=(6, 300))
+    pq.save_dense_matrix(m, tmp_path, "dense_wide")
+    table = pq_reader.read_table(tmp_path / "dense_wide.parquet")
+    assert table.schema.names[3:] == [f"col_{j}" for j in range(300)]
+    back = pq.load_dense_matrix(tmp_path / "dense_wide.parquet")
+    np.testing.assert_array_equal(m, back)
+
+
+def test_load_metadata_nonexistent(tmp_path):
+    """Missing metadata surfaces a typed storage error
+    (storage/test_storage.rs:test_load_metadata_nonexistent)."""
+    with pytest.raises((StorageError, FileNotFoundError)):
+        pq.load_metadata(tmp_path, "never_saved")
+
+
+def test_multiple_checkpoints_same_directory(tmp_path):
+    """Two named checkpoints coexist in one directory without clobbering
+    (storage/test_storage.rs:test_multiple_checkpoints_same_directory)."""
+    b = ArrowSpaceBuilder()
+    raw_a = np.random.default_rng(3).normal(size=(8, 4))
+    raw_b = np.random.default_rng(4).normal(size=(9, 4))
+    adj = np.abs(np.random.default_rng(5).normal(size=(4, 4)))
+    lap = np.eye(4)
+    sig = np.zeros((4, 4))
+    pq.save_arrowspace_checkpoint_with_builder(
+        tmp_path, "alpha", raw_a, adj, raw_a[:3], lap, sig, b)
+    pq.save_arrowspace_checkpoint_with_builder(
+        tmp_path, "beta", raw_b, adj, raw_b[:3], lap, sig, b)
+    back_a = pq.load_dense_matrix(tmp_path / "alpha_raw_data.parquet")
+    back_b = pq.load_dense_matrix(tmp_path / "beta_raw_data.parquet")
+    np.testing.assert_array_equal(raw_a, back_a)
+    np.testing.assert_array_equal(raw_b, back_b)
+    assert pq.load_metadata(tmp_path, "alpha").name_id == "alpha"
+    assert pq.load_metadata(tmp_path, "beta").name_id == "beta"
+
+
+def test_metadata_file_registry_and_json_format(tmp_path):
+    """The metadata JSON carries the typed config, dimensions and a file
+    registry with per-file sizes (storage/test_storage.rs:
+    test_file_size_tracking, test_metadata_json_format)."""
+    b = ArrowSpaceBuilder().with_lambda_graph(0.5, 7, 4, 2.0, None)
+    md = (pq.ArrowSpaceMetadata.from_builder("regtest", b)
+          .with_dimensions(100, 16)
+          .add_file("raw_data", pq.FileInfo("regtest_raw.parquet",
+                                            "dense", 100, 16,
+                                            size_bytes=12345)))
+    pq.save_metadata(md, tmp_path, "regtest")
+    raw = json.loads((tmp_path / "regtest_metadata.json").read_text())
+    assert raw["name_id"] == "regtest"
+    assert raw["n_rows"] == 100 and raw["n_cols"] == 16
+    assert raw["files"]["raw_data"]["size_bytes"] == 12345
+    back = pq.load_metadata(tmp_path, "regtest")
+    assert back.files["raw_data"]["size_bytes"] == 12345
+    assert back.get_config("lambda_k") == b.builder_config_typed()["lambda_k"]
+
+
 def test_unwritable_dir_fails(tmp_path):
     # (the reference test uses a read-only dir; running as root that is not
     # enforceable, so a nonexistent directory exercises the same error path)
