@@ -30,8 +30,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def main() -> None:
     import jax
     import jax.numpy as jnp
-    jax.config.update("jax_compilation_cache_dir",
-                      "/tmp/arrowspace_jax_cache")
+    from arrowspace_tpu.config import setup_cache
+    setup_cache()   # call-site-invariant keys + persist everything
     from arrowspace_tpu.ops.pallas_topk import fused_lambda_topk
     from arrowspace_tpu.ops.search import batched_lambda_aware_topk
     from arrowspace_tpu.taumode import (TauMode, select_tau_batch,

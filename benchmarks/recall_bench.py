@@ -33,8 +33,8 @@ def sift_like(n: int, f: int = 128, seed: int = 0) -> np.ndarray:
 def main() -> None:
     import jax
     import jax.numpy as jnp
-    jax.config.update("jax_compilation_cache_dir",
-                      "/tmp/arrowspace_jax_cache")
+    from arrowspace_tpu.config import setup_cache
+    setup_cache()   # call-site-invariant keys + persist everything
     from arrowspace_tpu.builder import ArrowSpaceBuilder
     from arrowspace_tpu.ops.search import (batched_lambda_aware_topk,
                                            cosine_scores)
