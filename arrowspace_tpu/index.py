@@ -81,7 +81,8 @@ def session_uses_pallas(nitems: int, k: int) -> bool:
             and k <= 128)
 
 
-def stream_search(step, batches, batch_size: int, depth: int, dt):
+def stream_search(step, batches, batch_size: int, depth: int, dt,
+                  dim=None):
     """Shared pipelined stream driver (used by SearchSession and
     parallel.DistributedSearchSession): yield (scores, ids) per input
     batch with `depth` batches in flight — dispatch batch i+1 before
@@ -94,6 +95,10 @@ def stream_search(step, batches, batch_size: int, depth: int, dt):
     for qb in batches:
         qb = np.ascontiguousarray(qb)
         nq = qb.shape[0]
+        if dim is not None and qb.shape[1] != dim:
+            raise ValueError(
+                f"query batch has {qb.shape[1]} features but the session "
+                f"index has {dim}")
         if nq != batch_size:
             assert nq < batch_size, (
                 f"batch of {nq} exceeds the session batch_size "
@@ -181,7 +186,7 @@ class SearchSession:
         """Yield (scores, ids) per input batch, keeping `depth` batches in
         flight — see stream_search (shared with the multi-chip session)."""
         return stream_search(self._step, batches, self.batch_size,
-                             self.depth, self._dt)
+                             self.depth, self._dt, dim=self._dim)
 
 
 class ArrowIndex:

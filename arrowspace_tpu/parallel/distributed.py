@@ -503,7 +503,7 @@ class DistributedSearchSession:
         flight across the mesh (shared driver: index.stream_search)."""
         from ..index import stream_search
         return stream_search(self._step, batches, self.batch_size,
-                             self.depth, self._dt)
+                             self.depth, self._dt, dim=self._dim)
 
 
 def distributed_index_step(
