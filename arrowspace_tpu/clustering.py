@@ -524,8 +524,12 @@ def _chunk_segsum_jit():
 _CHUNK_SEGSUM = None
 
 # Corpora below this many elements keep the clustering scan on host BLAS
-# (an accelerator compile through the tunnel dwarfs a few ms of matmul).
-DEVICE_CLUSTERING_MIN_ELEMS = 1 << 23
+# (an accelerator compile through the tunnel dwarfs a few ms of matmul;
+# with setup_cache persisting every program, the compile is one-time per
+# corpus shape, so the gate sits where the host work starts to cost
+# seconds: host Two-NN measured 4.5s at 50k x 128 = 6.4M elements vs
+# ~0.1s + 2 round trips on device).
+DEVICE_CLUSTERING_MIN_ELEMS = 1 << 22
 
 
 def _device_chunk_for(nrows: int) -> int:
