@@ -241,7 +241,7 @@ def estimate_intrinsic_dimension(rows, n: int, f: int, base_seed: int,
     rng = np.random.default_rng(np.uint64((base_seed + 1) % 2 ** 64))
     indices = rng.permutation(n)[:sample_size]
 
-    if device_data is not None and n * f >= (1 << 23):
+    if device_data is not None and n * f >= DEVICE_CLUSTERING_MIN_ELEMS:
         # Large corpora: distance tiles on the accelerator (the corpus is
         # already resident for the downstream build stages).
         part = _twonn_two_smallest_device(device_data, indices)
