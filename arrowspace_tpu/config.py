@@ -24,6 +24,26 @@ TAU_FLOOR = 1e-10
 # Guard for near-zero Rayleigh denominators (reference: taumode.rs:597).
 DENOM_EPS = 1e-12
 
+# ---------------------------------------------------------------------------
+# Adaptive engine-selection thresholds (the TPU-era analogue of the
+# reference's sequential/parallel switch, taumode.rs:219,240-246: pick the
+# engine by workload size).  One accelerator dispatch through the dev
+# tunnel costs ~25 ms — roughly a million times the compute of a tiny
+# scan — so sub-threshold work routes to the host CPU backend.
+# ---------------------------------------------------------------------------
+
+# Query scans (batch x items x features elementwise-ops) below this run on
+# the host (core.search_lambda_aware_batch).
+SMALL_SCAN_ELEMS = 1 << 24
+
+# lambda-tau batches whose items x graph-nnz work is below this run on the
+# host (taumode._small_workload_cpu).
+SMALL_LAMBDA_WORK = 1 << 24
+
+# tau selection switches from the XLA row-sort to the Pallas in-register
+# bitonic at this many matrix elements (taumode.select_tau_batch).
+PALLAS_TAU_MIN_ELEMS = 1 << 22
+
 
 def default_dtype():
     """Working dtype: float64 under x64 (parity/oracle), else float32."""

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .config import default_dtype
+from .config import SMALL_SCAN_ELEMS, default_dtype
 from .ops.search import batched_lambda_aware_topk, hybrid_search_device
 from .reduction import ImplicitProjection
 from .taumode import TauMode, TAUDEFAULT, select_tau, synthetic_lambda_single
@@ -389,7 +389,7 @@ class ArrowSpace:
         # tunnel round trip costs ~1000x the compute — so sub-threshold
         # scans run on the host CPU backend with cached host copies.
         n_q = np.shape(queries)[0] if np.ndim(queries) > 1 else 1
-        small = n_q * self.nitems * self.data.shape[1] < (1 << 24)
+        small = n_q * self.nitems * self.data.shape[1] < SMALL_SCAN_ELEMS
         if jax.default_backend() != "cpu" and small and use_pallas is not True:
             try:
                 cpu = jax.local_devices(backend="cpu")[0]

@@ -40,7 +40,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .config import DENOM_EPS, TAU_FLOOR
+from .config import (DENOM_EPS, PALLAS_TAU_MIN_ELEMS,
+                     SMALL_LAMBDA_WORK, TAU_FLOOR)
 from .utils.log import get_logger
 
 logger = get_logger("arrowspace.taumode")
@@ -178,7 +179,7 @@ def select_tau_batch(x: jax.Array, mode: TauMode) -> jax.Array:
     # batches — see that module's docstring for the alternatives that
     # measured or analyse slower (jnp-level bitonic, radix select).
     if (jax.default_backend() == "tpu" and x.dtype == jnp.float32
-            and n_rows * f >= (1 << 22) and f <= 2048):
+            and n_rows * f >= PALLAS_TAU_MIN_ELEMS and f <= 2048):
         from .ops.pallas_tau import fused_select_tau
         return fused_select_tau(x, kind=mode.kind,
                                 pct=mode.value if mode.kind == "percentile"
@@ -341,7 +342,7 @@ def _small_workload_cpu(items: jax.Array, laplacian: jax.Array):
     if jax.default_backend() == "cpu":
         return None
     work = items.shape[0] * max(laplacian.shape[0], 1) * laplacian.shape[0]
-    if work > (1 << 24):
+    if work > SMALL_LAMBDA_WORK:
         return None
     try:
         return jax.local_devices(backend="cpu")[0]
