@@ -144,6 +144,16 @@ def test_search_session_matches_search():
         np.testing.assert_allclose(s, s_ref, rtol=1e-9)
 
 
+def test_search_session_dim_mismatch_raises():
+    """A query batch with the wrong feature count must fail with a clear
+    error naming both dimensions, not a jit shape error."""
+    rows, idx = _index()
+    sess = idx.make_search_session(batch_size=4, k=5, alpha=0.9)
+    bad = np.ones((4, rows.shape[1] + 3))
+    with pytest.raises(ValueError, match="features"):
+        list(sess.search_stream([bad]))
+
+
 def test_search_session_bf16_precision_option():
     """precision="bf16" is a TPU Pallas-kernel feature; off the TPU the
     session must fall back to the exact f32 path (identical results), and
