@@ -83,10 +83,20 @@ class Assignments:
     def __eq__(self, other):
         if isinstance(other, Assignments):
             return np.array_equal(self.array, other.array)
+        if isinstance(other, np.ndarray):
+            # compare sentinel arrays directly — without this branch
+            # ndarray.__eq__ would array-ify self via __array__ and
+            # return an elementwise mask instead of Option semantics
+            return np.array_equal(self.array, other)
         if isinstance(other, (list, tuple)):
             return len(self) == len(other) and all(
                 a == b for a, b in zip(self, other))
         return NotImplemented
+
+    # mutable container semantics: defining __eq__ sets the implicit
+    # __hash__ to None; keep that explicit — instances are views over a
+    # mutable array and must not land in hash-keyed collections
+    __hash__ = None
 
     def __repr__(self) -> str:
         return f"Assignments({self.array!r})"
@@ -534,8 +544,12 @@ DEVICE_CLUSTERING_MIN_ELEMS = 1 << 22
 
 def _device_chunk_for(nrows: int) -> int:
     """Static chunk length for the device snapshot-distance program:
-    large tiles amortise the per-dispatch round trip."""
-    return min(131072, max(8192, nrows))
+    large tiles amortise the per-dispatch round trip.  Clamped to nrows
+    so short-but-wide corpora (n < 8192 with n*f over the device gate,
+    e.g. 4500x1024) don't trip _DeviceChunkDistances's chunk<=n
+    invariant; keeping the clamp here keeps precompile.warm's AOT keys
+    consistent with runtime."""
+    return min(131072, max(8192, nrows), nrows)
 
 
 def _bucket_centroid_cap(max_clusters: int) -> int:

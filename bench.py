@@ -203,17 +203,17 @@ def big_corpus_suite(jax, jnp, rtt_s: float) -> None:
     # tunnel).  This is the number that compares to the reference's
     # build time — the reference's binary is AOT-compiled too.
     aspace, gl, b, _, t_build, n_clusters = run_build(reuse_aspace=aspace)
-    # both runs are steady-state measurements modulo tunnel/host noise
-    # (the first additionally pays cache deserialisation); report the
-    # better one, keep both raw values in the record
-    t_best = min(t_cold, t_build)
+    # headline = the steady-state (second) run; the first run — which
+    # additionally pays per-process cache deserialisation — is kept as
+    # an auxiliary field, not folded into the headline via min()
     log(f"1Mx128 unseeded build ex-upload, steady-state: {t_build:.2f}s "
-        f"(best of runs {t_best:.2f}s, clusters={n_clusters}, "
+        f"(first run {t_cold:.2f}s, clusters={n_clusters}, "
         f"graph={gl.shape()}) — was ~80s host-bound in round 1")
-    record("build_1m_x128_ex_upload", t_best, "s",
-           vs_baseline=80.0 / t_best, run1_s=round(t_cold, 2),
+    record("build_1m_x128_ex_upload", t_build, "s",
+           vs_baseline=80.0 / t_build, run1_s=round(t_cold, 2),
            run2_s=round(t_build, 2),
-           note="corpus upload reported on stderr")
+           note="headline is the steady-state run2; corpus upload "
+                "reported on stderr")
 
     # ---- λτ device time (fused τ+λ pallas kernel) -------------------------
     big = aspace.data
@@ -249,16 +249,20 @@ def big_corpus_suite(jax, jnp, rtt_s: float) -> None:
         t_single = median_time(
             lambda: next(iter(sess.search_stream(batches[:1]))), warmup=2,
             iters=7)
-        # best of two streams: the dev tunnel's shared bandwidth swings
-        # 2x between runs; the better stream is closer to machine truth
-        t_stream = float("inf")
-        for _ in range(2):
+        # three stream passes, headline = MEDIAN (the dev tunnel's shared
+        # bandwidth swings ~2x between runs; best/worst kept as aux
+        # fields so the variance is disclosed, not folded into the
+        # headline)
+        stream_times = []
+        for _ in range(3):
             t0 = time.perf_counter()
             n_out = sum(1 for _ in sess.search_stream(batches))
-            t_stream = min(t_stream, time.perf_counter() - t0)
+            stream_times.append(time.perf_counter() - t0)
             assert n_out == n_batches
+        t_stream = float(np.median(stream_times))
         qps = n_batches * bsz / t_stream
-        results[(bsz, prec)] = (qps, t_single, t_stream / n_batches)
+        results[(bsz, prec)] = (qps, t_single, t_stream / n_batches,
+                                min(stream_times), max(stream_times))
         dev_est = max(t_single - rtt_s, 1e-9)
         log(f"query 1Mx128 batch-{bsz} {prec}: single wall "
             f"{t_single * 1e3:.2f} ms (device ~{dev_est * 1e3:.1f} ms, "
@@ -266,16 +270,19 @@ def big_corpus_suite(jax, jnp, rtt_s: float) -> None:
             f"{t_stream / n_batches * 1e3:.2f} ms/batch over "
             f"{n_batches} batches = {qps:.0f} QPS")
     qps_256 = results[(256, "f32")][0]
-    qps_tp, t_single_tp, t_batch_tp = results[(2048, "f32")]
+    qps_tp, t_single_tp, t_batch_tp, best_tp, worst_tp = results[(2048, "f32")]
     record("query_1m_x128_sustained_throughput", qps_tp, "QPS",
            batch_size=2048, vs_baseline=qps_tp / 126.5,
            single_batch_wall_ms=round(t_single_tp * 1e3, 2),
            ms_per_batch=round(t_batch_tp * 1e3, 2),
-           batch256_qps=round(qps_256))
-    qps_bf, _, t_batch_bf = results[(2048, "bf16")]
+           batch256_qps=round(qps_256),
+           stream_best_s=round(best_tp, 3), stream_worst_s=round(worst_tp, 3),
+           note="headline is the median of 3 stream passes")
+    qps_bf, _, t_batch_bf, best_bf, worst_bf = results[(2048, "bf16")]
     record("query_1m_x128_sustained_bf16", qps_bf, "QPS",
            batch_size=2048, vs_baseline=qps_bf / 126.5,
-           ms_per_batch=round(t_batch_bf * 1e3, 2))
+           ms_per_batch=round(t_batch_bf * 1e3, 2),
+           stream_best_s=round(best_bf, 3), stream_worst_s=round(worst_bf, 3))
 
 
 def main() -> None:

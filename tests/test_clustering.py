@@ -468,3 +468,44 @@ def test_bucket_rows_schedule():
         assert (b - n) / n <= 0.25, (n, b)
     # all sizes inside a bucket map to the same padded shape
     assert bucket_rows(999_000) == bucket_rows(1_000_000)
+
+
+def test_device_chunk_clamped_to_short_wide_corpus():
+    """ADVICE r2 (high): n < 8192 with n*f over the device gate (e.g.
+    4500x1024) must not crash the device chunked path — the chunk is
+    clamped to the corpus size instead of the 8192 floor tripping
+    _DeviceChunkDistances's chunk <= n invariant."""
+    import jax.numpy as jnp
+    from arrowspace_tpu.clustering import (
+        _device_chunk_for, _incremental_clustering_chunked,
+        DEVICE_CLUSTERING_MIN_ELEMS)
+
+    n, f = 4500, 1024
+    assert n * f >= DEVICE_CLUSTERING_MIN_ELEMS  # the gate fires
+    assert _device_chunk_for(n) == n             # clamped, not 8192
+
+    rng = np.random.default_rng(61)
+    centers = rng.uniform(0, 1, (6, f))
+    rows = centers[rng.integers(0, 6, n)] + rng.normal(0, 0.03, (n, f))
+
+    b = ArrowSpaceBuilder()
+    b.sampling = None
+    s = SamplerType.simple(1.0).make(seed=1)
+    cents, assigns, sizes = _incremental_clustering_chunked(
+        b, rows, f, 16, 2.0, s, device_data=jnp.asarray(rows))
+    assert cents.shape[1] == f and cents.shape[0] >= 1
+    assert len(assigns) == n
+
+
+def test_assignments_eq_and_hash_semantics():
+    """ADVICE r2 (low): Assignments equality against ndarray compares
+    sentinel arrays (Option semantics), and instances are unhashable."""
+    from arrowspace_tpu.clustering import Assignments
+
+    a = Assignments(np.array([0, -1, 2]))
+    assert a == np.array([0, -1, 2])
+    assert not (a == np.array([0, 1, 2]))
+    assert a == [0, None, 2]
+    assert a == Assignments(np.array([0, -1, 2]))
+    with pytest.raises(TypeError):
+        hash(a)
