@@ -409,12 +409,19 @@ class ArrowSpace:
         qlam = jnp.asarray(query_lambdas, dtype=dt)
 
         if use_pallas is None:
-            # the streaming kernel's merge unrolls per result slot, so it
-            # only makes sense for small k (the top-k regime); large-k
-            # requests (e.g. k clamped to N) take the XLA sort path
+            # the streaming kernels' merge/extraction unrolls per result
+            # slot, so they only make sense for small k (the top-k
+            # regime); large-k requests (e.g. k clamped to N) take the
+            # XLA sort path
             use_pallas = (jax.default_backend() == "tpu"
                           and self.nitems >= 65536 and k_eff <= 128)
         if use_pallas:
+            if k_eff <= 48 and jax.default_backend() == "tpu":
+                # bin-accumulator streaming kernel + rare exact repair
+                # (ops/pallas_bintopk.py) — the fast serving path
+                from .ops.search import pallas_binned_topk_with_repair
+                return pallas_binned_topk_with_repair(
+                    q, qlam, self.data, self.lambdas, alpha, k=k_eff)
             from .ops.pallas_topk import fused_lambda_topk
             return fused_lambda_topk(q, qlam, self.data, self.lambdas,
                                      alpha, k=k_eff)

@@ -42,7 +42,13 @@ def _session_step_jit():
     """Module-level jitted serving step (lazy).  One program fuses query-λ
     preparation with scoring + top-k; statics carry the session config so
     (a) every SearchSession with the same config shares one executable and
-    (b) precompile.py can AOT-lower it by shape alone."""
+    (b) precompile.py can AOT-lower it by shape alone.
+
+    Returns (scores, ids, flags, qlam): flags is non-zero for queries the
+    binned kernel may have under-filled (deep bin collision — see
+    ops/pallas_bintopk.py) and is all-zero for the merge/XLA kernels;
+    qlam rides along so the driver can repair flagged rows through the
+    exact merge kernel without recomputing query λ."""
     global _SESSION_STEP
     if _SESSION_STEP is None:
         import functools
@@ -50,10 +56,10 @@ def _session_step_jit():
         import jax.numpy as jnp
 
         @functools.partial(
-            jax.jit, static_argnames=("taumode", "alpha", "k", "use_pallas",
+            jax.jit, static_argnames=("taumode", "alpha", "k", "kernel",
                                       "has_proj", "pad_tall", "use_bf16"))
         def step(q_raw, data, lambdas, lap, proj, *, taumode, alpha, k,
-                 use_pallas, has_proj, pad_tall, use_bf16=False):
+                 kernel, has_proj, pad_tall, use_bf16=False):
             from .ops.search import batched_lambda_aware_topk
             from .taumode import select_tau_batch, synthetic_lambda_batch
             dt = data.dtype
@@ -62,34 +68,76 @@ def _session_step_jit():
             taus = select_tau_batch(q_prep, taumode)
             qlam = synthetic_lambda_batch(q_prep, lap, taus,
                                           pad_items=pad_tall)
-            if use_pallas:
+            if kernel == "binned":
+                from .ops.pallas_bintopk import binned_lambda_topk
+                s, i, fl = binned_lambda_topk(
+                    q_raw, qlam, data, lambdas, alpha, k=k,
+                    use_bf16=use_bf16)
+                return s, i, fl, qlam
+            zero_fl = jnp.zeros((q_raw.shape[0],), dtype=jnp.int32)
+            if kernel == "merge":
                 from .ops.pallas_topk import fused_lambda_topk
-                return fused_lambda_topk(q_raw, qlam, data, lambdas, alpha,
+                s, i = fused_lambda_topk(q_raw, qlam, data, lambdas, alpha,
                                          k=k, use_bf16=use_bf16)
-            return batched_lambda_aware_topk(
+                return s, i, zero_fl, qlam
+            s, i = batched_lambda_aware_topk(
                 q_raw, qlam, data, lambdas, jnp.asarray(alpha, dtype=dt),
                 k=k)
+            return s, i, zero_fl, qlam
 
         _SESSION_STEP = step
     return _SESSION_STEP
 
 
-def session_uses_pallas(nitems: int, k: int) -> bool:
-    """The serving step's kernel dispatch gate (shared with precompile)."""
+def session_kernel_kind(nitems: int, k: int) -> str:
+    """The serving step's kernel dispatch (shared with precompile):
+    "binned" — bin-accumulator streaming kernel + rare exact repair
+    (the fast path; its pool and flush extraction grow with k, and the
+    collision rate with k², so it is gated at k <= 48);
+    "merge" — the exact streaming-merge kernel (k <= 128; per-slot
+    unrolled); "xla" — matmul + lax.top_k."""
     import jax
-    return (jax.default_backend() == "tpu" and nitems >= 65536
-            and k <= 128)
+    if jax.default_backend() != "tpu" or nitems < 65536:
+        return "xla"
+    if k <= 48:
+        return "binned"
+    return "merge" if k <= 128 else "xla"
+
+
+def session_uses_pallas(nitems: int, k: int) -> bool:
+    """Back-compat alias: whether a Pallas kernel serves this config."""
+    return session_kernel_kind(nitems, k) != "xla"
 
 
 def stream_search(step, batches, batch_size: int, depth: int, dt,
-                  dim=None):
+                  dim=None, repair=None):
     """Shared pipelined stream driver (used by SearchSession and
     parallel.DistributedSearchSession): yield (scores, ids) per input
     batch with `depth` batches in flight — dispatch batch i+1 before
     fetching batch i's results.  Partial batches (e.g. a stream tail)
     are padded to batch_size so the compiled step is never retraced
-    mid-stream; their results are sliced back."""
+    mid-stream; their results are sliced back.
+
+    Steps may return (scores, ids) or (scores, ids, flags, qlam); with
+    the 4-tuple, rows whose flag is non-zero are re-run through
+    `repair(q_block, qlam_rows, rows) -> (scores, ids)` at yield time
+    (the binned kernel's rare deep-collision fallback — the flag fetch
+    happens after `depth` further batches are already in flight, so the
+    sync does not stall the pipeline)."""
     import jax.numpy as jnp
+
+    def finish(out, m, qb):
+        if len(out) == 2:
+            s, i = out
+            return np.asarray(s[:m]), np.asarray(i[:m])
+        s, i, fl, qlam = out
+        s, i, flags = np.asarray(s[:m]), np.asarray(i[:m]), np.asarray(fl[:m])
+        if flags.any() and repair is not None:
+            rows = np.nonzero(flags)[0]
+            rs, ri = repair(qb, np.asarray(qlam), rows)
+            s, i = s.copy(), i.copy()  # np.asarray views are read-only
+            s[rows], i[rows] = rs, ri
+        return s, i
 
     pending = deque()
     for qb in batches:
@@ -106,20 +154,20 @@ def stream_search(step, batches, batch_size: int, depth: int, dt,
             qb = np.pad(qb, ((0, batch_size - nq), (0, 0)),
                         constant_values=1.0)
         q = jnp.asarray(qb, dtype=dt)
-        pending.append((step(q), nq))  # async dispatch
+        pending.append((step(q), nq, qb))  # async dispatch
         if len(pending) > depth:
-            (s, i), m = pending.popleft()
-            yield np.asarray(s[:m]), np.asarray(i[:m])
+            out, m, qb_done = pending.popleft()
+            yield finish(out, m, qb_done)
     while pending:
-        (s, i), m = pending.popleft()
-        yield np.asarray(s[:m]), np.asarray(i[:m])
+        out, m, qb_done = pending.popleft()
+        yield finish(out, m, qb_done)
 
 
 def warm_step(step, batch_size: int, dim: int, dt) -> None:
     """Compile a session step so serving latency is dispatch-only."""
     import jax.numpy as jnp
-    s, _ = step(jnp.ones((batch_size, dim), dtype=dt))
-    np.asarray(s[:1, :1])
+    out = step(jnp.ones((batch_size, dim), dtype=dt))
+    np.asarray(out[0][:1, :1])
 
 
 class SearchSession:
@@ -154,7 +202,7 @@ class SearchSession:
             proj = aspace.projection_matrix.matrix(dtype=dt)
         taumode = aspace.taumode
         k_eff = self.k
-        use_pallas = session_uses_pallas(index.nitems, k_eff)
+        kernel = session_kernel_kind(index.nitems, k_eff)
 
         has_proj = proj is not None
         pad_tall = aspace.pad_tall_graphs
@@ -163,19 +211,28 @@ class SearchSession:
         # otherwise embed them as HLO constants (a 512 MB program blows the
         # remote-compile request limit and bloats the executable).
         # bf16 runs the scoring matmul in bf16 with f32 accumulation
-        # (4x MXU rate, half the corpus HBM traffic).  Amortised device
-        # measurement at 1Mx128/B=256: 7.8 vs 9.1 ms — ~15%, because the
-        # kernel is VPU-bound there; wider F (more MXU share) gains more.
-        # Top-10 overlap 1.000 vs f32 on embedding data.  Requires the
-        # Pallas kernel, so f32 is kept otherwise.
-        use_bf16 = precision == "bf16" and use_pallas
+        # (4x MXU rate, half the corpus HBM traffic); requires a Pallas
+        # kernel, so f32 is kept otherwise.
+        use_bf16 = precision == "bf16" and kernel != "xla"
         jitted = _session_step_jit()
         dummy_proj = proj if has_proj else jnp.zeros((1, 1), dtype=dt)
         self._step = lambda q: jitted(
             q, data, lambdas, lap, dummy_proj, taumode=taumode,
-            alpha=float(alpha), k=k_eff, use_pallas=use_pallas,
+            alpha=float(alpha), k=k_eff, kernel=kernel,
             has_proj=has_proj, pad_tall=pad_tall, use_bf16=use_bf16)
         self._dim = aspace.nfeatures
+
+        def repair(q_block, qlam, rows):
+            # Deep-bin-collision fallback (see ops/pallas_bintopk.py):
+            # exact streaming-merge kernel over just the flagged rows.
+            from .ops.pallas_topk import fused_lambda_topk
+            rs, ri = fused_lambda_topk(
+                jnp.asarray(q_block[rows], dtype=dt),
+                jnp.asarray(qlam[rows], dtype=dt),
+                data, lambdas, float(alpha), k=k_eff, use_bf16=use_bf16)
+            return np.asarray(rs), np.asarray(ri)
+
+        self._repair = repair if kernel == "binned" else None
 
     def warmup(self) -> None:
         """Compile the step program so serving latency is dispatch-only."""
@@ -186,7 +243,8 @@ class SearchSession:
         """Yield (scores, ids) per input batch, keeping `depth` batches in
         flight — see stream_search (shared with the multi-chip session)."""
         return stream_search(self._step, batches, self.batch_size,
-                             self.depth, self._dt, dim=self._dim)
+                             self.depth, self._dt, dim=self._dim,
+                             repair=self._repair)
 
 
 class ArrowIndex:
@@ -326,14 +384,21 @@ class ArrowIndex:
                 min(k, self.aspace.nitems))
         if precision == "bf16":
             import jax
-            from .ops.pallas_topk import fused_lambda_topk
+            import jax.numpy as jnp
             if jax.default_backend() == "tpu":
                 k_eff = min(k, self.aspace.nitems)
-                scores, ids = fused_lambda_topk(
-                    np.asarray(queries, dtype=np.float32),
-                    np.asarray(qlam, dtype=np.float32),
-                    self.aspace.data, self.aspace.lambdas, alpha,
-                    k=k_eff, use_bf16=True)
+                qd = jnp.asarray(np.asarray(queries, dtype=np.float32))
+                qld = jnp.asarray(np.asarray(qlam, dtype=np.float32))
+                if k_eff <= 48:
+                    from .ops.search import pallas_binned_topk_with_repair
+                    scores, ids = pallas_binned_topk_with_repair(
+                        qd, qld, self.aspace.data, self.aspace.lambdas,
+                        alpha, k=k_eff, use_bf16=True)
+                else:
+                    from .ops.pallas_topk import fused_lambda_topk
+                    scores, ids = fused_lambda_topk(
+                        qd, qld, self.aspace.data, self.aspace.lambdas,
+                        alpha, k=k_eff, use_bf16=True)
                 return np.asarray(scores), np.asarray(ids)
             # bf16 matmuls are a TPU MXU feature; elsewhere fall through
         scores, ids = self.aspace.search_lambda_aware_batch(

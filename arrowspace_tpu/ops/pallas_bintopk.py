@@ -1,0 +1,292 @@
+"""Pallas TPU kernel: bin-accumulator streaming λ-aware top-k.
+
+The round-2 streaming kernel (ops/pallas_topk.py) is VPU-bound: its
+per-tile merge runs k masked max-extraction passes — each a CROSS-LANE
+reduction over the (B, tile) score plane — and its whole-tile threshold
+gate cannot skip them, because a 128-query block's candidate tiles union
+to essentially every tile (each query improves on ~k·ln(n_tiles) tiles
+and 128 queries spread those over all of them).  Measured consequence:
+~8x off the corpus-HBM roofline at 1M x 128 (VERDICT r2).
+
+This kernel removes the per-tile extraction entirely.  The corpus is
+streamed in tiles of T rows; lane position within the tile is a BIN
+(L = T bins), and the kernel maintains, per (query, bin), the running
+top-D scores+indices plus the (D+1)-th score.  Folding a tile into that
+state is a depth-D insertion network of elementwise compare/selects —
+no cross-lane ops, no gating, nothing data-dependent — which Mosaic
+pipelines against the next tile's DMA and the MXU matmul.  One exact
+top-k extraction over the (B, D·L) pool runs at the flush step only.
+
+Exactness (the reference's scan is exact, so this must be too): a true
+top-k element can only be missing from the pool if more than D elements
+of its bin score >= the true kth score.  The (D+1)-th running score
+detects exactly that: flag[b] = any_bin(det >= kth_of_pool).  Flagged
+queries (P ~ C(k, D+1)/L^D per query — ~2e-7 at k=10, D=3, L=1024) are
+re-run through the exact merge kernel by the caller; un-flagged results
+are bit-identical to lax.top_k (lowest-global-index tie order, proven
+in tests/test_pallas_kernels.py against forced collisions).
+
+This is the "two-phase threshold-then-gather" restructure of VERDICT r2
+item 1 collapsed into ONE pass: the bins are the per-region maxima of
+the phase-1 idea, kept deep enough (D) that the gather phase is almost
+always empty.  Reference semantics mirrored: score = alpha*cos +
+(1-alpha)*(1-min(|dlambda|,1)) per core.rs:135-175; the per-thread heap
++ merge of core.rs:818-888 maps to bins + final extraction.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["binned_lambda_topk", "binned_topk_depth_for"]
+
+NEG_INF = float(np.finfo(np.float32).min)
+INT_MAX = np.iinfo(np.int32).max
+
+
+def binned_topk_depth_for(k: int) -> int:
+    """Bin depth D for a requested k: deep enough that the miss-detector
+    fires ~never (P ~ C(k, D+1)/L^D), shallow enough to keep the
+    insertion network cheap.  k > 48 callers should use the exact merge
+    kernel instead (the pool and the flush extraction grow linearly)."""
+    if k <= 4:
+        return 2
+    return 3
+
+
+def _extract_topk_by_index(scores, idx, k: int):
+    """Top-k of a (B, W) candidate pool with lax.top_k's tie order: equal
+    scores resolve to the lowest GLOBAL index (not the lowest pool
+    position — pool position carries no index order here, unlike the
+    merge kernel's streaming tiles).  k masked max-extraction passes;
+    runs once per stream at the flush step, so cross-lane reductions are
+    off the hot path."""
+    out_s, out_i = [], []
+    for _ in range(k):
+        cur = jnp.max(scores, axis=1)                       # (B,)
+        eq = scores == cur[:, None]
+        sel = jnp.min(jnp.where(eq, idx, INT_MAX), axis=1)  # min gidx @ tie
+        chosen = eq & (idx == sel[:, None])
+        out_s.append(cur)
+        out_i.append(sel)
+        scores = jnp.where(chosen, NEG_INF, scores)
+    return jnp.stack(out_s, axis=1), jnp.stack(out_i, axis=1)
+
+
+def _kernel(qhat_ref, qlam_ref, xhat_ref, xlam_ref, alpha_ref, n_ref,
+            out_s_ref, out_i_ref, out_f_ref,
+            *run_refs, k: int, tile: int, depth: int):
+    """run_refs layout: [s_0..s_{D-1}, i_0..i_{D-1}, det]."""
+    t = pl.program_id(0)
+    n_tiles = pl.num_programs(0)
+    run_s = run_refs[:depth]
+    run_i = run_refs[depth:2 * depth]
+    det = run_refs[2 * depth]
+
+    @pl.when(t == 0)
+    def _init():
+        for d in range(depth):
+            run_s[d][:] = jnp.full_like(run_s[d], NEG_INF)
+            run_i[d][:] = jnp.zeros_like(run_i[d])
+        det[:] = jnp.full_like(det, NEG_INF)
+
+    base = t * tile
+    n = n_ref[0, 0]
+
+    # Tiles fully inside the bucket's padding region contribute nothing;
+    # skip their entire body (bucket padding can be up to 25% of rows).
+    @pl.when(base < n)
+    def _body():
+        alpha = alpha_ref[0, 0]
+        qhat = qhat_ref[:]                       # (B, F)
+        xhat = xhat_ref[:]                       # (T, F) current tile
+        cos = jax.lax.dot_general(
+            qhat, xhat, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (B, T) f32 accumulation
+
+        dl = jnp.abs(qlam_ref[:].reshape(-1, 1) - xlam_ref[:].reshape(1, -1))
+        lam_sim = 1.0 - jnp.minimum(dl, 1.0)
+        scores = alpha * cos + (1.0 - alpha) * lam_sim
+
+        local = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        gidx = local + base
+        scores = jnp.where(gidx < n, scores, NEG_INF)
+
+        # Depth-D insertion: the candidate sinks through the levels,
+        # displacing strictly-smaller entries.  Strict > keeps the
+        # earliest (lowest-index) arrival on score ties — gidx for a
+        # given bin is strictly increasing across tiles, so within-bin
+        # tie order matches lax.top_k.
+        c, ci = scores, gidx
+        for d in range(depth):
+            rs, ri = run_s[d][:], run_i[d][:]
+            up = c > rs
+            run_s[d][:] = jnp.where(up, c, rs)
+            run_i[d][:] = jnp.where(up, ci, ri)
+            c = jnp.where(up, rs, c)
+            ci = jnp.where(up, ri, ci)
+        det[:] = jnp.maximum(det[:], c)          # the (D+1)-th score
+
+    @pl.when(t == n_tiles - 1)
+    def _flush():
+        pool_s = jnp.concatenate([run_s[d][:] for d in range(depth)], axis=1)
+        pool_i = jnp.concatenate([run_i[d][:] for d in range(depth)], axis=1)
+        s, i = _extract_topk_by_index(pool_s, pool_i, k)
+        out_s_ref[:] = s
+        out_i_ref[:] = i
+        # Miss detector: a hidden (D+1)-th same-bin element could belong
+        # in the top-k iff it ties-or-beats the pool's kth score.  int32
+        # output (Mosaic's i1 vector stores are unreliable; see
+        # CLAUDE.md on boolean lowering).
+        kth = s[:, k - 1]
+        d = det[:]
+        # (d > NEG_INF) guards the degenerate n < k·depth case where both
+        # det and the kth pool score are still at the sentinel — a
+        # NEG_INF >= NEG_INF tie is not a real collision.
+        out_f_ref[:] = jnp.max(
+            jnp.where((d >= kth[:, None]) & (d > NEG_INF), 1, 0), axis=1,
+        ).astype(jnp.int32)[:, None]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "depth", "tile", "interpret",
+                                    "use_bf16", "block_b"))
+def binned_lambda_topk(
+    queries: jax.Array,        # (B, F) — raw, normalised inside
+    query_lambdas: jax.Array,  # (B,)
+    items: jax.Array,          # (N, F) — raw
+    item_lambdas: jax.Array,   # (N,)
+    alpha,
+    *,
+    k: int,
+    depth: int = 0,            # 0 = auto (binned_topk_depth_for)
+    tile: int = 0,             # 0 = auto from the VMEM budget
+    interpret: bool = False,
+    use_bf16: bool = False,    # bf16 matmul inputs, f32 accumulation
+    block_b: int = 256,
+):
+    """Returns (scores (B, k), indices (B, k), flags (B,) int32).
+
+    flags[b] == 1 marks a query whose result may be missing a top-k
+    element to a >D-deep bin collision — the CALLER must re-run those
+    queries through an exact path (ops/pallas_topk.fused_lambda_topk or
+    the XLA top_k); un-flagged rows are exact.  See module docstring.
+    """
+    bsz, f = queries.shape
+    n = items.shape[0]
+    dt = jnp.float32
+    if depth <= 0:
+        depth = binned_topk_depth_for(k)
+
+    # Query-block size: 256 (vs the merge kernel's 128) — with no
+    # per-tile extraction the VMEM state is (2D+1) planes of (B, L), so
+    # a bigger block fits, and each doubling halves corpus HBM traffic
+    # for large batches.
+    max_b = block_b
+
+    if bsz % max_b != 0:
+        pad_b = max_b - bsz % max_b
+        qp = jnp.pad(queries, ((0, pad_b), (0, 0)), constant_values=1.0)
+        qlp = jnp.pad(query_lambdas, (0, pad_b))
+        s, i, fl = binned_lambda_topk(
+            qp, qlp, items, item_lambdas, alpha, k=k, depth=depth,
+            tile=tile, interpret=interpret, use_bf16=use_bf16,
+            block_b=block_b)
+        return s[:bsz], i[:bsz], fl[:bsz]
+
+    if tile <= 0:
+        # Auto tile from the ~16 MB scoped-VMEM budget: double-buffered
+        # item tile (T x F), (2D+1) state planes of (B=block, T), ~2
+        # score planes, floor 1024 (Mosaic crashes below).
+        elem = 2 if use_bf16 else 4
+        budget = 12 * 1024 * 1024
+        per_row = 2 * f * elem + (2 * depth + 1 + 2) * min(bsz, max_b) * 4
+        tile = max(1024, min(4096, (budget // per_row) // 1024 * 1024))
+    if bsz > max_b:
+        outs = [binned_lambda_topk(queries[i:i + max_b],
+                                   query_lambdas[i:i + max_b],
+                                   items, item_lambdas, alpha,
+                                   k=k, depth=depth, tile=tile,
+                                   interpret=interpret, use_bf16=use_bf16,
+                                   block_b=block_b)
+                for i in range(0, bsz, max_b)]
+        return (jnp.concatenate([o[0] for o in outs], axis=0),
+                jnp.concatenate([o[1] for o in outs], axis=0),
+                jnp.concatenate([o[2] for o in outs], axis=0))
+
+    mm_dt = jnp.bfloat16 if use_bf16 else dt
+
+    def unit(rows):
+        nrm = jnp.sqrt(jnp.sum(rows * rows, axis=-1, keepdims=True))
+        return jnp.where(nrm > 0.0, rows / jnp.where(nrm > 0.0, nrm, 1.0),
+                         0.0).astype(mm_dt)
+
+    qhat = unit(queries)
+    xhat = unit(items)
+    qlam = query_lambdas.astype(dt)
+    xlam = item_lambdas.astype(dt)
+
+    from ..config import bucket_rows
+    n_bucket = max(bucket_rows(n), tile)
+    n_pad = ((n_bucket + tile - 1) // tile) * tile
+    if n_pad != n:
+        xhat = jnp.pad(xhat, ((0, n_pad - n), (0, 0)))
+        xlam = jnp.pad(xlam, (0, n_pad - n))
+    n_tiles = n_pad // tile
+
+    scratch = ([pltpu.VMEM((bsz, tile), dt) for _ in range(depth)]
+               + [pltpu.VMEM((bsz, tile), jnp.int32) for _ in range(depth)]
+               + [pltpu.VMEM((bsz, tile), dt)])
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_tiles,),
+        scratch_shapes=scratch,
+        in_specs=[
+            pl.BlockSpec((bsz, f), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),      # qhat (replicated)
+            pl.BlockSpec((bsz,), lambda t: (0,),
+                         memory_space=pltpu.VMEM),      # qlam
+            pl.BlockSpec((tile, f), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),      # xhat tile
+            pl.BlockSpec((tile,), lambda t: (t,),
+                         memory_space=pltpu.VMEM),      # xlam tile
+            pl.BlockSpec((1, 1), lambda t: (0, 0),
+                         memory_space=pltpu.SMEM),      # alpha
+            pl.BlockSpec((1, 1), lambda t: (0, 0),
+                         memory_space=pltpu.SMEM),      # true N
+        ],
+        out_specs=(
+            pl.BlockSpec((bsz, k), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bsz, k), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bsz, 1), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),      # flags
+        ),
+    )
+
+    kernel = functools.partial(_kernel, k=k, tile=tile, depth=depth)
+    out_s, out_i, out_f = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((bsz, k), dt),
+                   jax.ShapeDtypeStruct((bsz, k), jnp.int32),
+                   jax.ShapeDtypeStruct((bsz, 1), jnp.int32)),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bsz * n_pad * f,
+            bytes_accessed=n_pad * f * (2 if use_bf16 else 4)
+            + bsz * f * 4 + bsz * k * 8,
+            transcendentals=0,
+        ),
+    )(qhat, qlam, xhat, xlam,
+      jnp.asarray(alpha, dtype=dt).reshape(1, 1),
+      jnp.asarray(n, dtype=jnp.int32).reshape(1, 1))
+    return out_s, out_i, out_f.reshape(-1)

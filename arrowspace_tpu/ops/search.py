@@ -17,7 +17,41 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["cosine_scores", "lambda_aware_scores",
-           "batched_lambda_aware_topk", "rescore_topk_f64"]
+           "batched_lambda_aware_topk", "rescore_topk_f64",
+           "pallas_binned_topk_with_repair"]
+
+
+def pallas_binned_topk_with_repair(q, qlam, items, item_lambdas, alpha,
+                                   k: int, use_bf16: bool = False,
+                                   tile: int = 0, interpret: bool = False):
+    """Bin-accumulator streaming top-k + exact repair of flagged rows.
+
+    The binned kernel (ops/pallas_bintopk.py) is exact except when more
+    than `depth` true top-k elements collide in one bin; it flags those
+    queries (P ~ 2e-7 per query at k=10).  Flagged rows are re-run
+    through the exact merge kernel, so the combined result is always
+    bit-identical to lax.top_k.  The flag fetch synchronises the
+    dispatch — callers on the async serving path should use the session
+    driver (index.stream_search), which overlaps the fetch with the next
+    batch's compute.
+    """
+    from .pallas_bintopk import binned_lambda_topk
+    s, i, fl = binned_lambda_topk(q, qlam, items, item_lambdas, alpha,
+                                  k=k, use_bf16=use_bf16, tile=tile,
+                                  interpret=interpret)
+    flags = np.asarray(fl)
+    if flags.any():
+        from .pallas_topk import fused_lambda_topk
+        rows = np.nonzero(flags)[0]
+        rs, ri = fused_lambda_topk(q[rows], qlam[rows], items,
+                                   item_lambdas, alpha, k=k,
+                                   use_bf16=use_bf16, tile=tile,
+                                   interpret=interpret)
+        s = np.asarray(s).copy()
+        i = np.asarray(i).copy()
+        s[rows] = np.asarray(rs)
+        i[rows] = np.asarray(ri)
+    return s, i
 
 
 def rescore_topk_f64(queries, query_lambdas, host_rows, item_lambdas,

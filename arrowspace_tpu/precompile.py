@@ -80,7 +80,7 @@ def warm(
 
     from . import clustering
     from .config import setup_cache
-    from .index import _session_step_jit, session_uses_pallas
+    from .index import _session_step_jit
     from .taumode import TauMode
 
     if cache_path is not None:
@@ -139,19 +139,31 @@ def warm(
                 fixed=taumode.value if taumode.kind == "fixed" else 0.0)
 
     # --- serving: fused prep+score+top-k session step --------------------
+    from .index import session_kernel_kind
     k_eff = min(int(k), n)
-    use_pallas = session_uses_pallas(n, k_eff)
+    kernel = session_kernel_kind(n, k_eff)
     for bsz in batch_sizes:
         for prec in precisions:
-            use_bf16 = prec == "bf16" and use_pallas
-            if prec == "bf16" and not use_pallas:
+            use_bf16 = prec == "bf16" and kernel != "xla"
+            if prec == "bf16" and kernel == "xla":
                 continue  # bf16 is a Pallas-kernel feature
             aot(f"session_step_b{bsz}_{prec}", _session_step_jit(),
                 S((int(bsz), f), dt), corpus, S((n,), dt),
                 S((n_graph, n_graph), dt), S((1, 1), dt),
                 taumode=taumode, alpha=float(alpha), k=k_eff,
-                use_pallas=use_pallas, has_proj=False, pad_tall=False,
+                kernel=kernel, has_proj=False, pad_tall=False,
                 use_bf16=use_bf16)
+
+    # --- serving: the binned kernel's exact-repair path (rare deep-bin
+    # collisions re-run flagged rows through the merge kernel at its
+    # 128-padded block shape — warm it so the first repair in production
+    # doesn't pay a Mosaic compile) ---------------------------------------
+    if kernel == "binned":
+        from .ops.pallas_topk import fused_lambda_topk
+        for prec in precisions:
+            aot(f"repair_merge_topk_{prec}", fused_lambda_topk,
+                S((128, f), dt), S((128,), dt), corpus, S((n,), dt),
+                S((), dt), k=k_eff, use_bf16=prec == "bf16")
 
     return timings
 

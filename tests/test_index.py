@@ -227,3 +227,43 @@ def test_search_session_tall_graph_index():
     assert s.shape == (4, 5)
     s_ref, i_ref = idx.search(rows[:4] * 1.01, k=5, alpha=0.9)
     np.testing.assert_array_equal(i, i_ref)
+
+
+def test_stream_driver_repairs_flagged_rows():
+    """The stream driver must route binned-kernel flags through the
+    session repair callback: rows flagged by the step get replaced by
+    the repair result, unflagged rows pass through untouched (the
+    backend gate means CPU sessions never pick the binned kernel, so
+    the driver contract is pinned with a stub step)."""
+    import jax.numpy as jnp
+    from arrowspace_tpu.index import stream_search
+
+    bsz, k = 4, 3
+
+    def step(q):
+        s = jnp.tile(jnp.arange(k, 0, -1, dtype=jnp.float32), (bsz, 1))
+        i = jnp.tile(jnp.arange(k, dtype=jnp.int32), (bsz, 1))
+        fl = jnp.asarray([0, 1, 0, 1], dtype=jnp.int32)
+        qlam = jnp.full((bsz,), 0.25, dtype=jnp.float32)
+        return s, i, fl, qlam
+
+    calls = []
+
+    def repair(q_block, qlam, rows):
+        calls.append((rows.copy(), qlam.copy()))
+        return (np.full((len(rows), k), 9.0, np.float32),
+                np.full((len(rows), k), 77, np.int32))
+
+    batches = [np.ones((bsz, 8)), np.ones((2, 8))]  # partial tail batch
+    out = list(stream_search(step, batches, bsz, 1, np.float32,
+                             repair=repair))
+    assert len(out) == 2
+    s0, i0 = out[0]
+    np.testing.assert_array_equal(calls[0][0], [1, 3])
+    np.testing.assert_allclose(calls[0][1], 0.25)
+    assert (i0[1] == 77).all() and (i0[3] == 77).all()
+    assert (i0[0] == [0, 1, 2]).all() and (i0[2] == [0, 1, 2]).all()
+    # tail: flags sliced to the 2 real rows -> only row 1 repaired
+    s1, i1 = out[1]
+    assert s1.shape == (2, 3)
+    np.testing.assert_array_equal(calls[1][0], [1])

@@ -154,3 +154,110 @@ def test_fused_taulambda_fits_budget():
     from arrowspace_tpu.ops.pallas_taulambda import fused_taulambda_fits
     assert fused_taulambda_fits(1_000_000, 128, 128)
     assert not fused_taulambda_fits(1_000_000, 768, 768)
+
+
+# --- bin-accumulator streaming top-k kernel ---------------------------------
+
+def _bin_data(n, f, b, seed=0):
+    return _data(n, f, b, seed)
+
+
+@pytest.mark.parametrize("n,tile,k", [(1000, 256, 8), (2048, 512, 10),
+                                      (777, 256, 5)])
+def test_binned_topk_matches_xla(n, tile, k):
+    from arrowspace_tpu.ops.pallas_bintopk import binned_lambda_topk
+    q, qlam, x, xlam = _bin_data(n, 64, 4)
+    s1, i1, fl = binned_lambda_topk(q, qlam, x, xlam, 0.9, k=k, tile=tile,
+                                    interpret=True, block_b=4)
+    s2, i2 = batched_lambda_aware_topk(q, qlam, x, xlam,
+                                       jnp.float32(0.9), k=k)
+    ok = np.asarray(fl) == 0
+    assert ok.all(), "random data should not collide deeper than D"
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_binned_topk_block_padding():
+    """Batch not a multiple of the query block: padded rows must not
+    leak into results."""
+    from arrowspace_tpu.ops.pallas_bintopk import binned_lambda_topk
+    q, qlam, x, xlam = _bin_data(900, 32, 5)
+    s1, i1, fl = binned_lambda_topk(q, qlam, x, xlam, 0.8, k=6, tile=256,
+                                    interpret=True, block_b=4)
+    s2, i2 = batched_lambda_aware_topk(q, qlam, x, xlam,
+                                       jnp.float32(0.8), k=6)
+    assert np.asarray(fl).shape == (5,)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_binned_topk_flags_deep_collision_and_repair_restores_exactness():
+    """>D copies of the top row in ONE bin: the kernel must flag the
+    query, and pallas_binned_topk_with_repair must restore the exact
+    lax.top_k result (lowest-index tie order) via the merge kernel."""
+    import arrowspace_tpu.ops.search as search_mod
+    from arrowspace_tpu.ops.pallas_bintopk import (binned_lambda_topk,
+                                                   binned_topk_depth_for)
+    from arrowspace_tpu.ops.search import pallas_binned_topk_with_repair
+
+    rng = np.random.default_rng(5)
+    n, f, tile, k = 3000, 48, 256, 8
+    q = jnp.asarray(rng.uniform(0.1, 1.0, (2, f)), jnp.float32)
+    qlam = jnp.asarray(rng.uniform(0, 1, (2,)), jnp.float32)
+    x = np.asarray(rng.uniform(0.1, 1.0, (n, f)), np.float32)
+    xlam = jnp.asarray(rng.uniform(0, 1, (n,)), jnp.float32)
+    depth = binned_topk_depth_for(k)
+    binpos = 37
+    for j in range(depth + 3):  # > D same-bin copies of the query row
+        x[j * tile + binpos] = np.asarray(q[0])
+    xj = jnp.asarray(x)
+
+    s, i, fl = binned_lambda_topk(q, qlam, xj, xlam, 1.0, k=k, tile=tile,
+                                  interpret=True, block_b=2)
+    assert np.asarray(fl)[0] == 1, "deep collision must be flagged"
+
+    rs, ri = pallas_binned_topk_with_repair(
+        q, qlam, xj, xlam, 1.0, k=k, tile=256, interpret=True)
+
+    s2, i2 = batched_lambda_aware_topk(q, qlam, xj, xlam,
+                                       jnp.float32(1.0), k=k)
+    np.testing.assert_allclose(np.asarray(rs), np.asarray(s2), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(ri), np.asarray(i2))
+
+
+def test_binned_topk_duplicate_tie_order_within_pool():
+    """Duplicates spread across DIFFERENT bins must come back in
+    lowest-global-index order without any flag (the pool tie-break is by
+    index, not pool position)."""
+    from arrowspace_tpu.ops.pallas_bintopk import binned_lambda_topk
+    rng = np.random.default_rng(11)
+    n, f, tile, k = 2000, 32, 256, 6
+    q = jnp.asarray(rng.uniform(0.1, 1.0, (1, f)), jnp.float32)
+    qlam = jnp.asarray([0.5], jnp.float32)
+    x = np.asarray(rng.uniform(0.1, 1.0, (n, f)), np.float32)
+    xlam = jnp.asarray(np.full(n, 0.5, np.float32))
+    # 4 copies of the query at CONSECUTIVE indices (distinct bins)
+    for j in range(4):
+        x[700 + j] = np.asarray(q[0])
+    xj = jnp.asarray(x)
+    s, i, fl = binned_lambda_topk(q, qlam, xj, xlam, 1.0, k=k, tile=tile,
+                                  interpret=True, block_b=1)
+    s2, i2 = batched_lambda_aware_topk(q, qlam, xj, xlam,
+                                       jnp.float32(1.0), k=k)
+    np.testing.assert_array_equal(np.asarray(i)[0, :4],
+                                  np.asarray([700, 701, 702, 703]))
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i2))
+    assert np.asarray(fl)[0] == 0
+
+
+def test_binned_topk_bucket_padding_masked():
+    """Corpus sizes that bucket-pad (n != bucket_rows(n)) must never
+    return padding indices."""
+    from arrowspace_tpu.ops.pallas_bintopk import binned_lambda_topk
+    q, qlam, x, xlam = _bin_data(1500, 16, 2, seed=9)
+    s, i, fl = binned_lambda_topk(q, qlam, x, xlam, 0.5, k=12, tile=256,
+                                  interpret=True, block_b=2)
+    assert np.asarray(i).max() < 1500
+    s2, i2 = batched_lambda_aware_topk(q, qlam, x, xlam,
+                                       jnp.float32(0.5), k=12)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i2))
