@@ -625,7 +625,8 @@ class _DeviceChunkDistances:
 
 def _apply_chunk_decisions(rows_c, best, best_d2, offset, builder, sampler,
                            radius, max_clusters, cent, counts, assign,
-                           state, segsum=None) -> None:
+                           state, segsum=None, fetch_at=None,
+                           nfeatures=None) -> None:
     """Apply the per-row create/assign/soft-outlier rules for one chunk,
     given snapshot nearest-centroid results (best, best_d2).  Mutates
     cent/counts/assign in place and state["n_c"].  Shared by the
@@ -635,13 +636,23 @@ def _apply_chunk_decisions(rows_c, best, best_d2, offset, builder, sampler,
     segsum: optional device grouped-sum callable (tgt_local (m,) int32,
     -1 = not assigned) -> (sums (cap, F), counts (cap,)); when given,
     the running-mean reduction runs on the accelerator against the
-    resident corpus instead of np.add.at over host rows."""
-    m = rows_c.shape[0]
+    resident corpus instead of np.add.at over host rows.
+
+    rows_c may be None when BOTH segsum and fetch_at are provided:
+    fetch_at(local_idx) -> (len(idx), F) f64 rows serves the only
+    remaining host use of row data — the few creator rows — so the
+    sharded path never moves a full chunk of rows to the host."""
+    m = best.shape[0]
     if m == 0:
         return
+    if rows_c is None:
+        assert segsum is not None and fetch_at is not None and \
+            nfeatures is not None, \
+            "lazy-row mode needs segsum + fetch_at + nfeatures"
+    else:
+        nfeatures = rows_c.shape[1]
     n_c = state["n_c"]
     relax = 1.5
-    nfeatures = rows_c.shape[1]
     sampling_enabled = builder.sampling is not None
 
     if sampling_enabled:
@@ -673,10 +684,12 @@ def _apply_chunk_decisions(rows_c, best, best_d2, offset, builder, sampler,
     reroute_assign_rows, reroute_assign_tgt = [], []
     soft_extra_rows, soft_extra_tgt = [], []
     if creators.size:
+        creator_rows = rows_c[creators] if rows_c is not None \
+            else fetch_at(creators)
         # fixed arrays + active mask: no per-iteration copies; f32
         # distances (this is the relaxed unseeded mode — the device
         # engine's snapshot distances are f32 already)
-        cand_rows = np.ascontiguousarray(rows_c[creators],
+        cand_rows = np.ascontiguousarray(creator_rows,
                                          dtype=np.float32)
         cand_sq = np.einsum("ij,ij->i", cand_rows, cand_rows)
         cand_best = best_d2[creators].astype(np.float32)
@@ -690,7 +703,7 @@ def _apply_chunk_decisions(rows_c, best, best_d2, offset, builder, sampler,
             if rem.size == 0:
                 break
             pos += int(rem[0])
-            cent[n_c] = rows_c[creators[pos]]
+            cent[n_c] = creator_rows[pos]
             counts[n_c] = 1
             assign[offset + creators[pos]] = n_c
             new_id = n_c
@@ -741,6 +754,7 @@ def _apply_chunk_decisions(rows_c, best, best_d2, offset, builder, sampler,
             add_cnt = cnt_full[:n_c]
             add_sum = sums_full[:n_c]
         else:
+            assert rows_c is not None
             add_cnt = np.bincount(tgt, minlength=n_c)
             add_sum = np.zeros((n_c, nfeatures))
             np.add.at(add_sum, tgt, rows_c[a_idx])

@@ -17,7 +17,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .config import SMALL_SCAN_ELEMS, default_dtype
-from .ops.search import batched_lambda_aware_topk, hybrid_search_device
+from .ops.search import (batched_lambda_aware_topk,
+                         hybrid_search_device_fused)
 from .reduction import ImplicitProjection
 from .taumode import TauMode, TAUDEFAULT, select_tau, synthetic_lambda_single
 from .utils.log import get_logger
@@ -434,29 +435,19 @@ class ArrowSpace:
         """Hybrid search mixing cosine-only evidence
         (reference: core.rs:802-928): union of the λ-aware top-k, the
         high-cosine set (> 0.9999, scored by cosine), and the semantic
-        top-1; sorted desc and truncated to k."""
+        top-1; sorted desc and truncated to k.  The union/precedence
+        runs on device (ops/search.hybrid_search_device_fused) so the
+        host fetches O(k) bytes, not the (N,) cosine array."""
         if k == 0:
             return []
         k_eff = min(k, self.nitems)
         dt = self.data.dtype
-        top_scores, top_idx, sem_idx, cos, high_mask = hybrid_search_device(
+        scores, idx = hybrid_search_device_fused(
             jnp.asarray(query.item, dtype=dt),
             jnp.asarray(query.lambda_, dtype=dt),
             self.data, self.lambdas, jnp.asarray(alpha, dtype=dt), k=k_eff)
-
-        score_map = {}
-        cos_np = np.asarray(cos)
-        # high-cosine matches keep their cosine score (inserted first)
-        for i in np.nonzero(np.asarray(high_mask))[0]:
-            score_map[int(i)] = float(cos_np[i])
-        # λ top-k entries fill in where not already present
-        for i, s in zip(np.asarray(top_idx), np.asarray(top_scores)):
-            score_map.setdefault(int(i), float(s))
-        # semantic top-1 is always included
-        score_map.setdefault(int(sem_idx), float(cos_np[int(sem_idx)]))
-
-        final = sorted(score_map.items(), key=lambda t: -t[1])[:k]
-        return [(i, s) for i, s in final]
+        return [(int(i), float(s))
+                for i, s in zip(np.asarray(idx), np.asarray(scores))]
 
     def lambda_sorted_index(self) -> Tuple[np.ndarray, np.ndarray]:
         """(sorted λ values, original indices) — the ZSET-style index of

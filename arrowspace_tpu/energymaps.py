@@ -395,7 +395,10 @@ def _projected_dirichlet_batch(aspace: ArrowSpace, diffs: jax.Array
 def _energy_score_topk(q_proj, lambda_q, items_proj, item_lambdas, signals,
                        w_lambda, w_dirichlet, *, k: int, use_signals: bool):
     """One fused program: λ proximity + projected Dirichlet + top-k
-    (eager dispatch through the TPU tunnel costs ~23 ms per op)."""
+    (eager dispatch through the TPU tunnel costs ~23 ms per op).  This is
+    the in-memory path for corpora up to ENERGY_CHUNK items; larger
+    corpora stream through _energy_score_topk_chunked, which never
+    materialises the (B, N, F') diffs tensor."""
     diffs = q_proj[:, None, :] - items_proj[None, :, :]      # (B, N, F')
     if use_signals:
         y = jnp.einsum("bnf,gf->bng", diffs, signals,
@@ -407,6 +410,85 @@ def _energy_score_topk(q_proj, lambda_q, items_proj, item_lambdas, signals,
     d_lambda = jnp.abs(lambda_q[:, None] - item_lambdas[None, :])
     scores = -(w_lambda * d_lambda + w_dirichlet * d_dir)
     return jax.lax.top_k(scores, k)
+
+
+# In-memory ceiling for the energy score plane: above this many items the
+# batched search streams N in chunks (HBM stays O(B·chunk + B·k) instead
+# of O(B·N·F') — the (B, N, F') diffs tensor is ~65 GB at 1M x 64 x 256).
+ENERGY_CHUNK = 65536
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk"))
+def _energy_score_topk_chunked(z_q, lambda_q, z_items, item_lambdas,
+                               w_lambda, w_dirichlet, *, k: int,
+                               chunk: int = ENERGY_CHUNK):
+    """Streaming variant of _energy_score_topk in z-space.
+
+    The projected Dirichlet distributes through the linear map:
+    ||S(q - x)|| = ||Sq - Sx||, so with z := x Sᵀ precomputed once per
+    corpus (and z := x_proj when no signals are present) the score needs
+    only pairwise z-distances — computed per chunk on the MXU via the
+    ||a-b||² = ||a||² - 2a·b + ||b||² expansion, with a running top-k
+    merged chunk by chunk (lax.scan).  Tie order matches lax.top_k over
+    the full plane: the running buffer is concatenated before the chunk
+    candidates and chunk indices increase monotonically, so equal scores
+    resolve to the lowest global index.
+
+    Reference anchor: energymaps.rs:368-407 (search_energy scoring).
+    """
+    b, g = z_q.shape
+    n = z_items.shape[0]
+    dt = z_q.dtype
+    n_pad = ((n + chunk - 1) // chunk) * chunk
+    z_p = jnp.pad(z_items, ((0, n_pad - n), (0, 0)))
+    lam_p = jnp.pad(item_lambdas, (0, n_pad - n))
+    qn = jnp.sum(z_q * z_q, axis=1)                        # (B,)
+    neg_inf = jnp.asarray(-jnp.inf, dtype=dt)
+
+    def body(carry, c):
+        run_s, run_i = carry
+        c0 = c * chunk
+        z_c = jax.lax.dynamic_slice(z_p, (c0, jnp.zeros_like(c0)),
+                                    (chunk, g))
+        lam_c = jax.lax.dynamic_slice(lam_p, (c0,), (chunk,))
+        d2 = (qn[:, None]
+              - 2.0 * jnp.dot(z_q, z_c.T, preferred_element_type=dt)
+              + jnp.sum(z_c * z_c, axis=1)[None, :])
+        num = jnp.sqrt(jnp.maximum(d2, 0.0))
+        d_dir = jnp.minimum(num / (1.0 + num), 1.0)
+        d_lam = jnp.abs(lambda_q[:, None] - lam_c[None, :])
+        sc = -(w_lambda * d_lam + w_dirichlet * d_dir)
+        gidx = jnp.arange(chunk, dtype=jnp.int32) + c0.astype(jnp.int32)
+        sc = jnp.where(gidx[None, :] < n, sc, neg_inf)
+        s_c, i_local = jax.lax.top_k(sc, k)
+        cs = jnp.concatenate([run_s, s_c], axis=1)         # (B, 2k)
+        ci = jnp.concatenate(
+            [run_i, i_local + c0.astype(jnp.int32)], axis=1)
+        s2, pos = jax.lax.top_k(cs, k)
+        i2 = jnp.take_along_axis(ci, pos, axis=1)
+        return (s2, i2), None
+
+    init = (jnp.full((b, k), neg_inf, dtype=dt),
+            jnp.zeros((b, k), dtype=jnp.int32))
+    (run_s, run_i), _ = jax.lax.scan(
+        body, init, jnp.arange(n_pad // chunk, dtype=jnp.int32))
+    return run_s, run_i
+
+
+def _energy_z_items(aspace: ArrowSpace, items_proj, signals, use_signals):
+    """Per-corpus z = x_proj Sᵀ for the streaming energy search, cached on
+    the ArrowSpace (one (N, F')x(F', G) matmul, reused across batches);
+    identity when no signals graph is present."""
+    if not use_signals:
+        return items_proj
+    cache = getattr(aspace, "_energy_z_cache", None)
+    if cache is not None and cache[0] == signals.shape \
+            and cache[1].shape[0] == items_proj.shape[0]:
+        return cache[1]
+    z = jnp.dot(items_proj, signals.T,
+                preferred_element_type=items_proj.dtype)
+    aspace._energy_z_cache = (signals.shape, z)
+    return z
 
 
 def search_energy_batch(aspace: ArrowSpace, queries, gl_energy: GraphLaplacian,
@@ -430,6 +512,17 @@ def search_energy_batch(aspace: ArrowSpace, queries, gl_energy: GraphLaplacian,
     signals = jnp.asarray(aspace.signals, dtype=dt) if use_signals \
         else jnp.zeros((1, 1), dtype=dt)
     k_eff = min(k, aspace.nitems)
+    if aspace.nitems > ENERGY_CHUNK:
+        # streaming path: z-space distances, HBM O(B·chunk), any N
+        z_items = _energy_z_items(aspace, items_proj, signals, use_signals)
+        z_q = jnp.dot(q_proj, signals.T, preferred_element_type=dt) \
+            if use_signals else q_proj
+        top_scores, top_idx = _energy_score_topk_chunked(
+            z_q, jnp.asarray(lambda_q, dtype=dt), z_items,
+            jnp.asarray(aspace.lambdas, dtype=dt),
+            jnp.asarray(w_lambda, dtype=dt),
+            jnp.asarray(w_dirichlet, dtype=dt), k=k_eff)
+        return np.asarray(top_scores), np.asarray(top_idx)
     top_scores, top_idx = _energy_score_topk(
         q_proj, jnp.asarray(lambda_q, dtype=dt), items_proj,
         jnp.asarray(aspace.lambdas, dtype=dt), signals,

@@ -44,11 +44,13 @@ def _session_step_jit():
     (a) every SearchSession with the same config shares one executable and
     (b) precompile.py can AOT-lower it by shape alone.
 
-    Returns (scores, ids, flags, qlam): flags is non-zero for queries the
-    binned kernel may have under-filled (deep bin collision — see
-    ops/pallas_bintopk.py) and is all-zero for the merge/XLA kernels;
-    qlam rides along so the driver can repair flagged rows through the
-    exact merge kernel without recomputing query λ."""
+    Returns (scores (B,k), ids_flags (B,k+1) int32, qlam (B,)): the last
+    ids_flags column is non-zero for queries the binned kernel may have
+    under-filled (deep bin collision — see ops/pallas_bintopk.py) and
+    all-zero for the merge/XLA kernels.  Ids and flags share one array
+    so the driver pays TWO device fetches per batch, not three — each
+    fetch is a full tunnel round trip.  qlam rides along as a device
+    array; the driver only fetches it on the rare repair path."""
     global _SESSION_STEP
     if _SESSION_STEP is None:
         import functools
@@ -73,17 +75,17 @@ def _session_step_jit():
                 s, i, fl = binned_lambda_topk(
                     q_raw, qlam, data, lambdas, alpha, k=k,
                     use_bf16=use_bf16)
-                return s, i, fl, qlam
-            zero_fl = jnp.zeros((q_raw.shape[0],), dtype=jnp.int32)
+                return s, jnp.concatenate([i, fl[:, None]], axis=1), qlam
+            zero_fl = jnp.zeros((q_raw.shape[0], 1), dtype=jnp.int32)
             if kernel == "merge":
                 from .ops.pallas_topk import fused_lambda_topk
                 s, i = fused_lambda_topk(q_raw, qlam, data, lambdas, alpha,
                                          k=k, use_bf16=use_bf16)
-                return s, i, zero_fl, qlam
+                return s, jnp.concatenate([i, zero_fl], axis=1), qlam
             s, i = batched_lambda_aware_topk(
                 q_raw, qlam, data, lambdas, jnp.asarray(alpha, dtype=dt),
                 k=k)
-            return s, i, zero_fl, qlam
+            return s, jnp.concatenate([i, zero_fl], axis=1), qlam
 
         _SESSION_STEP = step
     return _SESSION_STEP
@@ -118,20 +120,22 @@ def stream_search(step, batches, batch_size: int, depth: int, dt,
     are padded to batch_size so the compiled step is never retraced
     mid-stream; their results are sliced back.
 
-    Steps may return (scores, ids) or (scores, ids, flags, qlam); with
-    the 4-tuple, rows whose flag is non-zero are re-run through
-    `repair(q_block, qlam_rows, rows) -> (scores, ids)` at yield time
-    (the binned kernel's rare deep-collision fallback — the flag fetch
-    happens after `depth` further batches are already in flight, so the
-    sync does not stall the pipeline)."""
+    Steps may return (scores, ids) or (scores, ids_flags (B, k+1), qlam)
+    — the session-step shape, where the last ids_flags column marks rows
+    the binned kernel may have under-filled.  Flagged rows are re-run
+    through `repair(q_block, qlam, rows) -> (scores, ids)` at yield time
+    (the binned kernel's rare deep-collision fallback — the flag arrives
+    with the ids fetch, after `depth` further batches are already in
+    flight, so the check costs no extra round trip)."""
     import jax.numpy as jnp
 
     def finish(out, m, qb):
         if len(out) == 2:
             s, i = out
             return np.asarray(s[:m]), np.asarray(i[:m])
-        s, i, fl, qlam = out
-        s, i, flags = np.asarray(s[:m]), np.asarray(i[:m]), np.asarray(fl[:m])
+        s, ii, qlam = out
+        s, ii = np.asarray(s[:m]), np.asarray(ii[:m])
+        i, flags = ii[:, :-1], ii[:, -1]
         if flags.any() and repair is not None:
             rows = np.nonzero(flags)[0]
             rs, ri = repair(qb, np.asarray(qlam), rows)

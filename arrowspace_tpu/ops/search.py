@@ -150,7 +150,9 @@ def hybrid_search_device(
     k: int,
 ):
     """Device part of search_lambda_aware_hybrid (core.rs:802-928):
-    λ-aware top-k, cosine top-1, and the high-cosine mask (> 0.9999)."""
+    λ-aware top-k, cosine top-1, and the high-cosine mask (> 0.9999).
+    Kept for callers that want the raw components; the serving path uses
+    hybrid_search_device_fused (O(k) fetch instead of O(N))."""
     cos = cosine_scores(query[None, :], items)[0]
     dl = jnp.abs(query_lambda - item_lambdas)
     lam_score = alpha * cos + (1.0 - alpha) * (1.0 - jnp.minimum(dl, 1.0))
@@ -158,3 +160,42 @@ def hybrid_search_device(
     sem_idx = jnp.argmax(cos)
     high_mask = cos > 0.9999
     return top_scores, top_idx, sem_idx, cos, high_mask
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def hybrid_search_device_fused(
+    query: jax.Array,        # (F,)
+    query_lambda: jax.Array,  # scalar
+    items: jax.Array,
+    item_lambdas: jax.Array,
+    alpha: jax.Array,
+    *,
+    k: int,
+):
+    """Fully device-side hybrid union (core.rs:802-928): the union +
+    dedup + precedence of the reference's fold/reduce — high-cosine
+    matches keep their cosine score, λ-top-k entries their blended
+    score, the semantic top-1 its cosine — expressed as one effective
+    score per item, so the final top-k is ONE lax.top_k and the host
+    fetches O(k) bytes instead of the full (N,) cosine array + Python
+    dict union (the round-2 host path cost ~4 MB + an O(N) loop per
+    query at 1M rows).
+
+    Precedence mirrors the host dict's insertion order: high-cos beats
+    λ-top-k membership beats semantic-top-1; items in none of the three
+    sets are excluded (-inf).  The λ-top-k contributes k entries, so the
+    result always holds k valid rows for k <= N."""
+    cos = cosine_scores(query[None, :], items)[0]
+    dl = jnp.abs(query_lambda - item_lambdas)
+    lam_score = alpha * cos + (1.0 - alpha) * (1.0 - jnp.minimum(dl, 1.0))
+    _, top_idx = jax.lax.top_k(lam_score, k)
+    n = items.shape[0]
+    in_topk = jnp.zeros((n,), jnp.bool_).at[top_idx].set(True)
+    sem_idx = jnp.argmax(cos)
+    high = cos > 0.9999
+    is_sem = jnp.arange(n) == sem_idx
+    neg_inf = jnp.asarray(-jnp.inf, dtype=cos.dtype)
+    eff = jnp.where(high, cos,
+                    jnp.where(in_topk, lam_score,
+                              jnp.where(is_sem, cos, neg_inf)))
+    return jax.lax.top_k(eff, k)

@@ -263,10 +263,16 @@ def sharded_incremental_clustering(
 
     # Host bookkeeping state (identical rules to clustering.py's chunked
     # mode, reused via its helpers).  The corpus is NEVER materialised on
-    # host in full — at the 100M x 768 target that would be ~600 GB — the
-    # host fetches one chunk's rows at a time (O(chunk x F) transient,
-    # total one pass of the data over PCIe).
-    from ..clustering import _apply_chunk_decisions
+    # host in full — at the 100M x 768 target that would be ~600 GB.
+    # Host row traffic is limited to (a) the bootstrap block scan and
+    # (b) the few CREATOR rows per chunk (lazy fetch_at): the
+    # running-mean reduction runs on device via the shared chunk-segsum
+    # program and the fresh-centroid refresh via the shared
+    # chunk-distance program, so a chunk's decisions cost O(chunk)
+    # scalars + O(creators x F) rows over the interconnect instead of
+    # O(chunk x F) rows.
+    from ..clustering import (_apply_chunk_decisions, _chunk_dist_jit,
+                              _chunk_segsum_jit)
 
     # One compiled fetch program per window LENGTH (runtime offset via
     # dynamic_slice): python slicing would bake each distinct offset into
@@ -281,6 +287,27 @@ def sharded_incremental_clustering(
                     arr, (start, jnp.zeros((), start.dtype)), (_m, f)))
         out = fetch_cache[m](items_sharded, np.int32(min(lo, n - m)))
         return np.asarray(out, dtype=np.float64)
+
+    # Creator-row gather, bucketed by candidate count so one compiled
+    # program serves a range of creator counts (indices padded by
+    # repetition; the padded tail is sliced off host-side).
+    gather_cache = {}
+
+    def fetch_rows_at(global_idx: np.ndarray) -> np.ndarray:
+        cnt = int(global_idx.shape[0])
+        bucket = 8
+        while bucket < cnt:
+            bucket *= 2
+        if bucket not in gather_cache:
+            gather_cache[bucket] = jax.jit(
+                lambda arr, idx: jnp.take(arr, idx, axis=0))
+        idx_pad = np.full(bucket, int(global_idx[0]), dtype=np.int32)
+        idx_pad[:cnt] = global_idx
+        out = gather_cache[bucket](items_sharded, jnp.asarray(idx_pad))
+        return np.asarray(out, dtype=np.float64)[:cnt]
+
+    segsum_prog = _chunk_segsum_jit()
+    refresh_prog = _chunk_dist_jit()
 
     cent = np.zeros((max_clusters, f), dtype=np.float64)
     counts = np.zeros(max_clusters, dtype=np.int64)
@@ -334,29 +361,52 @@ def sharded_incremental_clustering(
                 sl = slice(boot - offset, m)
             elif offset + m <= boot:
                 continue
-            rows_c = fetch_rows(offset, offset + m)
             best_c = best_all[lo:hi][sl].copy()
             bd_c = bd_all[lo:hi][sl].copy()
-            # Refresh against centroids created by EARLIER chunks of this
-            # round (the device distances only saw the round-start
-            # snapshot): one small host matmul keeps the cross-device
-            # race window from duplicating clusters round-wide.
+            offs = offset + sl.start
+            m_eff = m - sl.start
+            # window alignment for the shared chunk programs: rows
+            # [offs, offs+m_eff) are positions [offs-w0, offs-w0+m_eff)
+            # of the clamped device window [w0, w0+chunk)
+            w0 = min(offs, n - chunk)
+            # Refresh against centroids created by EARLIER chunks of
+            # this round (the device distances only saw the round-start
+            # snapshot) — on device via the shared chunk-distance
+            # program with the fresh centroids parked in the bucketed
+            # buffer; keeps the cross-device race window from
+            # duplicating clusters round-wide without fetching rows.
             if state["n_c"] > round_start_nc and bd_c.size:
-                fresh = cent[round_start_nc:state["n_c"]]
-                rc = rows_c[sl]
-                d2f = (np.sum(rc * rc, axis=1)[:, None]
-                       - 2.0 * rc @ fresh.T
-                       + np.sum(fresh * fresh, axis=1)[None, :])
-                d2f = np.maximum(d2f, 0.0)
-                fbest = np.argmin(d2f, axis=1)
-                fbd = d2f[np.arange(d2f.shape[0]), fbest]
+                n_fresh = state["n_c"] - round_start_nc
+                fresh_pad = np.zeros((mc_pad, f))
+                fresh_pad[:n_fresh] = cent[round_start_nc:state["n_c"]]
+                fb, fd = refresh_prog(
+                    items_sharded, np.int32(w0),
+                    jnp.asarray(fresh_pad, dtype=dt),
+                    np.int32(n_fresh), chunk=chunk)
+                fbest = np.asarray(
+                    fb[offs - w0:offs - w0 + m_eff]).astype(np.int64)
+                fbd = np.asarray(fd[offs - w0:offs - w0 + m_eff],
+                                 dtype=np.float64)
                 closer = fbd < bd_c
                 best_c = np.where(closer, fbest + round_start_nc, best_c)
                 bd_c = np.where(closer, fbd, bd_c)
+
+            def segsum(tgt_local, _w0=w0, _offs=offs, _m=m_eff):
+                tgt_pad = np.full(chunk, -1, dtype=np.int32)
+                tgt_pad[_offs - _w0:_offs - _w0 + _m] = tgt_local
+                sums, cnts = segsum_prog(
+                    items_sharded, np.int32(_w0), jnp.asarray(tgt_pad),
+                    chunk=chunk, cap=mc_pad)
+                return (np.asarray(sums, dtype=np.float64),
+                        np.asarray(cnts, dtype=np.int64))
+
             _apply_chunk_decisions(
-                rows_c[sl], best_c, bd_c,
-                offset + sl.start, builder, sampler, radius, max_clusters,
-                cent, counts, assign, state)
+                None, best_c, bd_c, offs, builder, sampler, radius,
+                max_clusters, cent, counts, assign, state,
+                segsum=segsum,
+                fetch_at=lambda li, _offs=offs: fetch_rows_at(
+                    np.asarray(li, dtype=np.int64) + _offs),
+                nfeatures=f)
 
     if state["n_c"] == 0:
         raise RuntimeError("No clusters created from data")

@@ -287,3 +287,81 @@ def test_energy_build_lambda_statistics():
     assert lam.min() >= 0.0
     assert lam.max() > lam.min()
     assert np.isfinite(lam.mean()) and lam.mean() > 0.0
+
+
+def test_energy_chunked_matches_in_memory():
+    """The streaming z-space energy search (corpora > ENERGY_CHUNK) must
+    reproduce the in-memory diffs-tensor path: same ids, scores to f64
+    rounding — both with a signals graph (projected Dirichlet) and
+    without (bounded L2).  Chunk boundaries, the padded tail, and the
+    running top-k tie order are all exercised by forcing a tiny chunk."""
+    import functools
+    import jax.numpy as jnp
+    from arrowspace_tpu.energymaps import (_energy_score_topk,
+                                           _energy_score_topk_chunked)
+
+    rng = np.random.default_rng(23)
+    n, f, b, k, g = 700, 24, 5, 9, 24
+    items = jnp.asarray(rng.normal(size=(n, f)))
+    lam = jnp.asarray(rng.uniform(0, 1, n))
+    q = jnp.asarray(rng.normal(size=(b, f)))
+    qlam = jnp.asarray(rng.uniform(0, 1, b))
+    sig = jnp.asarray(rng.normal(size=(g, f)) * 0.3)
+    wl, wd = jnp.asarray(1.0), jnp.asarray(0.5)
+
+    for use_signals in (True, False):
+        s_mem, i_mem = _energy_score_topk(
+            q, qlam, items, lam, sig if use_signals else jnp.zeros((1, 1)),
+            wl, wd, k=k, use_signals=use_signals)
+        if use_signals:
+            z_items = jnp.dot(items, sig.T)
+            z_q = jnp.dot(q, sig.T)
+        else:
+            z_items, z_q = items, q
+        # chunk=256 -> 3 chunks with a padded tail (700 = 2*256 + 188)
+        s_ch, i_ch = _energy_score_topk_chunked(
+            z_q, qlam, z_items, lam, wl, wd, k=k, chunk=256)
+        np.testing.assert_array_equal(np.asarray(i_ch), np.asarray(i_mem))
+        np.testing.assert_allclose(np.asarray(s_ch), np.asarray(s_mem),
+                                   rtol=1e-9, atol=1e-12)
+
+
+def test_energy_chunked_tie_order_lowest_index():
+    """Exact duplicate items across chunk boundaries: the running merge
+    must resolve ties to the lowest global index (lax.top_k order)."""
+    import jax.numpy as jnp
+    from arrowspace_tpu.energymaps import _energy_score_topk_chunked
+
+    rng = np.random.default_rng(3)
+    n, f, k = 600, 8, 6
+    items = np.asarray(rng.normal(size=(n, f)))
+    # copies of row 5 far apart (different chunks at chunk=128)
+    for j in (5, 150, 300, 450, 599):
+        items[j] = items[5]
+    lam = np.full(n, 0.4)
+    q = items[5][None, :] * 1.0
+    z = jnp.asarray(items)
+    s, i = _energy_score_topk_chunked(
+        jnp.asarray(q), jnp.asarray([0.4]), z, jnp.asarray(lam),
+        jnp.asarray(1.0), jnp.asarray(0.5), k=k, chunk=128)
+    assert list(np.asarray(i)[0][:5]) == [5, 150, 300, 450, 599]
+
+
+def test_search_energy_batch_streams_large_corpus(monkeypatch):
+    """search_energy_batch over a corpus past the in-memory ceiling must
+    take the chunked path and agree with the single-query oracle (the
+    ceiling is lowered so the test corpus triggers streaming)."""
+    import arrowspace_tpu.energymaps as em_mod
+    from arrowspace_tpu.energymaps import search_energy_batch
+
+    rows = make_gaussian_hd(90, spread=0.5, dims=96, seed=8)
+    b = _builder(seed=13)
+    aspace, gl = en.build_energy(b, rows.tolist(), EnergyParams())
+    monkeypatch.setattr(em_mod, "ENERGY_CHUNK", 32)
+    queries = rows[:3] * 1.01
+    scores, ids = search_energy_batch(aspace, queries, gl, 8, 1.0, 0.5)
+    for i, q in enumerate(queries):
+        single = en.search_energy(aspace, q, gl, 8, 1.0, 0.5)
+        assert [j for j, _ in single] == list(ids[i])
+        for (j, s), s2 in zip(single, scores[i]):
+            assert s == pytest.approx(float(s2), rel=1e-7)

@@ -245,7 +245,7 @@ def test_stream_driver_repairs_flagged_rows():
         i = jnp.tile(jnp.arange(k, dtype=jnp.int32), (bsz, 1))
         fl = jnp.asarray([0, 1, 0, 1], dtype=jnp.int32)
         qlam = jnp.full((bsz,), 0.25, dtype=jnp.float32)
-        return s, i, fl, qlam
+        return s, jnp.concatenate([i, fl[:, None]], axis=1), qlam
 
     calls = []
 

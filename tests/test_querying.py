@@ -186,3 +186,45 @@ def test_range_search_sorted_band():
     # cache invalidation on lambda update
     aspace.update_lambdas(np.zeros(60))
     assert len(aspace.range_search_sorted(-0.1, 0.1)) == 60
+
+
+def test_hybrid_fused_matches_host_union_oracle():
+    """The device-side hybrid union must reproduce the host dict-union
+    semantics (high-cos keeps cosine score and beats λ-top-k membership,
+    which beats the semantic top-1; sorted desc, truncated k) — forced
+    high-cosine duplicates included."""
+    import jax.numpy as jnp
+    from arrowspace_tpu.ops.search import hybrid_search_device
+
+    data = make_moons_hd(80, noise=0.1, hd_noise=0.05, dims=12, seed=17)
+    # two exact duplicates of the query direction -> high-cos set
+    data[40] = data[3] * 2.0
+    data[61] = data[3] * 0.5
+    aspace, gl = _build(data)
+    q = data[3]
+    qlam = aspace.prepare_query_item(q, gl)
+    item = ArrowItem(q, qlam)
+    k = 10
+    res = aspace.search_lambda_aware_hybrid(item, k, 0.7)
+
+    # host oracle from the raw components (the round-2 implementation)
+    dt = aspace.data.dtype
+    top_scores, top_idx, sem_idx, cos, high_mask = hybrid_search_device(
+        jnp.asarray(q, dtype=dt), jnp.asarray(qlam, dtype=dt),
+        aspace.data, aspace.lambdas, jnp.asarray(0.7, dtype=dt), k=k)
+    score_map = {}
+    cos_np = np.asarray(cos)
+    for i in np.nonzero(np.asarray(high_mask))[0]:
+        score_map[int(i)] = float(cos_np[i])
+    for i, s in zip(np.asarray(top_idx), np.asarray(top_scores)):
+        score_map.setdefault(int(i), float(s))
+    score_map.setdefault(int(sem_idx), float(cos_np[int(sem_idx)]))
+    oracle = sorted(score_map.items(), key=lambda t: -t[1])[:k]
+
+    assert {i for i, _ in res} == {i for i, _ in oracle}
+    for (i1, s1), (i2, s2) in zip(res, oracle):
+        assert s1 == pytest.approx(s2, rel=1e-9)
+    # high-cos duplicates surface with their cosine scores
+    got = dict(res)
+    assert 40 in got and 61 in got
+    assert got[40] == pytest.approx(1.0, abs=1e-6)
