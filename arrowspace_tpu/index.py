@@ -91,19 +91,21 @@ def _session_step_jit():
     return _SESSION_STEP
 
 
-def session_kernel_kind(nitems: int, k: int) -> str:
+def session_kernel_kind(nitems: int, k: int, f: int = None) -> str:
     """The serving step's kernel dispatch (shared with precompile):
     "binned" — bin-accumulator streaming kernel + rare exact repair
     (the fast path; its pool and flush extraction grow with k, and the
-    collision rate with k², so it is gated at k <= 48);
+    collision rate with k², so it is gated at k <= 48; the double-
+    buffered f32 item tile caps F at ~1536 under the 16 MB scoped-VMEM
+    limit even at the smallest block);
     "merge" — the exact streaming-merge kernel (k <= 128; per-slot
     unrolled); "xla" — matmul + lax.top_k."""
     import jax
     if jax.default_backend() != "tpu" or nitems < 65536:
         return "xla"
-    if k <= 48:
+    if k <= 48 and (f is None or f <= 1536):
         return "binned"
-    return "merge" if k <= 128 else "xla"
+    return "merge" if k <= 128 and (f is None or f <= 1536) else "xla"
 
 
 def session_uses_pallas(nitems: int, k: int) -> bool:
@@ -206,7 +208,8 @@ class SearchSession:
             proj = aspace.projection_matrix.matrix(dtype=dt)
         taumode = aspace.taumode
         k_eff = self.k
-        kernel = session_kernel_kind(index.nitems, k_eff)
+        kernel = session_kernel_kind(index.nitems, k_eff,
+                                     aspace.nfeatures)
 
         has_proj = proj is not None
         pad_tall = aspace.pad_tall_graphs

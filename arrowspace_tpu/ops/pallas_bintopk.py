@@ -60,6 +60,26 @@ def binned_topk_depth_for(k: int) -> int:
     return 3
 
 
+def _fit_tile(block: int, f: int, depth: int, elem: int) -> int:
+    """Largest tile in {4096, 2048, 1024} whose VMEM estimate fits the
+    scoped budget for a given query block, or 0 if none does.  Model:
+    double-buffered item tile + (2D+1) state planes + ~3 intermediate
+    score planes + the query block, against a 14.5 MB target (~1.5 MB
+    headroom under the 16 MB Mosaic scoped limit; the model reads ~0.6 MB
+    low vs a measured F=768 f32 lowering, so the headroom absorbs it —
+    calibration points: f32/768/B256 est 17.6 vs measured 18.2 OOM,
+    bf16/768/B256 est 14.4 vs measured ~15.1 compiles)."""
+    budget = int(14.5 * 1024 * 1024)
+    for t in (4096, 2048, 1024):
+        est = (2 * t * f * elem               # xhat tile, double-buffered
+               + (2 * depth + 1) * block * t * 4   # run_s/run_i/det
+               + 3 * block * t * 4                 # score intermediates
+               + block * f * 4)                    # qhat
+        if est <= budget:
+            return t
+    return 0
+
+
 def _extract_topk_by_index(scores, idx, k: int):
     """Top-k of a (B, W) candidate pool with lax.top_k's tie order: equal
     scores resolve to the lowest GLOBAL index (not the lowest pool
@@ -184,10 +204,21 @@ def binned_lambda_topk(
     if depth <= 0:
         depth = binned_topk_depth_for(k)
 
-    # Query-block size: 256 (vs the merge kernel's 128) — with no
-    # per-tile extraction the VMEM state is (2D+1) planes of (B, L), so
-    # a bigger block fits, and each doubling halves corpus HBM traffic
-    # for large batches.
+    # Query-block size: auto-picked jointly with the tile from the
+    # 16 MB scoped-VMEM budget (measured model: double-buffered item
+    # tile + (2D+1) state planes + ~3 intermediate score planes + query
+    # block; an F=768 f32 B=256 kernel measured 18.2 MB against the
+    # 16 MB limit, so the estimate keeps 2 MB headroom).  Bigger blocks
+    # halve corpus HBM traffic per doubling — prefer 256, drop to
+    # 128/64 only when F forces it.
+    elem = 2 if use_bf16 else 4
+    if block_b <= 0:
+        block_b = 256
+        if tile <= 0:
+            for cand_b in (256, 128, 64):
+                if _fit_tile(cand_b, f, depth, elem) > 0:
+                    block_b = cand_b
+                    break
     max_b = block_b
 
     if bsz % max_b != 0:
@@ -201,13 +232,12 @@ def binned_lambda_topk(
         return s[:bsz], i[:bsz], fl[:bsz]
 
     if tile <= 0:
-        # Auto tile from the ~16 MB scoped-VMEM budget: double-buffered
-        # item tile (T x F), (2D+1) state planes of (B=block, T), ~2
-        # score planes, floor 1024 (Mosaic crashes below).
-        elem = 2 if use_bf16 else 4
-        budget = 12 * 1024 * 1024
-        per_row = 2 * f * elem + (2 * depth + 1 + 2) * min(bsz, max_b) * 4
-        tile = max(1024, min(4096, (budget // per_row) // 1024 * 1024))
+        tile = _fit_tile(min(bsz, max_b), f, depth, elem)
+        # Floor 1024 (Mosaic crashes on smaller tiles) even when the
+        # estimate says nothing fits — F beyond ~1500 f32 should route
+        # to the merge/XLA paths (session_kernel_kind's f gate).
+        if tile <= 0:
+            tile = 1024
     if bsz > max_b:
         outs = [binned_lambda_topk(queries[i:i + max_b],
                                    query_lambdas[i:i + max_b],

@@ -47,7 +47,28 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import TAU_FLOOR
 
-__all__ = ["fused_select_tau"]
+__all__ = ["fused_select_tau", "fused_select_tau_fits"]
+
+
+def _sub_rows_for(f: int, tile: int = 1024) -> int:
+    """Largest power-of-two sub-block (<= tile) whose sort working set
+    fits the scoped-VMEM budget next to the double-buffered input tile:
+    ~5 live planes of (sub, f2) f32 + 2*tile*f*4 input <= ~14 MB."""
+    f2 = 1 << (f - 1).bit_length()
+    budget = 14 * 1024 * 1024 - 2 * tile * f * 4
+    sub = tile
+    while sub > 32 and 5 * sub * f2 * 4 > budget:
+        sub //= 2
+    return sub
+
+
+def fused_select_tau_fits(f: int, tile: int = 1024) -> bool:
+    """Feasibility gate shared with taumode.select_tau_batch: wide-F
+    inputs whose sub-block would drop below 64 rows (or whose input
+    tile alone overflows) take the XLA sort path instead."""
+    sub = _sub_rows_for(f, tile)
+    return sub >= 64 and 5 * sub * (1 << (f - 1).bit_length()) * 4 \
+        <= 14 * 1024 * 1024 - 2 * tile * f * 4
 
 
 def _bitonic_sort_lanes(x, f2: int):
@@ -74,8 +95,8 @@ def _bitonic_sort_lanes(x, f2: int):
     return x
 
 
-def _kernel(x_ref, out_ref, *, f: int, f2: int, kind: str, pct: float):
-    x = x_ref[:]                                     # (T, F)
+def _tau_rows(x, f: int, f2: int, kind: str, pct: float):
+    """τ per row of an in-VMEM (rows, F) block."""
     t = x.shape[0]
     finite = jnp.isfinite(x)
     m = jnp.sum(finite.astype(jnp.int32), axis=1)    # finite count per row
@@ -83,8 +104,7 @@ def _kernel(x_ref, out_ref, *, f: int, f2: int, kind: str, pct: float):
     if kind == "mean":
         s = jnp.sum(jnp.where(finite, x, 0.0), axis=1)
         mean = jnp.where(m > 0, s / jnp.maximum(m, 1).astype(x.dtype), 0.0)
-        out_ref[:] = jnp.maximum(mean, TAU_FLOOR)
-        return
+        return jnp.maximum(mean, TAU_FLOOR)
 
     big = jnp.asarray(jnp.inf, dtype=x.dtype)
     xs = jnp.where(finite, x, big)
@@ -108,7 +128,21 @@ def _kernel(x_ref, out_ref, *, f: int, f2: int, kind: str, pct: float):
         vhi = jnp.sum(jnp.where(col == hi[:, None], xs, 0.0), axis=1)
         med = 0.5 * (vlo + vhi)
         out = jnp.where(m > 0, med, TAU_FLOOR)
-    out_ref[:] = jnp.maximum(out, TAU_FLOOR)
+    return jnp.maximum(out, TAU_FLOOR)
+
+
+def _kernel(x_ref, out_ref, *, f: int, f2: int, kind: str, pct: float,
+            sub: int):
+    """Row tile processed in `sub`-row sub-blocks: the tile itself must
+    be >= 1024 rows (Mosaic floor), but the bitonic sort's ~5 working
+    planes of (rows, f2) blow the 16 MB scoped-VMEM limit at wide F if
+    sized to the whole tile (measured 19.8 MB at F=768/T=1024) — the
+    sub-blocking bounds the live sort planes while the BlockSpec tile
+    stays Mosaic-legal."""
+    t = x_ref.shape[0]
+    outs = [_tau_rows(x_ref[s0:s0 + sub, :], f, f2, kind, pct)
+            for s0 in range(0, t, sub)]
+    out_ref[:] = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
 
 
 @functools.partial(jax.jit,
@@ -141,7 +175,8 @@ def fused_select_tau(
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
-        functools.partial(_kernel, f=f, f2=f2, kind=kind, pct=pct),
+        functools.partial(_kernel, f=f, f2=f2, kind=kind, pct=pct,
+                          sub=_sub_rows_for(f, tile)),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_pad,), dt),
         interpret=interpret,

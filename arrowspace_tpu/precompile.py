@@ -141,7 +141,7 @@ def warm(
     # --- serving: fused prep+score+top-k session step --------------------
     from .index import session_kernel_kind
     k_eff = min(int(k), n)
-    kernel = session_kernel_kind(n, k_eff)
+    kernel = session_kernel_kind(n, k_eff, f)
     for bsz in batch_sizes:
         for prec in precisions:
             use_bf16 = prec == "bf16" and kernel != "xla"

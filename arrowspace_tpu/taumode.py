@@ -178,12 +178,13 @@ def select_tau_batch(x: jax.Array, mode: TauMode) -> jax.Array:
     # (ops/pallas_tau.py) is ~2.9× faster and is used for large f32
     # batches — see that module's docstring for the alternatives that
     # measured or analyse slower (jnp-level bitonic, radix select).
-    if (jax.default_backend() == "tpu" and x.dtype == jnp.float32
-            and n_rows * f >= PALLAS_TAU_MIN_ELEMS and f <= 2048):
-        from .ops.pallas_tau import fused_select_tau
-        return fused_select_tau(x, kind=mode.kind,
-                                pct=mode.value if mode.kind == "percentile"
-                                else 0.5)
+    if jax.default_backend() == "tpu" and x.dtype == jnp.float32 \
+            and n_rows * f >= PALLAS_TAU_MIN_ELEMS:
+        from .ops.pallas_tau import fused_select_tau, fused_select_tau_fits
+        if fused_select_tau_fits(f):
+            return fused_select_tau(x, kind=mode.kind,
+                                    pct=mode.value
+                                    if mode.kind == "percentile" else 0.5)
     big = jnp.asarray(jnp.inf, dtype=dt)
     xs = jnp.sort(jnp.where(finite, x, big), axis=1)
 

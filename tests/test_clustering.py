@@ -509,3 +509,50 @@ def test_assignments_eq_and_hash_semantics():
     assert a == Assignments(np.array([0, -1, 2]))
     with pytest.raises(TypeError):
         hash(a)
+
+
+def test_certified_scan_bitwise_equals_one_shot():
+    """The certified-snapshot blocked seeded scan (BLAS guidance + exact
+    f64 corrective distances, clustering.cpp
+    incremental_clustering_certified_block) must produce BIT-IDENTICAL
+    centroids/assignments/sizes to the one-shot sequential scan, for all
+    three sampling modes and across block boundaries."""
+    from arrowspace_tpu.native import clustering_native as cn
+
+    lib = cn._load()
+    if lib is None or not hasattr(
+            lib, "incremental_clustering_certified_block"):
+        pytest.skip("native library not built")
+
+    rng = np.random.default_rng(17)
+    centers = rng.uniform(0, 1, (24, 32))
+    n = 30_000  # spans several _CERT_BLOCK windows
+    x = np.ascontiguousarray(
+        centers[rng.integers(0, 24, n)] + rng.normal(0, 0.05, (n, 32)))
+
+    def run(mode, certified, monkey):
+        b = ArrowSpaceBuilder()
+        if mode == "none":
+            b.sampling = None
+            s = SamplerType.simple(1.0).make(seed=9)
+        elif mode == "simple":
+            b.sampling = SamplerType.simple(0.6)
+            s = SamplerType.simple(0.6).make(seed=9)
+        else:
+            b.sampling = SamplerType.density_adaptive(0.7)
+            s = SamplerType.density_adaptive(0.7).make(seed=9)
+        monkey.setattr(cn, "CERTIFIED_MIN_ROWS",
+                       0 if certified else 10**12)
+        return cn.native_incremental_clustering(b, x, 32, 64, 0.3, s)
+
+    import pytest as _pt
+    mp = _pt.MonkeyPatch()
+    try:
+        for mode in ("none", "simple", "density"):
+            c1, a1, z1 = run(mode, False, mp)
+            c2, a2, z2 = run(mode, True, mp)
+            assert (c1 == c2).all(), f"{mode}: centroids not bit-identical"
+            assert np.array_equal(np.asarray(a1), np.asarray(a2)), mode
+            assert z1 == z2, mode
+    finally:
+        mp.undo()

@@ -261,3 +261,27 @@ def test_binned_topk_bucket_padding_masked():
     s2, i2 = batched_lambda_aware_topk(q, qlam, x, xlam,
                                        jnp.float32(0.5), k=12)
     np.testing.assert_array_equal(np.asarray(i), np.asarray(i2))
+
+
+def test_fused_select_tau_wide_f_subblocked():
+    """Wide-F sub-blocking (F=768 -> sub=256): results identical to the
+    single-block structure and to the scalar oracle; the fit gate routes
+    F past the VMEM budget to the XLA path."""
+    from arrowspace_tpu.ops.pallas_tau import (_sub_rows_for,
+                                               fused_select_tau,
+                                               fused_select_tau_fits)
+    from arrowspace_tpu.taumode import TauMode, select_tau
+
+    assert _sub_rows_for(128) == 1024     # narrow F: whole tile
+    assert _sub_rows_for(768) < 1024      # wide F: sub-blocked
+    assert fused_select_tau_fits(768)
+    assert not fused_select_tau_fits(1536)
+
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(1100, 768)).astype(np.float32)
+    x[3, 5] = np.nan
+    out = np.asarray(fused_select_tau(jnp.asarray(x), kind="median",
+                                      interpret=True))
+    ref = np.array([select_tau(x[i], TauMode.median())
+                    for i in range(x.shape[0])], dtype=np.float32)
+    np.testing.assert_allclose(out[:1100], ref, rtol=5e-5, atol=1e-9)
