@@ -129,14 +129,19 @@ def stream_search(step, batches, batch_size: int, depth: int, dt,
     (the binned kernel's rare deep-collision fallback — the flag arrives
     with the ids fetch, after `depth` further batches are already in
     flight, so the check costs no extra round trip)."""
+    import jax
     import jax.numpy as jnp
 
     def finish(out, m, qb):
         if len(out) == 2:
             s, i = out
-            return np.asarray(s[:m]), np.asarray(i[:m])
+            s, i = jax.device_get((s[:m], i[:m]))
+            return s, i
         s, ii, qlam = out
-        s, ii = np.asarray(s[:m]), np.asarray(ii[:m])
+        # ONE device_get for both arrays: the tunnel batches a tuple
+        # fetch into a single round trip (measured 24.8 vs 49.7 ms for
+        # two sequential np.asarray fetches)
+        s, ii = jax.device_get((s[:m], ii[:m]))
         i, flags = ii[:, :-1], ii[:, -1]
         if flags.any() and repair is not None:
             rows = np.nonzero(flags)[0]

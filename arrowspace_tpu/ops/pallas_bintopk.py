@@ -189,7 +189,7 @@ def binned_lambda_topk(
     tile: int = 0,             # 0 = auto from the VMEM budget
     interpret: bool = False,
     use_bf16: bool = False,    # bf16 matmul inputs, f32 accumulation
-    block_b: int = 256,
+    block_b: int = 0,          # 0 = auto from the VMEM budget
 ):
     """Returns (scores (B, k), indices (B, k), flags (B,) int32).
 

@@ -138,11 +138,13 @@ def _kernel(x_ref, out_ref, *, f: int, f2: int, kind: str, pct: float,
     planes of (rows, f2) blow the 16 MB scoped-VMEM limit at wide F if
     sized to the whole tile (measured 19.8 MB at F=768/T=1024) — the
     sub-blocking bounds the live sort planes while the BlockSpec tile
-    stays Mosaic-legal."""
+    stays Mosaic-legal.  The out ref is 2-D (tile, 1): Mosaic cannot
+    lower a 1-D concatenate of sub-vectors ("input offsets outside the
+    first tile"), but 8-row-aligned 2-D partial stores are fine."""
     t = x_ref.shape[0]
-    outs = [_tau_rows(x_ref[s0:s0 + sub, :], f, f2, kind, pct)
-            for s0 in range(0, t, sub)]
-    out_ref[:] = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
+    for s0 in range(0, t, sub):
+        out_ref[s0:s0 + sub, :] = _tau_rows(
+            x_ref[s0:s0 + sub, :], f, f2, kind, pct)[:, None]
 
 
 @functools.partial(jax.jit,
@@ -171,14 +173,14 @@ def fused_select_tau(
         grid=(n_pad // tile,),
         in_specs=[pl.BlockSpec((tile, f), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((tile,), lambda i: (i,),
+        out_specs=pl.BlockSpec((tile, 1), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
         functools.partial(_kernel, f=f, f2=f2, kind=kind, pct=pct,
                           sub=_sub_rows_for(f, tile)),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_pad,), dt),
+        out_shape=jax.ShapeDtypeStruct((n_pad, 1), dt),
         interpret=interpret,
     )(x)
-    return out[:n]
+    return out[:n, 0]

@@ -397,6 +397,76 @@ def big_corpus_suite(jax, jnp, rtt_s: float) -> None:
            stream_best_s=round(best_bf, 3), stream_worst_s=round(worst_bf, 3))
 
 
+def wide_f_suite(jax, jnp, rtt_s: float) -> None:
+    """500k x 768 — the 100M x 768 target config's F, measured on the
+    real chip (VERDICT r2 item 4): fused tau at wide F (sub-blocked
+    bitonic) + XLA lambda chain, and the binned query kernel f32/bf16.
+    Programs come from the persistent cache via precompile.warm."""
+    from arrowspace_tpu.ops.pallas_bintopk import binned_lambda_topk
+    from arrowspace_tpu.precompile import warm as precompile_warm
+    from arrowspace_tpu.taumode import TauMode, compute_taumode_lambdas
+
+    n_w, f_w, k_w = 500_000, 768, 10
+    t0 = time.perf_counter()
+    precompile_warm(n_w, f_w, batch_sizes=(2048,), k=k_w,
+                    precisions=("f32", "bf16"))
+    log(f"wide-F precompile (500k x 768): {time.perf_counter()-t0:.1f}s")
+
+    rng = np.random.default_rng(0)
+    centers = rng.uniform(0.2, 0.8, (64, f_w)).astype(np.float32)
+    rows = (centers[rng.integers(0, 64, n_w)]
+            + rng.normal(0, 0.05, (n_w, f_w))).astype(np.float32)
+    t0 = time.perf_counter()
+    X = jnp.asarray(rows)
+    np.asarray(X[:1, :1])
+    log(f"wide-F corpus upload (1.5 GB): {time.perf_counter()-t0:.1f}s "
+        f"— dev-tunnel artifact")
+
+    a = rng.uniform(0, 1, (f_w, f_w))
+    a = np.maximum(a, a.T) * (a > 0.995)
+    np.fill_diagonal(a, 0)
+    L = jnp.asarray(np.diag(a.sum(1)) - a, dtype=jnp.float32)
+
+    t_lam = amortised_device_time(
+        jax, jnp, lambda x, lap: compute_taumode_lambdas(
+            x, lap, TauMode.median()), X, (L,), repeats=4)
+    lam_flops = 4 * n_w * f_w * f_w + 30 * n_w * f_w
+    rf = roofline_fields(t_lam, lam_flops, n_w * f_w * 4)
+    log(f"λτ 500k x 768: amortised device {t_lam*1e3:.1f} ms "
+        f"({n_w/t_lam/1e6:.1f}M items/s, {rf['tflops']} TFLOP/s)")
+    record("lambda_tau_500k_x768_device", t_lam * 1e3, "ms",
+           items_per_s=round(n_w / t_lam),
+           kernel="fused_select_tau (sub-blocked bitonic) + XLA λ chain",
+           **rf)
+
+    ilam = jnp.asarray(rng.uniform(0, 1, (n_w,)).astype(np.float32))
+    B = 2048
+    Q = jnp.asarray(rows[rng.integers(0, n_w, B)] * 1.01)
+    qlam = jnp.asarray(rng.uniform(0, 1, (B,)).astype(np.float32))
+    for prec, bf16 in (("f32", False), ("bf16", True)):
+        t_dev = amortised_device_time(
+            jax, jnp,
+            lambda q, x, il: binned_lambda_topk(q, qlam, x, il, 0.9,
+                                                k=k_w, use_bf16=bf16),
+            Q, (X, ilam), repeats=4)
+        elem = 2 if bf16 else 4
+        rf = roofline_fields(t_dev, 2 * B * n_w * f_w,
+                             (B // (128 if not bf16 else 256))
+                             * n_w * f_w * elem,
+                             peak_flops=PEAK_MXU_BF16 if bf16
+                             else PEAK_MXU_F32)
+        _, _, fl = binned_lambda_topk(Q, qlam, X, ilam, 0.9, k=k_w,
+                                      use_bf16=bf16)
+        log(f"query kernel 500k x 768 B=2048 {prec}: {t_dev*1e3:.2f} ms "
+            f"= {B/t_dev:.0f} QPS device, {rf['tflops']} TFLOP/s "
+            f"({rf['roofline_pct']}% of {rf['roofline_bound']} roofline), "
+            f"flags {int(np.asarray(fl).sum())}/{B}")
+        record(f"query_kernel_500k_x768_b2048_{prec}", t_dev * 1e3, "ms",
+               qps_device=round(B / t_dev),
+               kernel="binned_lambda_topk (pallas, amortised)",
+               collision_flags=int(np.asarray(fl).sum()), **rf)
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -445,6 +515,8 @@ def main() -> None:
             log(f"tunnel RTT: {rtt_s * 1e3:.1f} ms")
             record("tunnel_rtt", rtt_s * 1e3, "ms")
             big_corpus_suite(jax, jnp, rtt_s)
+            emit()  # snapshot before the wide-F leg (its upload is slow)
+            wide_f_suite(jax, jnp, rtt_s)
     except Exception as e:  # pragma: no cover — keep the headline alive
         log(f"supplementary sweep failed: {e!r}")
 
