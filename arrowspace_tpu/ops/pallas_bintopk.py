@@ -80,31 +80,18 @@ def _fit_tile(block: int, f: int, depth: int, elem: int) -> int:
     return 0
 
 
-def _extract_topk_by_index(scores, idx, k: int):
-    """Top-k of a (B, W) candidate pool with lax.top_k's tie order: equal
-    scores resolve to the lowest GLOBAL index (not the lowest pool
-    position — pool position carries no index order here, unlike the
-    merge kernel's streaming tiles).  k masked max-extraction passes;
-    runs once per stream at the flush step, so cross-lane reductions are
-    off the hot path."""
-    out_s, out_i = [], []
-    for _ in range(k):
-        cur = jnp.max(scores, axis=1)                       # (B,)
-        eq = scores == cur[:, None]
-        sel = jnp.min(jnp.where(eq, idx, INT_MAX), axis=1)  # min gidx @ tie
-        chosen = eq & (idx == sel[:, None])
-        out_s.append(cur)
-        out_i.append(sel)
-        scores = jnp.where(chosen, NEG_INF, scores)
-    return jnp.stack(out_s, axis=1), jnp.stack(out_i, axis=1)
-
-
 def _kernel(qhat_ref, qlam_ref, xhat_ref, xlam_ref, alpha_ref, n_ref,
-            out_s_ref, out_i_ref, out_f_ref,
-            *run_refs, k: int, tile: int, depth: int):
-    """run_refs layout: [s_0..s_{D-1}, i_0..i_{D-1}, det]."""
+            *run_refs, tile: int, depth: int):
+    """run_refs layout: [s_0..s_{D-1}, i_0..i_{D-1}, det] — these are the
+    kernel's OUTPUTS with constant index maps, so they stay resident in
+    VMEM across grid steps (doubling as the running state) and flush to
+    HBM when the program ends.  The exact top-k extraction over the pool
+    happens OUTSIDE the kernel (XLA two-key sort in the wrapper): an
+    in-kernel k-pass extraction made scoped VMEM scale with k (a k=42
+    f64_rescore pool measured 17.7 MB against the 16 MB limit) and baked
+    k into the Mosaic cache key — this way one compiled kernel serves
+    every k."""
     t = pl.program_id(0)
-    n_tiles = pl.num_programs(0)
     run_s = run_refs[:depth]
     run_i = run_refs[depth:2 * depth]
     det = run_refs[2 * depth]
@@ -152,26 +139,6 @@ def _kernel(qhat_ref, qlam_ref, xhat_ref, xlam_ref, alpha_ref, n_ref,
             c = jnp.where(up, rs, c)
             ci = jnp.where(up, ri, ci)
         det[:] = jnp.maximum(det[:], c)          # the (D+1)-th score
-
-    @pl.when(t == n_tiles - 1)
-    def _flush():
-        pool_s = jnp.concatenate([run_s[d][:] for d in range(depth)], axis=1)
-        pool_i = jnp.concatenate([run_i[d][:] for d in range(depth)], axis=1)
-        s, i = _extract_topk_by_index(pool_s, pool_i, k)
-        out_s_ref[:] = s
-        out_i_ref[:] = i
-        # Miss detector: a hidden (D+1)-th same-bin element could belong
-        # in the top-k iff it ties-or-beats the pool's kth score.  int32
-        # output (Mosaic's i1 vector stores are unreliable; see
-        # CLAUDE.md on boolean lowering).
-        kth = s[:, k - 1]
-        d = det[:]
-        # (d > NEG_INF) guards the degenerate n < k·depth case where both
-        # det and the kth pool score are still at the sentinel — a
-        # NEG_INF >= NEG_INF tie is not a real collision.
-        out_f_ref[:] = jnp.max(
-            jnp.where((d >= kth[:, None]) & (d > NEG_INF), 1, 0), axis=1,
-        ).astype(jnp.int32)[:, None]
 
 
 @functools.partial(jax.jit,
@@ -270,14 +237,14 @@ def binned_lambda_topk(
         xlam = jnp.pad(xlam, (0, n_pad - n))
     n_tiles = n_pad // tile
 
-    scratch = ([pltpu.VMEM((bsz, tile), dt) for _ in range(depth)]
-               + [pltpu.VMEM((bsz, tile), jnp.int32) for _ in range(depth)]
-               + [pltpu.VMEM((bsz, tile), dt)])
-
+    # The running bins ARE the outputs (constant index maps keep them
+    # VMEM-resident across grid steps; they spill to HBM once at program
+    # end) — no scratch duplication and no in-kernel extraction.
+    pool_spec = pl.BlockSpec((bsz, tile), lambda t: (0, 0),
+                             memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(n_tiles,),
-        scratch_shapes=scratch,
         in_specs=[
             pl.BlockSpec((bsz, f), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),      # qhat (replicated)
@@ -292,31 +259,47 @@ def binned_lambda_topk(
             pl.BlockSpec((1, 1), lambda t: (0, 0),
                          memory_space=pltpu.SMEM),      # true N
         ],
-        out_specs=(
-            pl.BlockSpec((bsz, k), lambda t: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bsz, k), lambda t: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bsz, 1), lambda t: (0, 0),
-                         memory_space=pltpu.VMEM),      # flags
-        ),
+        out_specs=tuple([pool_spec] * (2 * depth + 1)),
     )
 
-    kernel = functools.partial(_kernel, k=k, tile=tile, depth=depth)
-    out_s, out_i, out_f = pl.pallas_call(
+    kernel = functools.partial(_kernel, tile=tile, depth=depth)
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=(jax.ShapeDtypeStruct((bsz, k), dt),
-                   jax.ShapeDtypeStruct((bsz, k), jnp.int32),
-                   jax.ShapeDtypeStruct((bsz, 1), jnp.int32)),
+        out_shape=tuple(
+            [jax.ShapeDtypeStruct((bsz, tile), dt)] * depth
+            + [jax.ShapeDtypeStruct((bsz, tile), jnp.int32)] * depth
+            + [jax.ShapeDtypeStruct((bsz, tile), dt)]),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * bsz * n_pad * f,
             bytes_accessed=n_pad * f * (2 if use_bf16 else 4)
-            + bsz * f * 4 + bsz * k * 8,
+            + bsz * f * 4 + bsz * tile * (2 * depth + 1) * 4,
             transcendentals=0,
         ),
     )(qhat, qlam, xhat, xlam,
       jnp.asarray(alpha, dtype=dt).reshape(1, 1),
       jnp.asarray(n, dtype=jnp.int32).reshape(1, 1))
-    return out_s, out_i, out_f.reshape(-1)
+
+    pool_s = jnp.concatenate(outs[:depth], axis=1)          # (B, D·L)
+    pool_i = jnp.concatenate(outs[depth:2 * depth], axis=1)
+    det = outs[2 * depth]                                   # (B, L)
+
+    # Exact top-k with lax.top_k's tie order (lowest global index) via a
+    # two-key lexicographic sort: ascending (-score, idx).  Runs in XLA
+    # on the tiny (B, D·L) pool — off the streaming hot path and free of
+    # the Mosaic VMEM budget.
+    sorted_neg, sorted_idx = jax.lax.sort((-pool_s, pool_i), num_keys=2,
+                                          dimension=1)
+    out_s = -sorted_neg[:, :k]
+    out_i = sorted_idx[:, :k]
+
+    # Miss detector: a hidden (D+1)-th same-bin element could belong in
+    # the top-k iff it ties-or-beats the pool's kth score; the
+    # (det > NEG_INF) guard keeps the degenerate n < k·depth case (both
+    # still at the sentinel) from flagging.
+    kth = out_s[:, k - 1]
+    flags = jnp.max(
+        jnp.where((det >= kth[:, None]) & (det > NEG_INF), 1, 0),
+        axis=1).astype(jnp.int32)
+    return out_s, out_i, flags
