@@ -365,7 +365,8 @@ class ArrowIndex:
     # ------------------------------------------------------------------
     def search(self, queries, k: int = 10, alpha: float = 0.9,
                use_pallas: Optional[bool] = None,
-               precision: str = "f32"):
+               precision: str = "f32",
+               rescore_pool: Optional[int] = None):
         """Batched λ-aware search: (B, F) -> (scores (B, k), ids (B, k)).
         Query λ preparation is fused; scoring auto-uses the Pallas
         streaming top-k on TPU for large corpora.
@@ -375,10 +376,16 @@ class ArrowIndex:
         1.000 vs f32 in our 1M/768-d measurements, returned scores differ
         in the 3rd decimal).
 
-        precision="f64_rescore" re-ranks a 4k-candidate device pool
-        against the original f64 rows on the host, recovering exact f64
-        tie ordering among near-duplicate cosines (the clustered-data
-        regime where plain f32 recall@10 drops to ~0.96)."""
+        precision="f64_rescore" re-ranks a device candidate pool against
+        the original f64 rows on the host, recovering exact f64 tie
+        ordering among near-duplicate cosines (the clustered-data regime
+        where plain f32 recall@10 drops to ~0.96).  rescore_pool sizes
+        the pool (default max(4k, k+32)); corpora with heavy
+        near-duplication need a pool of roughly the duplicate
+        multiplicity — if more rows tie within f32 resolution than the
+        pool holds, the f64 top-k may not be in the pool at all
+        (measured: 25-base x 4000-copy replicated 384-d embeddings need
+        a ~4096 pool; the default suffices for distinct rows)."""
         queries = np.atleast_2d(np.asarray(queries, dtype=np.float64))
         qlam = self.aspace.prepare_query_items_batch(queries, self.gl)
         if precision == "f64_rescore":
@@ -387,7 +394,8 @@ class ArrowIndex:
                 raise ValueError(
                     "f64_rescore needs the original f64 rows; they were "
                     "invalidated by an in-place device mutation")
-            m = min(max(4 * k, k + 32), self.aspace.nitems)
+            m = min(rescore_pool or max(4 * k, k + 32),
+                    self.aspace.nitems)
             _s, cand = self.aspace.search_lambda_aware_batch(
                 queries, np.asarray(qlam), m, alpha, use_pallas=use_pallas)
             return rescore_topk_f64(

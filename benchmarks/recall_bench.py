@@ -160,10 +160,15 @@ def run_family(name: str, make, n: int, results: list) -> None:
     print(f"[{name}] production kernel == XLA oracle at k=10 (exact)",
           file=sys.stderr, flush=True)
 
-    # f64 re-ranking: exact f64 ordering on every family
+    # f64 re-ranking: exact f64 ordering on every family.  The pool is
+    # sized for the worst duplicate multiplicity in the sweep: the
+    # replicated-real-embedding family packs ~n/25 near-copies per base
+    # vector, and a pool smaller than the f32-tie width cannot contain
+    # the f64 top-10 (index.search docstring).
     index = ArrowIndex(aspace, gl, builder)
+    pool = min(4096, n)
     s64, i64 = index.search(queries, k=10, alpha=1.0,
-                            precision="f64_rescore")
+                            precision="f64_rescore", rescore_pool=pool)
     qn = np.linalg.norm(queries, axis=1)[:, None]
     cn = np.linalg.norm(corpus, axis=1)[None, :]
     denom = qn * cn

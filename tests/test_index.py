@@ -267,3 +267,19 @@ def test_stream_driver_repairs_flagged_rows():
     s1, i1 = out[1]
     assert s1.shape == (2, 3)
     np.testing.assert_array_equal(calls[1][0], [1])
+
+
+def test_f64_rescore_pool_parameter():
+    """rescore_pool widens the f64_rescore candidate pool; with a pool
+    covering the duplicate multiplicity the exact f64 order is
+    recovered even on massively duplicated corpora."""
+    rng = np.random.default_rng(3)
+    base = rng.uniform(0.1, 1.0, (5, 24))
+    rows = base[rng.integers(0, 5, 2000)] + rng.normal(0, 1e-3, (2000, 24))
+    idx = ArrowIndex.build(rows, eps=1.0, k=4, topk=3, seed=3)
+    q = rows[77] * 1.001
+    s1, i1 = idx.search(q, k=5, alpha=1.0, precision="f64_rescore",
+                        rescore_pool=1000)
+    qn = rows @ q / (np.linalg.norm(rows, axis=1) * np.linalg.norm(q))
+    gt = np.lexsort((np.arange(2000), -qn))[:5]
+    np.testing.assert_array_equal(i1[0], gt)
