@@ -114,7 +114,7 @@ def session_uses_pallas(nitems: int, k: int) -> bool:
 
 
 def stream_search(step, batches, batch_size: int, depth: int, dt,
-                  dim=None, repair=None):
+                  dim=None, repair=None, async_fetch: bool = True):
     """Shared pipelined stream driver (used by SearchSession and
     parallel.DistributedSearchSession): yield (scores, ids) per input
     batch with `depth` batches in flight — dispatch batch i+1 before
@@ -128,9 +128,16 @@ def stream_search(step, batches, batch_size: int, depth: int, dt,
     through `repair(q_block, qlam, rows) -> (scores, ids)` at yield time
     (the binned kernel's rare deep-collision fallback — the flag arrives
     with the ids fetch, after `depth` further batches are already in
-    flight, so the check costs no extra round trip)."""
+    flight, so the check costs no extra round trip).
+
+    async_fetch moves the device_get (a full interconnect round trip
+    per batch — ~25 ms on this tunnel) onto a fetch thread, so the main
+    loop's query uploads overlap result downloads instead of
+    serialising with them; yield order is preserved by the pending
+    queue.  Repair (rare) also runs on the fetch thread."""
     import jax
     import jax.numpy as jnp
+    from concurrent.futures import ThreadPoolExecutor
 
     def finish(out, m, qb):
         if len(out) == 2:
@@ -150,28 +157,38 @@ def stream_search(step, batches, batch_size: int, depth: int, dt,
             s[rows], i[rows] = rs, ri
         return s, i
 
-    pending = deque()
-    for qb in batches:
-        qb = np.ascontiguousarray(qb)
-        nq = qb.shape[0]
-        if dim is not None and qb.shape[1] != dim:
-            raise ValueError(
-                f"query batch has {qb.shape[1]} features but the session "
-                f"index has {dim}")
-        if nq != batch_size:
-            assert nq < batch_size, (
-                f"batch of {nq} exceeds the session batch_size "
-                f"{batch_size}")
-            qb = np.pad(qb, ((0, batch_size - nq), (0, 0)),
-                        constant_values=1.0)
-        q = jnp.asarray(qb, dtype=dt)
-        pending.append((step(q), nq, qb))  # async dispatch
-        if len(pending) > depth:
-            out, m, qb_done = pending.popleft()
-            yield finish(out, m, qb_done)
-    while pending:
-        out, m, qb_done = pending.popleft()
-        yield finish(out, m, qb_done)
+    executor = ThreadPoolExecutor(max_workers=1) if async_fetch else None
+    try:
+        pending = deque()
+        for qb in batches:
+            qb = np.ascontiguousarray(qb)
+            nq = qb.shape[0]
+            if dim is not None and qb.shape[1] != dim:
+                raise ValueError(
+                    f"query batch has {qb.shape[1]} features but the "
+                    f"session index has {dim}")
+            if nq != batch_size:
+                assert nq < batch_size, (
+                    f"batch of {nq} exceeds the session batch_size "
+                    f"{batch_size}")
+                qb = np.pad(qb, ((0, batch_size - nq), (0, 0)),
+                            constant_values=1.0)
+            q = jnp.asarray(qb, dtype=dt)
+            out = step(q)  # async dispatch
+            if executor is not None:
+                pending.append(executor.submit(finish, out, nq, qb))
+            else:
+                pending.append((out, nq, qb))
+            if len(pending) > depth:
+                item = pending.popleft()
+                yield item.result() if executor is not None \
+                    else finish(*item)
+        while pending:
+            item = pending.popleft()
+            yield item.result() if executor is not None else finish(*item)
+    finally:
+        if executor is not None:
+            executor.shutdown(wait=False)
 
 
 def warm_step(step, batch_size: int, dim: int, dt) -> None:
