@@ -49,17 +49,26 @@ def main() -> None:
     np.asarray(z_items[:1, :1])
     print("corpus (z-space) uploaded", flush=True)
 
-    # parity: chunked == in-memory on a 65k slice (on-device)
+    # parity: chunked vs in-memory on a 65k slice ON DEVICE.  In f32 the
+    # two formulas (matmul expansion vs direct diffs) flip ranks among
+    # near-ties — random gaussian data packs many at the k-th rank — so
+    # the check is the same standard as the wide-features kernel test:
+    # ids may differ only where both paths' scores agree to f32
+    # rounding.  (The CPU/f64 suite asserts exact id equality.)
     s_m, i_m = _energy_score_topk(
         z_q, qlam, z_items[:65536], lam[:65536],
         jnp.zeros((1, 1), jnp.float32), wl, wd, k=K, use_signals=False)
     s_c, i_c = _energy_score_topk_chunked(
         z_q, qlam, z_items[:65536], lam[:65536], wl, wd, k=K)
     i_m, i_c = np.asarray(i_m), np.asarray(i_c)
-    match = (i_m == i_c).mean()
-    print(f"chunked == in-memory ids at 65k on device: {match:.6f}",
+    s_m, s_c = np.asarray(s_m), np.asarray(s_c)
+    flips = i_m != i_c
+    print(f"chunked vs in-memory at 65k on device: id match "
+          f"{1.0 - flips.mean():.4f}, max |ds| at flips "
+          f"{np.abs(s_m[flips] - s_c[flips]).max() if flips.any() else 0:.2e}",
           flush=True)
-    assert match == 1.0
+    np.testing.assert_allclose(s_c, s_m, atol=1e-4)  # f32 expansion-vs-diff
+    assert flips.mean() < 0.05
 
     # 1M-scale chunked query, amortised
     def looped(q, z, il):
