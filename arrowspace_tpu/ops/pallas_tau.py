@@ -30,6 +30,13 @@ Alternatives evaluated and rejected (so they are not re-tried):
   per-row histogram is 256 masked reductions.
 - approximate/bf16 medians are out: τ feeds λ directly and select_tau
   parity with the reference is exact (tests pin it).
+- hoisting the lane-index masks to (1, f2) broadcasts (r3): measured
+  NEUTRAL (25.1 vs 24.5 ms amortised for the fused kernel at 1M×128) —
+  Mosaic already constant-folds iota-derived masks; the cost sits in
+  the pltpu.roll pairs themselves (τ-alone measures ~21 ms of the
+  fused 25 ms, ~3× the naive op-count estimate, i.e. a lane rotate
+  lowers to several micro-ops).  Kept the (1, f2) form as the clearer
+  statement of intent.
 Mosaic overlaps this VPU-bound sort with the MXU λ matmul chain in the
 fused τ+λ kernel (ops/pallas_taulambda.py), so the sort bounds the whole
 λτ pipeline: ~18.7 ms device at 1M×128.
@@ -73,16 +80,21 @@ def fused_select_tau_fits(f: int, tile: int = 1024) -> bool:
 
 def _bitonic_sort_lanes(x, f2: int):
     """Ascending bitonic sort along the last axis (width f2, power of 2),
-    exchanges via pltpu.roll — stays on-chip."""
-    t = x.shape[0]
-    col = jax.lax.broadcasted_iota(jnp.int32, (t, f2), 1)
+    exchanges via pltpu.roll — stays on-chip.
+
+    The selection masks depend only on the LANE index, so they are built
+    from a (1, f2) iota and broadcast against the (T, f2) data planes in
+    the selects — computing them at full (T, f2) width charged ~3 extra
+    VPU planes per exchange step (28-55 steps), a large share of the
+    sort's cost."""
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, f2), 1)
     k = 2
     while k <= f2:
         j = k // 2
         while j >= 1:
             plus = pltpu.roll(x, f2 - j, 1)   # out[col] = x[col + j]
             minus = pltpu.roll(x, j, 1)       # out[col] = x[col - j]
-            bit = (col & j) != 0
+            bit = (col & j) != 0              # (1, f2), broadcasts
             px = jnp.where(bit, minus, plus)
             ascending = (col & k) == 0
             is_lower = ~bit                # col < partner iff bit j unset
@@ -113,7 +125,7 @@ def _tau_rows(x, f: int, f2: int, kind: str, pct: float):
         xs = jnp.concatenate([xs, pad], axis=1)
     xs = _bitonic_sort_lanes(xs, f2)
 
-    col = jax.lax.broadcasted_iota(jnp.int32, (t, f2), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, f2), 1)  # lane-row, broadcasts
     if kind == "percentile":
         pp = min(max(pct, 0.0), 1.0)
         idx = jnp.floor((m - 1).astype(jnp.float32) * pp + 0.5) \

@@ -48,7 +48,7 @@ def _tau_from_tile(x, f: int, f2: int, kind: str, pct: float):
         xs = jnp.concatenate([xs, pad], axis=1)
     xs = _bitonic_sort_lanes(xs, f2)
 
-    col = jax.lax.broadcasted_iota(jnp.int32, (t, f2), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, f2), 1)  # lane-row, broadcasts
     if kind == "percentile":
         pp = min(max(pct, 0.0), 1.0)
         idx = jnp.floor((m - 1).astype(jnp.float32) * pp + 0.5) \

@@ -17,6 +17,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
@@ -79,14 +80,23 @@ def distributed_lambda_aware_topk(
     alpha,
     k: int,
     mesh: Mesh,
-    use_pallas: bool = False,  # per-shard Pallas streaming top-k
-) -> Tuple[jax.Array, jax.Array]:
+    use_pallas: bool = False,  # back-compat alias for kernel="merge"
+    kernel: str = None,        # "xla" | "merge" | "binned"
+    tile: int = 0,             # binned/merge tile override (tests)
+):
     """Per-shard top-k + all_gather merge (the heap-merge analogue).
 
-    With use_pallas the per-shard scoring runs the streaming top-k kernel
-    (scores never materialise in HBM) — the production configuration for
-    very large shards.  Returns (scores (B, k), global indices (B, k)).
+    kernel="merge" runs the streaming merge kernel per shard (scores
+    never materialise in HBM); kernel="binned" runs the bin-accumulator
+    kernel per shard and ALSO returns an any-shard-reduced flags vector
+    (B,) — a flagged query's merged result may be under-filled by a
+    deep bin collision on some shard and must be repaired through an
+    exact path (the multi-chip analogue of the single-chip flag/repair
+    contract).  Returns (scores (B, k), global indices (B, k)) or, for
+    "binned", (scores, indices, flags).
     """
+    if kernel is None:
+        kernel = "merge" if use_pallas else "xla"
     n = items.shape[0]
     n_dev = mesh.devices.size
     assert n % n_dev == 0, (
@@ -102,11 +112,21 @@ def distributed_lambda_aware_topk(
     alpha = jnp.asarray(alpha, dtype=items.dtype)
 
     def _shard_fn(q, qlam, x, xlam, a):
-        if use_pallas:
+        interpret = jax.default_backend() != "tpu"
+        fl = None
+        if kernel == "binned":
+            from ..ops.pallas_bintopk import binned_lambda_topk
+            local_scores, local_idx, fl = binned_lambda_topk(
+                q, qlam, x, xlam, a, k=k_local, tile=tile,
+                interpret=interpret)
+            local_scores = local_scores.astype(x.dtype)
+            # a collision on ANY shard taints the merged row
+            fl = jax.lax.pmax(fl, ITEMS_AXIS)
+        elif kernel == "merge":
             from ..ops.pallas_topk import fused_lambda_topk
-            interpret = jax.default_backend() != "tpu"
             local_scores, local_idx = fused_lambda_topk(
-                q, qlam, x, xlam, a, k=k_local, interpret=interpret)
+                q, qlam, x, xlam, a, k=k_local, tile=tile,
+                interpret=interpret)
             local_scores = local_scores.astype(x.dtype)
         else:
             # local scores for this shard's rows: (B, shard_n)
@@ -122,12 +142,15 @@ def distributed_lambda_aware_topk(
                                      axis=1, tiled=True)
         top_scores, pos = jax.lax.top_k(all_scores, min(k, n))
         top_idx = jnp.take_along_axis(all_idx, pos, axis=1)
+        if fl is not None:
+            return top_scores, top_idx, fl
         return top_scores, top_idx
 
+    n_out = 3 if kernel == "binned" else 2
     fn = shard_map(
         _shard_fn, mesh=mesh,
         in_specs=(P(), P(), P(ITEMS_AXIS, None), P(ITEMS_AXIS), P()),
-        out_specs=(P(), P()),
+        out_specs=tuple([P()] * n_out),
         check_vma=False,
     )
     return jax.jit(fn)(queries, query_lambdas, items, item_lambdas, alpha)
@@ -460,7 +483,9 @@ class DistributedSearchSession:
     def __init__(self, items, item_lambdas, laplacian, mesh: Mesh,
                  batch_size: int, k: int = 10, alpha: float = 0.9,
                  taumode: TauMode = None, depth: int = 2,
-                 projection=None, pad_tall: bool = False):
+                 projection=None, pad_tall: bool = False,
+                 kernel: str = None):
+        from ..index import session_kernel_kind
         self.batch_size = int(batch_size)
         self.depth = max(1, int(depth))
         self.mesh = mesh
@@ -474,6 +499,10 @@ class DistributedSearchSession:
         dt = items.dtype
         self._dt = dt
         self._dim = items.shape[1]
+        # per-shard kernel dispatch, same gates as the single-chip
+        # session (shard size, k, F); overridable for tests
+        knl = kernel or session_kernel_kind(n // n_dev, k_local,
+                                            items.shape[1])
 
         items = jax.device_put(items, items_sharding(mesh))
         item_lambdas = jax.device_put(item_lambdas,
@@ -505,26 +534,63 @@ class DistributedSearchSession:
             taus = select_tau_batch(q_prep, taumode)
             qlam = synthetic_lambda_batch(q_prep, lap, taus,
                                           pad_items=pad_tall)
-            scores = lambda_aware_scores(
-                q, qlam, x, xlam, jnp.asarray(alpha, dtype=dt))
-            local_scores, local_idx = jax.lax.top_k(scores, k_local)
+            a = jnp.asarray(alpha, dtype=dt)
+            if knl == "binned":
+                from ..ops.pallas_bintopk import binned_lambda_topk
+                ls, li, fl = binned_lambda_topk(
+                    q, qlam, x, xlam, a, k=k_local,
+                    interpret=jax.default_backend() != "tpu")
+                ls = ls.astype(dt)
+                fl = jax.lax.pmax(fl, ITEMS_AXIS)
+            elif knl == "merge":
+                from ..ops.pallas_topk import fused_lambda_topk
+                ls, li = fused_lambda_topk(
+                    q, qlam, x, xlam, a, k=k_local,
+                    interpret=jax.default_backend() != "tpu")
+                ls = ls.astype(dt)
+                fl = jnp.zeros((q.shape[0],), dtype=jnp.int32)
+            else:
+                scores = lambda_aware_scores(q, qlam, x, xlam, a)
+                ls, li = jax.lax.top_k(scores, k_local)
+                fl = jnp.zeros((q.shape[0],), dtype=jnp.int32)
             shard_id = jax.lax.axis_index(ITEMS_AXIS)
-            gidx = local_idx + shard_id * shard_n
-            all_scores = jax.lax.all_gather(local_scores, ITEMS_AXIS,
+            gidx = li + shard_id * shard_n
+            all_scores = jax.lax.all_gather(ls, ITEMS_AXIS,
                                             axis=1, tiled=True)
             all_idx = jax.lax.all_gather(gidx, ITEMS_AXIS,
                                          axis=1, tiled=True)
             top_scores, pos = jax.lax.top_k(all_scores, k_eff)
             top_idx = jnp.take_along_axis(all_idx, pos, axis=1)
-            return top_scores, top_idx
+            # single-chip session step contract: (scores, ids+flags, qlam)
+            return (top_scores,
+                    jnp.concatenate([top_idx, fl[:, None]], axis=1), qlam)
 
         fn = shard_map(_shard_fn, mesh=mesh,
                        in_specs=(P(), P(ITEMS_AXIS, None), P(ITEMS_AXIS),
                                  P(), P()),
-                       out_specs=(P(), P()), check_vma=False)
+                       out_specs=(P(), P(), P()), check_vma=False)
         jitted = jax.jit(fn)
         self._step = lambda q: jitted(q, items, item_lambdas, laplacian,
                                       proj)
+
+        def repair(q_block, qlam_np, rows):
+            # Multi-chip deep-collision fallback: flagged rows re-run
+            # through the exact per-shard merge kernel (padded to a
+            # fixed 128 so one compiled repair program serves any
+            # flagged count).
+            m = len(rows)
+            pad = (-m) % 128
+            qs = np.pad(np.asarray(q_block)[rows].astype(np.float64),
+                        ((0, pad), (0, 0)), constant_values=1.0)
+            qls = np.pad(np.asarray(qlam_np)[rows], (0, pad))
+            knl_exact = "merge" if jax.default_backend() == "tpu" else "xla"
+            rs, ri = distributed_lambda_aware_topk(
+                jnp.asarray(qs, dtype=dt), jnp.asarray(qls, dtype=dt),
+                items, item_lambdas, alpha, k_eff, mesh,
+                kernel=knl_exact)
+            return np.asarray(rs)[:m], np.asarray(ri)[:m]
+
+        self._repair = repair if knl == "binned" else None
 
     @classmethod
     def from_index(cls, index, mesh: Mesh, batch_size: int, k: int = 10,
@@ -553,7 +619,8 @@ class DistributedSearchSession:
         flight across the mesh (shared driver: index.stream_search)."""
         from ..index import stream_search
         return stream_search(self._step, batches, self.batch_size,
-                             self.depth, self._dt, dim=self._dim)
+                             self.depth, self._dt, dim=self._dim,
+                             repair=self._repair)
 
 
 def distributed_index_step(

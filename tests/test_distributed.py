@@ -362,3 +362,102 @@ def test_sharded_clustering_tail_round(mesh):
     a = np.asarray(assigns)
     chosen = d[np.arange(8192), a]
     assert np.all(chosen <= 0.3 * 1.5 + 1e-9)
+
+
+def test_distributed_binned_matches_xla(mesh):
+    """Per-shard binned kernel + all_gather merge must match the XLA
+    distributed path exactly on collision-free data, with zero flags."""
+    from arrowspace_tpu.parallel.distributed import (
+        distributed_lambda_aware_topk)
+
+    rng = np.random.default_rng(3)
+    n, f, b, k = 8 * 512, 16, 4, 6
+    items = jnp.asarray(rng.uniform(0.1, 1.0, (n, f)))
+    lambdas = jnp.asarray(rng.uniform(0, 1, n))
+    q = jnp.asarray(rng.uniform(0.1, 1.0, (b, f)))
+    qlam = jnp.asarray(rng.uniform(0, 1, b))
+
+    s_x, i_x = distributed_lambda_aware_topk(
+        q, qlam, items, lambdas, 0.8, k, mesh, kernel="xla")
+    s_b, i_b, fl = distributed_lambda_aware_topk(
+        q, qlam, items, lambdas, 0.8, k, mesh, kernel="binned", tile=256)
+    assert np.asarray(fl).sum() == 0
+    np.testing.assert_array_equal(np.asarray(i_b), np.asarray(i_x))
+    np.testing.assert_allclose(np.asarray(s_b), np.asarray(s_x),
+                               rtol=1e-6)
+
+
+def test_distributed_binned_flags_shard_collision(mesh):
+    """>depth same-bin duplicates inside ONE shard must surface in the
+    merged flags (pmax across shards)."""
+    from arrowspace_tpu.ops.pallas_bintopk import binned_topk_depth_for
+    from arrowspace_tpu.parallel.distributed import (
+        distributed_lambda_aware_topk)
+
+    rng = np.random.default_rng(5)
+    tile, shard_n, f, k = 256, 2048, 16, 6
+    n = 8 * shard_n
+    items = np.asarray(rng.uniform(0.1, 1.0, (n, f)))
+    q = np.asarray(rng.uniform(0.1, 1.0, (2, f)))
+    depth = binned_topk_depth_for(k)
+    # same bin (lane 37) of shard 3, > depth copies of query 0
+    base = 3 * shard_n
+    for j in range(depth + 2):
+        items[base + j * tile + 37] = q[0]
+    lambdas = jnp.asarray(np.full(n, 0.5))
+    qlam = jnp.asarray([0.5, 0.5])
+
+    s, i, fl = distributed_lambda_aware_topk(
+        jnp.asarray(q), qlam, jnp.asarray(items), lambdas, 1.0, k, mesh,
+        kernel="binned", tile=tile)
+    fl = np.asarray(fl)
+    assert fl[0] == 1, "shard collision must flag the query"
+    # repair path: the exact distributed result restores all duplicates
+    s_x, i_x = distributed_lambda_aware_topk(
+        jnp.asarray(q), qlam, jnp.asarray(items), lambdas, 1.0, k, mesh,
+        kernel="xla")
+    expect = [base + j * tile + 37 for j in range(depth + 2)][:k]
+    assert list(np.asarray(i_x)[0][:len(expect)]) == expect
+
+
+def test_distributed_session_binned_parity_and_repair_wiring(mesh):
+    """A binned-kernel mesh session must match the XLA session on
+    collision-free data, and the driver must route flagged rows through
+    the session's repair callback (wiring pinned by injecting a flag)."""
+    from arrowspace_tpu.parallel.distributed import (
+        DistributedSearchSession)
+
+    rng = np.random.default_rng(7)
+    n, f, b = 8 * 1024, 16, 4
+    items = jnp.asarray(rng.uniform(0.1, 1.0, (n, f)))
+    lambdas = jnp.asarray(rng.uniform(0, 1, n))
+    _, lap = _setup(64, f, seed=2)
+    lap = jnp.asarray(np.asarray(lap)[:f, :f])
+    batches = [np.asarray(rng.uniform(0.1, 1.0, (b, f)))
+               for _ in range(3)]
+
+    ref = DistributedSearchSession(items, lambdas, lap, mesh, b, k=5,
+                                   kernel="xla")
+    bn = DistributedSearchSession(items, lambdas, lap, mesh, b, k=5,
+                                  kernel="binned")
+    assert bn._repair is not None
+    for (s_r, i_r), (s_b, i_b) in zip(ref.search_stream(batches),
+                                      bn.search_stream(batches)):
+        np.testing.assert_array_equal(i_b, i_r)
+        np.testing.assert_allclose(s_b, s_r, rtol=1e-6)
+
+    # flag-injection: wrap the step to mark row 0 flagged; the driver
+    # must call repair, whose exact result equals the XLA row
+    orig_step = bn._step
+
+    def step_with_flag(q):
+        s, ii, qlam = orig_step(q)
+        ii = jnp.asarray(np.asarray(ii))
+        ii = ii.at[0, -1].set(1)
+        return s, ii, qlam
+
+    bn._step = step_with_flag
+    out = list(bn.search_stream(batches[:1]))
+    (s_out, i_out), = out
+    s_ref, i_ref = next(iter(ref.search_stream(batches[:1])))
+    np.testing.assert_array_equal(i_out, i_ref)
