@@ -289,13 +289,13 @@ def sharded_incremental_clustering(
     # host in full — at the 100M x 768 target that would be ~600 GB.
     # Host row traffic is limited to (a) the bootstrap block scan and
     # (b) the few CREATOR rows per chunk (lazy fetch_at): the
-    # running-mean reduction runs on device via the shared chunk-segsum
-    # program and the fresh-centroid refresh via the shared
-    # chunk-distance program, so a chunk's decisions cost O(chunk)
-    # scalars + O(creators x F) rows over the interconnect instead of
-    # O(chunk x F) rows.
-    from ..clustering import (_apply_chunk_decisions, _chunk_dist_jit,
-                              _chunk_segsum_jit)
+    # running-mean reduction and the fresh-centroid refresh run as
+    # SHARD-LOCAL SPMD programs (each shard slices its OWN window; the
+    # segsum merges via a tiny (cap, F) psum) — a jit(dynamic_slice)
+    # over the mesh-sharded corpus would make SPMD insert conservative
+    # cross-shard gathers per call, i.e. corpus allgathers in the build
+    # hot loop.
+    from ..clustering import _apply_chunk_decisions
 
     # One compiled fetch program per window LENGTH (runtime offset via
     # dynamic_slice): python slicing would bake each distinct offset into
@@ -329,8 +329,28 @@ def sharded_incremental_clustering(
         out = gather_cache[bucket](items_sharded, jnp.asarray(idx_pad))
         return np.asarray(out, dtype=np.float64)[:cnt]
 
-    segsum_prog = _chunk_segsum_jit()
-    refresh_prog = _chunk_dist_jit()
+    # Shard-local grouped sums: every shard reduces ITS window's rows
+    # keyed by the (replicated) targets, masked to the active device;
+    # the psum of the small (cap, F) partials leaves exactly the active
+    # shard's contribution.  One program serves the whole build.
+    def _seg_shard(x_shard, start, tgt_pad, d_active):
+        rows_c = jax.lax.dynamic_slice(
+            x_shard, (start[0], jnp.zeros((), start[0].dtype)), (chunk, f))
+        active = jax.lax.axis_index(ITEMS_AXIS) == d_active[0]
+        t = jnp.where(active, tgt_pad, -1)
+        valid = t >= 0
+        tt = jnp.where(valid, t, mc_pad)
+        sums = jnp.zeros((mc_pad + 1, f), dtype=dt).at[tt].add(
+            jnp.where(valid[:, None], rows_c, 0.0))
+        cnts = jnp.zeros((mc_pad + 1,), dtype=jnp.int32).at[tt].add(
+            valid.astype(jnp.int32))
+        return (jax.lax.psum(sums[:mc_pad], ITEMS_AXIS),
+                jax.lax.psum(cnts[:mc_pad], ITEMS_AXIS))
+
+    seg_fn = jax.jit(shard_map(
+        _seg_shard, mesh=mesh,
+        in_specs=(P(ITEMS_AXIS, None), P(), P(), P()),
+        out_specs=(P(), P()), check_vma=False))
 
     cent = np.zeros((max_clusters, f), dtype=np.float64)
     counts = np.zeros(max_clusters, dtype=np.int64)
@@ -388,38 +408,38 @@ def sharded_incremental_clustering(
             bd_c = bd_all[lo:hi][sl].copy()
             offs = offset + sl.start
             m_eff = m - sl.start
-            # window alignment for the shared chunk programs: rows
-            # [offs, offs+m_eff) are positions [offs-w0, offs-w0+m_eff)
-            # of the clamped device window [w0, w0+chunk)
-            w0 = min(offs, n - chunk)
+            # rows [offs, offs+m_eff) sit at positions
+            # [(chunk-m)+sl.start, chunk) of shard d's clamped window —
+            # the same tail convention as the round's dist_fn results
+            p0 = (chunk - m) + sl.start
             # Refresh against centroids created by EARLIER chunks of
             # this round (the device distances only saw the round-start
-            # snapshot) — on device via the shared chunk-distance
-            # program with the fresh centroids parked in the bucketed
-            # buffer; keeps the cross-device race window from
+            # snapshot) — reuses the round's SPMD distance program with
+            # the fresh centroids in the bucketed buffer (every shard
+            # computes its own window; the host reads shard d's
+            # segment).  Keeps the cross-device race window from
             # duplicating clusters round-wide without fetching rows.
             if state["n_c"] > round_start_nc and bd_c.size:
                 n_fresh = state["n_c"] - round_start_nc
                 fresh_pad = np.zeros((mc_pad, f))
                 fresh_pad[:n_fresh] = cent[round_start_nc:state["n_c"]]
-                fb, fd = refresh_prog(
-                    items_sharded, np.int32(w0),
+                fb, fd = dist_fn(
+                    items_sharded, jnp.asarray([start], dtype=jnp.int32),
                     jnp.asarray(fresh_pad, dtype=dt),
-                    np.int32(n_fresh), chunk=chunk)
-                fbest = np.asarray(
-                    fb[offs - w0:offs - w0 + m_eff]).astype(np.int64)
-                fbd = np.asarray(fd[offs - w0:offs - w0 + m_eff],
-                                 dtype=np.float64)
+                    jnp.asarray([n_fresh], dtype=jnp.int32))
+                seg = slice(d * chunk + p0, d * chunk + p0 + m_eff)
+                fbest = np.asarray(fb[seg]).astype(np.int64)
+                fbd = np.asarray(fd[seg], dtype=np.float64)
                 closer = fbd < bd_c
                 best_c = np.where(closer, fbest + round_start_nc, best_c)
                 bd_c = np.where(closer, fbd, bd_c)
 
-            def segsum(tgt_local, _w0=w0, _offs=offs, _m=m_eff):
+            def segsum(tgt_local, _p0=p0, _d=d, _start=start, _m=m_eff):
                 tgt_pad = np.full(chunk, -1, dtype=np.int32)
-                tgt_pad[_offs - _w0:_offs - _w0 + _m] = tgt_local
-                sums, cnts = segsum_prog(
-                    items_sharded, np.int32(_w0), jnp.asarray(tgt_pad),
-                    chunk=chunk, cap=mc_pad)
+                tgt_pad[_p0:_p0 + _m] = tgt_local
+                sums, cnts = seg_fn(
+                    items_sharded, jnp.asarray([_start], dtype=jnp.int32),
+                    jnp.asarray(tgt_pad), jnp.asarray([_d], jnp.int32))
                 return (np.asarray(sums, dtype=np.float64),
                         np.asarray(cnts, dtype=np.int64))
 
