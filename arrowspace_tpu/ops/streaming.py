@@ -59,7 +59,8 @@ def streamed_lambda_topk(
 ) -> Tuple[np.ndarray, np.ndarray]:
     """λ-aware top-k over a host-resident corpus: per-chunk device top-k,
     host-side merge with global indices."""
-    from .search import batched_lambda_aware_topk
+    from .search import (batched_lambda_aware_topk,
+                         pallas_binned_topk_with_repair)
     from .pallas_topk import fused_lambda_topk
 
     n = host_items.shape[0]
@@ -69,7 +70,9 @@ def streamed_lambda_topk(
 
     best_s = np.full((b, k), -np.inf, dtype=np.float32)
     best_i = np.zeros((b, k), dtype=np.int64)
-    use_pallas = jax.default_backend() == "tpu" and k <= 128
+    on_tpu = jax.default_backend() == "tpu"
+    use_binned = on_tpu and k <= 48
+    use_pallas = on_tpu and k <= 128
 
     for c0 in range(0, n, chunk):
         x = jnp.asarray(
@@ -77,7 +80,11 @@ def streamed_lambda_topk(
         lam = jnp.asarray(
             np.asarray(host_lambdas[c0:c0 + chunk], dtype=np.float32))
         k_local = min(k, x.shape[0])
-        if use_pallas:
+        if use_binned and x.shape[1] <= 1536:
+            # bin-accumulator kernel with the exact per-chunk repair
+            s, i = pallas_binned_topk_with_repair(
+                q, qlam, x, lam, alpha, k=k_local)
+        elif use_pallas:
             s, i = fused_lambda_topk(q, qlam, x, lam, alpha, k=k_local)
         else:
             s, i = batched_lambda_aware_topk(
