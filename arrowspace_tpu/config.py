@@ -44,6 +44,12 @@ SMALL_LAMBDA_WORK = 1 << 24
 # bitonic at this many matrix elements (taumode.select_tau_batch).
 PALLAS_TAU_MIN_ELEMS = 1 << 22
 
+# Corpora whose item matrix exceeds this many bytes compute λτ in fixed
+# row windows over the resident array: the single-shot paths otherwise
+# materialise a second bucket-padded copy next to the corpus (measured
+# 17 GB at 10M x 128 against 15.75 GB of v5e HBM).
+TAUMODE_WINDOW_BYTES = 2 << 30
+
 
 def default_dtype():
     """Working dtype: float64 under x64 (parity/oracle), else float32."""

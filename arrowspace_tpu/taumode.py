@@ -40,7 +40,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .config import (DENOM_EPS, PALLAS_TAU_MIN_ELEMS,
+from .config import (DENOM_EPS, PALLAS_TAU_MIN_ELEMS, TAUMODE_WINDOW_BYTES,
                      SMALL_LAMBDA_WORK, TAU_FLOOR)
 from .utils.log import get_logger
 
@@ -382,6 +382,31 @@ def compute_taumode_lambdas(
             lam = synthetic_lambda_batch(x, lap, taus, method=method,
                                          pad_items=pad_items)
         return jnp.asarray(np.asarray(lam))
+
+    # Very large corpora: the single-shot paths materialise a second
+    # (bucket-padded, normalised/powered) copy of the items next to the
+    # resident corpus — at 10M x 128 that measured 17 GB against the
+    # 15.75 GB v5e HBM.  Process in fixed row windows over the resident
+    # array instead (one compiled program per window shape; transient
+    # peak = corpus + one window's working set).
+    items = jnp.asarray(items)
+    n_bytes = n_items * n_features * items.dtype.itemsize
+    if n_bytes > TAUMODE_WINDOW_BYTES:
+        win = TAUMODE_WINDOW_BYTES // (n_features * items.dtype.itemsize)
+        win = max(1 << 14, (win >> 14) << 14)  # 16k-row granularity
+        if win < n_items:  # recursion guard: windows are single-shot
+            outs = []
+            for c0 in range(0, n_items, win):
+                w = min(win, n_items - c0)
+                tile = jax.lax.dynamic_slice(
+                    items, (c0, 0), (win, n_features))
+                lam_w = compute_taumode_lambdas(tile, laplacian, taumode,
+                                                method=method,
+                                                pad_items=pad_items)
+                # tail windows clamp to the last `win` rows of the
+                # corpus (dynamic_slice semantics); keep the last w
+                outs.append(lam_w[-w:])
+            return jnp.concatenate(outs)
     # Fully-fused single-pass kernel on TPU: τ (in-register bitonic) and
     # the λ matmul chain share one load of the item tile — ~1.35× over the
     # two-pass path at 1M×128, bit-matching to <1e-5.  Tall graphs

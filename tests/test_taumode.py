@@ -230,3 +230,25 @@ def test_builder_lambdas_with_larger_dataset():
                 .with_seed(19).build(items.tolist()))
         lm = np.asarray(a.lambdas)
         assert np.all(np.isfinite(lm)) and np.all(lm >= 0.0), str(mode)
+
+
+def test_taumode_windowed_matches_single_shot(monkeypatch):
+    """Very large corpora compute λτ in row windows over the resident
+    array (HBM cap at 10M x 128); windowed results must equal the
+    single-shot path including the clamped tail window."""
+    import arrowspace_tpu.taumode as tm
+
+    rng = np.random.default_rng(3)
+    n, f, g = 40_000, 24, 24  # > the 16k-row window floor -> 3 windows
+    items = jnp.asarray(rng.normal(size=(n, f)))
+    a = rng.uniform(0, 1, (g, g))
+    a = np.maximum(a, a.T) * (a > 0.6)
+    np.fill_diagonal(a, 0)
+    lap = jnp.asarray(np.diag(a.sum(1)) - a)
+
+    ref = np.asarray(compute_taumode_lambdas(items, lap, TauMode.median()))
+    monkeypatch.setattr(tm, "TAUMODE_WINDOW_BYTES", 1)
+    out = np.asarray(tm.compute_taumode_lambdas(items, lap,
+                                                TauMode.median()))
+    np.testing.assert_allclose(out, ref, rtol=1e-12, atol=1e-14)
+    assert out.shape == (n,)
