@@ -192,7 +192,14 @@ def _twonn_tile_jit():
     """Module-level jitted Two-NN distance tile (lazy so importing this
     module never initialises JAX).  Hoisted out of the per-call scope so
     (a) repeat builds in one process reuse one trace and (b) the AOT
-    precompile (precompile.py) can lower it by shape alone."""
+    precompile (precompile.py) can lower it by shape alone.
+
+    The corpus axis is processed as a lax.scan over fixed windows with a
+    running two-smallest kept by pure min-reduces: the previous one-shot
+    formulation materialised a (chunk, N) distance plane (10 GB at 10M
+    rows) and ran lax.top_k over N-wide rows — a sort-based lowering
+    that measured ~70 s of the 10M build.  Windowed reduces measure
+    sub-second at the same scale."""
     global _TWONN_TILE
     if _TWONN_TILE is None:
         import jax
@@ -200,16 +207,45 @@ def _twonn_tile_jit():
 
         @jax.jit
         def tile(corpus, sel):
+            n, f = corpus.shape
+            win = min(TWONN_CORPUS_WIN, n)
+            n_win = (n + win - 1) // win
             rows_s = jnp.take(corpus, sel, axis=0)
-            d2 = (jnp.sum(rows_s * rows_s, axis=1)[:, None]
-                  - 2.0 * jnp.dot(rows_s, corpus.T,
-                                  preferred_element_type=corpus.dtype)
-                  + jnp.sum(corpus * corpus, axis=1)[None, :])
-            col = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
-            d2 = jnp.where(col == sel[:, None].astype(jnp.int32), jnp.inf,
-                           jnp.maximum(d2, 0.0))
-            neg_top, _ = jax.lax.top_k(-d2, 2)
-            return -neg_top  # negation flips descending top-k to ascending
+            rs_sq = jnp.sum(rows_s * rows_s, axis=1)[:, None]
+            col = jax.lax.broadcasted_iota(jnp.int32,
+                                           (sel.shape[0], win), 1)
+            inf = jnp.asarray(jnp.inf, corpus.dtype)
+
+            def body(carry, i):
+                m1, m2 = carry
+                w0 = i * win
+                xw = jax.lax.dynamic_slice(
+                    corpus, (w0, jnp.zeros((), w0.dtype)), (win, f))
+                # dynamic_slice clamps a tail start to n - win; mask to
+                # rows >= the UNCLAMPED start so overlap rows count once
+                w0c = jnp.minimum(w0, n - win)
+                gidx = col + w0c
+                d2 = (rs_sq
+                      - 2.0 * jnp.dot(rows_s, xw.T,
+                                      preferred_element_type=corpus.dtype)
+                      + jnp.sum(xw * xw, axis=1)[None, :])
+                valid = (gidx >= w0) & \
+                    (gidx != sel[:, None].astype(jnp.int32))
+                d2 = jnp.where(valid, jnp.maximum(d2, 0.0), inf)
+                w1 = jnp.min(d2, axis=1)
+                am = jnp.argmin(d2, axis=1)
+                w2 = jnp.min(jnp.where(col == am[:, None], inf, d2),
+                             axis=1)
+                m2n = jnp.minimum(jnp.minimum(m2, w2),
+                                  jnp.maximum(m1, w1))
+                m1n = jnp.minimum(m1, w1)
+                return (m1n, m2n), ()
+
+            init = (jnp.full((sel.shape[0],), jnp.inf, corpus.dtype),
+                    jnp.full((sel.shape[0],), jnp.inf, corpus.dtype))
+            (m1, m2), _ = jax.lax.scan(
+                body, init, jnp.arange(n_win, dtype=jnp.int32))
+            return jnp.stack([m1, m2], axis=1)
 
         _TWONN_TILE = tile
     return _TWONN_TILE
@@ -217,6 +253,10 @@ def _twonn_tile_jit():
 
 _TWONN_TILE = None
 TWONN_CHUNK = 256
+
+# corpus-axis window of the Two-NN scan: bounds the transient distance
+# plane at (TWONN_CHUNK x win) f32 (~1 GB) regardless of N
+TWONN_CORPUS_WIN = 1 << 20
 
 
 def _twonn_two_smallest_device(device_data, indices) -> np.ndarray:
