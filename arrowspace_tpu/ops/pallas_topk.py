@@ -198,24 +198,27 @@ def fused_lambda_topk(
 
     mm_dt = jnp.bfloat16 if use_bf16 else dt
 
-    def unit(rows):
-        nrm = jnp.sqrt(jnp.sum(rows * rows, axis=-1, keepdims=True))
-        return jnp.where(nrm > 0.0, rows / jnp.where(nrm > 0.0, nrm, 1.0),
-                         0.0).astype(mm_dt)
-
-    qhat = unit(queries)
-    xhat = unit(items)
-    qlam = query_lambdas.astype(dt)
-    xlam = item_lambdas.astype(dt)
-
     # coarse corpus bucket (config.bucket_rows): one compiled program per
     # bucket; padded rows are masked to NEG_INF by the gidx < n guard
     from ..config import bucket_rows
     n_bucket = max(bucket_rows(n), tile)
     n_pad = ((n_bucket + tile - 1) // tile) * tile
-    if n_pad != n:
-        xhat = jnp.pad(xhat, ((0, n_pad - n), (0, 0)))
-        xlam = jnp.pad(xlam, (0, n_pad - n))
+
+    def unit_padded(rows, pad_rows):
+        # pad fused into the divide: a separate unit() copy + jnp.pad
+        # co-lives two corpus-sized arrays (a 17 GB transient at
+        # 10M x 128); arithmetic matches ops/search._safe_unit exactly
+        nrm = jnp.sqrt(jnp.sum(rows * rows, axis=-1, keepdims=True))
+        nrm_p = jnp.pad(nrm, ((0, pad_rows), (0, 0)), constant_values=1.0)
+        ok = nrm_p > 0.0
+        rows_p = jnp.pad(rows, ((0, pad_rows), (0, 0)))
+        return jnp.where(ok, rows_p / jnp.where(ok, nrm_p, 1.0),
+                         0.0).astype(mm_dt)
+
+    qhat = unit_padded(queries, 0)
+    xhat = unit_padded(items, n_pad - n)
+    qlam = query_lambdas.astype(dt)
+    xlam = jnp.pad(item_lambdas.astype(dt), (0, n_pad - n))
     n_tiles = n_pad // tile
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
