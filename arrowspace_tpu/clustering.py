@@ -286,7 +286,6 @@ def estimate_intrinsic_dimension(rows, n: int, f: int, base_seed: int,
     """Two-NN ratio estimator (reference: clustering.rs:101-164)."""
     if n < 10:
         return min(f, 2)
-    x = np.asarray(rows, dtype=np.float64)
     sample_size = min(n, 500)
     rng = np.random.default_rng(np.uint64((base_seed + 1) % 2 ** 64))
     indices = rng.permutation(n)[:sample_size]
@@ -301,8 +300,10 @@ def estimate_intrinsic_dimension(rows, n: int, f: int, base_seed: int,
     else:
         # blocked: one (chunk, N) distance tile per matmul instead of a
         # matvec per sample row.  f32 is ample for a nearest-neighbour
-        # RATIO estimate and halves the BLAS + partition cost.
-        x32 = x.astype(np.float32, copy=False)
+        # RATIO estimate and halves the BLAS + partition cost.  (The
+        # conversion stays inside this branch: a full-corpus np.asarray
+        # is a 10 GB host copy at 10M x 128 the device path never needs.)
+        x32 = np.asarray(rows, dtype=np.float32)
         sq = np.sum(x32 * x32, axis=1)
         ratios = []
         chunk = 256
