@@ -645,6 +645,8 @@ class _DeviceChunkDistances:
         sums, counts = self._segsum(
             self.corpus, np.int32(min(c0, self.n - self.chunk)),
             jnp.asarray(tgt_pad), chunk=self.chunk, cap=self.mc_pad)
+        import jax
+        sums, counts = jax.device_get((sums, counts))  # one round trip
         return (np.asarray(sums, dtype=np.float64),
                 np.asarray(counts, dtype=np.int64))
 
@@ -659,9 +661,12 @@ class _DeviceChunkDistances:
             np.int32(n_c), chunk=self.chunk)
         m = min(self.chunk, self.n - c0)
         # tail chunk: the device window was clamped to [n - chunk, n), so
-        # rows [c0, n) are the last m entries
-        return (np.asarray(best[-m:]).astype(np.int64),
-                np.asarray(bd[-m:], dtype=np.float64))
+        # rows [c0, n) are the last m entries.  One batched fetch: each
+        # separate np.asarray is a full tunnel round trip.
+        import jax
+        best, bd = jax.device_get((best[-m:], bd[-m:]))
+        return (np.asarray(best).astype(np.int64),
+                np.asarray(bd, dtype=np.float64))
 
 
 def _apply_chunk_decisions(rows_c, best, best_d2, offset, builder, sampler,

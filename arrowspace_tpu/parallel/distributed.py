@@ -392,7 +392,8 @@ def sharded_incremental_clustering(
             items_sharded,
             jnp.asarray([start], dtype=jnp.int32),
             cent_pad, jnp.asarray([state["n_c"]], dtype=jnp.int32))
-        best_all = np.asarray(best_all).astype(np.int64)
+        best_all, bd_all = jax.device_get((best_all, bd_all))
+        best_all = best_all.astype(np.int64)
         bd_all = np.asarray(bd_all, dtype=np.float64)
         # device-order serialisation: apply each shard's chunk in turn
         for d in range(n_dev):
@@ -428,8 +429,9 @@ def sharded_incremental_clustering(
                     jnp.asarray(fresh_pad, dtype=dt),
                     jnp.asarray([n_fresh], dtype=jnp.int32))
                 seg = slice(d * chunk + p0, d * chunk + p0 + m_eff)
-                fbest = np.asarray(fb[seg]).astype(np.int64)
-                fbd = np.asarray(fd[seg], dtype=np.float64)
+                fbest, fbd = jax.device_get((fb[seg], fd[seg]))
+                fbest = fbest.astype(np.int64)
+                fbd = np.asarray(fbd, dtype=np.float64)
                 closer = fbd < bd_c
                 best_c = np.where(closer, fbest + round_start_nc, best_c)
                 bd_c = np.where(closer, fbd, bd_c)
@@ -440,6 +442,7 @@ def sharded_incremental_clustering(
                 sums, cnts = seg_fn(
                     items_sharded, jnp.asarray([_start], dtype=jnp.int32),
                     jnp.asarray(tgt_pad), jnp.asarray([_d], jnp.int32))
+                sums, cnts = jax.device_get((sums, cnts))
                 return (np.asarray(sums, dtype=np.float64),
                         np.asarray(cnts, dtype=np.int64))
 
