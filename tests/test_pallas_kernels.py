@@ -285,3 +285,34 @@ def test_fused_select_tau_wide_f_subblocked():
     ref = np.array([select_tau(x[i], TauMode.median())
                     for i in range(x.shape[0])], dtype=np.float32)
     np.testing.assert_allclose(out[:1100], ref, rtol=5e-5, atol=1e-9)
+
+
+def test_binned_topk_fuzz_shapes_and_k():
+    """Randomised sweep of (n, f, b, k, alpha, tile, block) against the
+    XLA oracle: unflagged rows must match exactly; flagged rows (rare)
+    are excluded here (their repair path is pinned elsewhere)."""
+    from arrowspace_tpu.ops.pallas_bintopk import binned_lambda_topk
+
+    rng = np.random.default_rng(99)
+    for trial in range(8):
+        n = int(rng.integers(300, 4000))
+        f = int(rng.choice([8, 17, 32, 96]))
+        b = int(rng.integers(1, 7))
+        k = int(rng.choice([1, 3, 11, 29]))
+        alpha = float(rng.uniform(0.0, 1.0))
+        tile = int(rng.choice([256, 512]))
+        block = int(rng.choice([2, 4, 8]))
+        q, qlam, x, xlam = _data(n, f, b, seed=trial)
+        s1, i1, fl = binned_lambda_topk(q, qlam, x, xlam, alpha,
+                                        k=min(k, n), tile=tile,
+                                        interpret=True, block_b=block)
+        s2, i2 = batched_lambda_aware_topk(q, qlam, x, xlam,
+                                           jnp.float32(alpha), k=min(k, n))
+        ok = np.asarray(fl) == 0
+        np.testing.assert_array_equal(np.asarray(i1)[ok],
+                                      np.asarray(i2)[ok],
+                                      err_msg=f"trial {trial} "
+                                      f"(n={n} f={f} b={b} k={k} "
+                                      f"a={alpha:.2f} tile={tile})")
+        np.testing.assert_allclose(np.asarray(s1)[ok],
+                                   np.asarray(s2)[ok], atol=2e-5)
