@@ -589,8 +589,12 @@ def _device_chunk_for(nrows: int) -> int:
     so short-but-wide corpora (n < 8192 with n*f over the device gate,
     e.g. 4500x1024) don't trip _DeviceChunkDistances's chunk<=n
     invariant; keeping the clamp here keeps precompile.warm's AOT keys
-    consistent with runtime."""
-    return min(131072, max(8192, nrows), nrows)
+    consistent with runtime.  Very large corpora double the chunk: at
+    10M rows the scan's wall is per-chunk interconnect round trips, and
+    a 256k snapshot window is still well inside the racy-mode contract
+    (every row decides against a legal snapshot point)."""
+    cap = 262144 if nrows >= (1 << 22) else 131072
+    return min(cap, max(8192, nrows), nrows)
 
 
 def _bucket_centroid_cap(max_clusters: int) -> int:
