@@ -475,6 +475,16 @@ def _energy_score_topk_chunked(z_q, lambda_q, z_items, item_lambdas,
     return run_s, run_i
 
 
+def _use_binned_energy(nitems: int, k: int, g: int) -> bool:
+    """Gate for the Mosaic bin-accumulator energy kernel, mirroring
+    index.session_kernel_kind: a TPU backend, a corpus past the
+    in-memory ceiling, k within the pool-extraction budget, and a
+    z-width whose double-buffered tile fits scoped VMEM."""
+    import jax
+    return (jax.default_backend() == "tpu" and nitems > ENERGY_CHUNK
+            and k <= 48 and g <= 1536)
+
+
 def _energy_z_items(aspace: ArrowSpace, items_proj, signals, use_signals):
     """Per-corpus z = x_proj Sᵀ for the streaming energy search, cached on
     the ArrowSpace (one (N, F')x(F', G) matmul, reused across batches);
@@ -517,11 +527,30 @@ def search_energy_batch(aspace: ArrowSpace, queries, gl_energy: GraphLaplacian,
         z_items = _energy_z_items(aspace, items_proj, signals, use_signals)
         z_q = jnp.dot(q_proj, signals.T, preferred_element_type=dt) \
             if use_signals else q_proj
+        qlam_d = jnp.asarray(lambda_q, dtype=dt)
+        xlam_d = jnp.asarray(aspace.lambdas, dtype=dt)
+        wl_d = jnp.asarray(w_lambda, dtype=dt)
+        wd_d = jnp.asarray(w_dirichlet, dtype=dt)
+        if _use_binned_energy(aspace.nitems, k_eff, z_items.shape[1]):
+            # Mosaic bin-accumulator kernel (serving rate) + the rare
+            # exact repair of flagged deep-collision rows; one tuple
+            # fetch = one tunnel round trip.
+            from .ops.pallas_bintopk import binned_energy_topk
+            s, i, fl = binned_energy_topk(
+                z_q, qlam_d, z_items, xlam_d, wl_d, wd_d, k=k_eff)
+            s, i, flags = jax.device_get((s, i, fl))
+            if flags.any():
+                rows = np.nonzero(flags)[0]
+                rs, ri = _energy_score_topk_chunked(
+                    z_q[rows], qlam_d[rows], z_items, xlam_d,
+                    wl_d, wd_d, k=k_eff)
+                s = s.copy()
+                i = i.copy()
+                s[rows] = np.asarray(rs)
+                i[rows] = np.asarray(ri)
+            return np.asarray(s), np.asarray(i)
         top_scores, top_idx = _energy_score_topk_chunked(
-            z_q, jnp.asarray(lambda_q, dtype=dt), z_items,
-            jnp.asarray(aspace.lambdas, dtype=dt),
-            jnp.asarray(w_lambda, dtype=dt),
-            jnp.asarray(w_dirichlet, dtype=dt), k=k_eff)
+            z_q, qlam_d, z_items, xlam_d, wl_d, wd_d, k=k_eff)
         return np.asarray(top_scores), np.asarray(top_idx)
     top_scores, top_idx = _energy_score_topk(
         q_proj, jnp.asarray(lambda_q, dtype=dt), items_proj,

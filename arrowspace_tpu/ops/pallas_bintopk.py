@@ -44,7 +44,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["binned_lambda_topk", "binned_topk_depth_for"]
+__all__ = ["binned_lambda_topk", "binned_energy_topk",
+           "binned_topk_depth_for"]
 
 NEG_INF = float(np.finfo(np.float32).min)
 INT_MAX = np.iinfo(np.int32).max
@@ -60,24 +61,55 @@ def binned_topk_depth_for(k: int) -> int:
     return 3
 
 
-def _fit_tile(block: int, f: int, depth: int, elem: int) -> int:
+def _fit_tile(block: int, f: int, depth: int, elem: int,
+              planes: int = 3) -> int:
     """Largest tile in {4096, 2048, 1024} whose VMEM estimate fits the
     scoped budget for a given query block, or 0 if none does.  Model:
-    double-buffered item tile + (2D+1) state planes + ~3 intermediate
-    score planes + the query block, against a 14.5 MB target (~1.5 MB
-    headroom under the 16 MB Mosaic scoped limit; the model reads ~0.6 MB
-    low vs a measured F=768 f32 lowering, so the headroom absorbs it —
-    calibration points: f32/768/B256 est 17.6 vs measured 18.2 OOM,
-    bf16/768/B256 est 14.4 vs measured ~15.1 compiles)."""
+    double-buffered item tile + (2D+1) state planes + `planes`
+    intermediate score planes (3 for the cosine kernel, 4 for the energy
+    kernel's extra d²/√ stage) + the query block, against a 14.5 MB
+    target (~1.5 MB headroom under the 16 MB Mosaic scoped limit; the
+    model reads ~0.6 MB low vs a measured F=768 f32 lowering, so the
+    headroom absorbs it — calibration points: f32/768/B256 est 17.6 vs
+    measured 18.2 OOM, bf16/768/B256 est 14.4 vs measured ~15.1
+    compiles)."""
     budget = int(14.5 * 1024 * 1024)
     for t in (4096, 2048, 1024):
         est = (2 * t * f * elem               # xhat tile, double-buffered
                + (2 * depth + 1) * block * t * 4   # run_s/run_i/det
-               + 3 * block * t * 4                 # score intermediates
+               + planes * block * t * 4            # score intermediates
                + block * f * 4)                    # qhat
         if est <= budget:
             return t
     return 0
+
+
+def _fold_tile(run_refs, scores, gidx, depth: int):
+    """Depth-D insertion of a (B, T) score/index tile into the running
+    per-(query, bin) state: the candidate sinks through the levels,
+    displacing strictly-smaller entries.  Strict > keeps the earliest
+    (lowest-index) arrival on score ties — gidx for a given bin is
+    strictly increasing across tiles, so within-bin tie order matches
+    lax.top_k.  Shared by the λ-aware and energy kernels."""
+    run_s = run_refs[:depth]
+    run_i = run_refs[depth:2 * depth]
+    det = run_refs[2 * depth]
+    c, ci = scores, gidx
+    for d in range(depth):
+        rs, ri = run_s[d][:], run_i[d][:]
+        up = c > rs
+        run_s[d][:] = jnp.where(up, c, rs)
+        run_i[d][:] = jnp.where(up, ci, ri)
+        c = jnp.where(up, rs, c)
+        ci = jnp.where(up, ri, ci)
+    det[:] = jnp.maximum(det[:], c)          # the (D+1)-th score
+
+
+def _init_bins(run_refs, depth: int):
+    for d in range(depth):
+        run_refs[d][:] = jnp.full_like(run_refs[d], NEG_INF)
+        run_refs[depth + d][:] = jnp.zeros_like(run_refs[depth + d])
+    run_refs[2 * depth][:] = jnp.full_like(run_refs[2 * depth], NEG_INF)
 
 
 def _kernel(qhat_ref, qlam_ref, xhat_ref, xlam_ref, alpha_ref, n_ref,
@@ -92,16 +124,10 @@ def _kernel(qhat_ref, qlam_ref, xhat_ref, xlam_ref, alpha_ref, n_ref,
     k into the Mosaic cache key — this way one compiled kernel serves
     every k."""
     t = pl.program_id(0)
-    run_s = run_refs[:depth]
-    run_i = run_refs[depth:2 * depth]
-    det = run_refs[2 * depth]
 
     @pl.when(t == 0)
     def _init():
-        for d in range(depth):
-            run_s[d][:] = jnp.full_like(run_s[d], NEG_INF)
-            run_i[d][:] = jnp.zeros_like(run_i[d])
-        det[:] = jnp.full_like(det, NEG_INF)
+        _init_bins(run_refs, depth)
 
     base = t * tile
     n = n_ref[0, 0]
@@ -124,21 +150,7 @@ def _kernel(qhat_ref, qlam_ref, xhat_ref, xlam_ref, alpha_ref, n_ref,
         local = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
         gidx = local + base
         scores = jnp.where(gidx < n, scores, NEG_INF)
-
-        # Depth-D insertion: the candidate sinks through the levels,
-        # displacing strictly-smaller entries.  Strict > keeps the
-        # earliest (lowest-index) arrival on score ties — gidx for a
-        # given bin is strictly increasing across tiles, so within-bin
-        # tie order matches lax.top_k.
-        c, ci = scores, gidx
-        for d in range(depth):
-            rs, ri = run_s[d][:], run_i[d][:]
-            up = c > rs
-            run_s[d][:] = jnp.where(up, c, rs)
-            run_i[d][:] = jnp.where(up, ci, ri)
-            c = jnp.where(up, rs, c)
-            ci = jnp.where(up, ri, ci)
-        det[:] = jnp.maximum(det[:], c)          # the (D+1)-th score
+        _fold_tile(run_refs, scores, gidx, depth)
 
 
 @functools.partial(jax.jit,
@@ -288,23 +300,216 @@ def binned_lambda_topk(
       jnp.asarray(alpha, dtype=dt).reshape(1, 1),
       jnp.asarray(n, dtype=jnp.int32).reshape(1, 1))
 
+    return _flush_pool(outs, depth, k)
+
+
+def _energy_kernel(zq_ref, qn_ref, qlam_ref, zx_ref, xn_ref, xlam_ref,
+                   wl_ref, wd_ref, n_ref, *run_refs, tile: int, depth: int):
+    """Energy-score variant of _kernel (same bins/fold/flush contract).
+
+    Score per (query, item) mirrors energymaps._energy_score_topk_chunked
+    exactly (reference: energymaps.rs:368-407, 849-896): the projected
+    Dirichlet distributes through the signals map (||S(q-x)|| =
+    ||Sq - Sx||), so the caller pre-transforms both sides to z-space and
+    the kernel needs one MXU matmul per tile plus elementwise math:
+        d² = ||z_q||² - 2·z_q·z_x + ||z_x||²     (norms streamed in)
+        score = -(wλ·|λ_q - λ_x| + w_D·min(√d²/(1+√d²), 1))
+    """
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _init():
+        _init_bins(run_refs, depth)
+
+    base = t * tile
+    n = n_ref[0, 0]
+
+    @pl.when(base < n)
+    def _body():
+        wl = wl_ref[0, 0]
+        wd = wd_ref[0, 0]
+        zq = zq_ref[:]                           # (B, G)
+        zx = zx_ref[:]                           # (T, G) current tile
+        dot = jax.lax.dot_general(
+            zq, zx, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (B, T)
+        # identical expression order to the XLA chunked path:
+        # (qn - 2·dot) + xn, then sqrt(max(.,0)), then num/(1+num)
+        d2 = (qn_ref[:].reshape(-1, 1) - 2.0 * dot) \
+            + xn_ref[:].reshape(1, -1)
+        num = jnp.sqrt(jnp.maximum(d2, 0.0))
+        d_dir = jnp.minimum(num / (1.0 + num), 1.0)
+        d_lam = jnp.abs(qlam_ref[:].reshape(-1, 1)
+                        - xlam_ref[:].reshape(1, -1))
+        scores = -(wl * d_lam + wd * d_dir)
+
+        local = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        gidx = local + base
+        scores = jnp.where(gidx < n, scores, NEG_INF)
+        _fold_tile(run_refs, scores, gidx, depth)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "depth", "tile", "interpret",
+                                    "block_b"))
+def binned_energy_topk(
+    z_q: jax.Array,            # (B, G) — queries already in z-space
+    query_lambdas: jax.Array,  # (B,)
+    z_items: jax.Array,        # (N, G) — corpus in z-space
+    item_lambdas: jax.Array,   # (N,)
+    w_lambda,
+    w_dirichlet,
+    *,
+    k: int,
+    depth: int = 0,            # 0 = auto (binned_topk_depth_for)
+    tile: int = 0,             # 0 = auto from the VMEM budget
+    interpret: bool = False,
+    block_b: int = 0,          # 0 = auto from the VMEM budget
+):
+    """Bin-accumulator streaming top-k for the ENERGY score
+    (search_energy semantics, energymaps.rs:368-407) — the serving-rate
+    path for energy indices past the in-memory ceiling.
+
+    Same exactness contract as binned_lambda_topk: returns
+    (scores (B, k), indices (B, k), flags (B,) int32); flags[b] == 1
+    marks a query whose result may be missing a top-k element to a
+    >depth-deep bin collision — the caller re-runs those rows through
+    the exact chunked path (energymaps._energy_score_topk_chunked);
+    un-flagged rows are bit-identical to lax.top_k over the full score
+    plane (lowest-global-index tie order).
+
+    Callers pass z-space operands: z = x_proj @ signalsᵀ when a signals
+    graph is present (energymaps._energy_z_items), else x_proj itself —
+    the Dirichlet term distributes through the linear map, so pairwise
+    z-distances are all the kernel needs.
+    """
+    bsz, g = z_q.shape
+    n = z_items.shape[0]
+    dt = jnp.float32
+    if depth <= 0:
+        depth = binned_topk_depth_for(k)
+
+    # Auto block/tile from the scoped-VMEM budget; the energy score keeps
+    # one more live intermediate plane than the cosine kernel (d², num,
+    # d_dir, d_lam), hence planes=4.
+    if block_b <= 0:
+        block_b = 256
+        if tile <= 0:
+            for cand_b in (256, 128, 64):
+                if _fit_tile(cand_b, g, depth, 4, planes=4) > 0:
+                    block_b = cand_b
+                    break
+    max_b = block_b
+
+    if bsz % max_b != 0:
+        pad_b = max_b - bsz % max_b
+        qp = jnp.pad(z_q, ((0, pad_b), (0, 0)))
+        qlp = jnp.pad(query_lambdas, (0, pad_b))
+        s, i, fl = binned_energy_topk(
+            qp, qlp, z_items, item_lambdas, w_lambda, w_dirichlet, k=k,
+            depth=depth, tile=tile, interpret=interpret, block_b=block_b)
+        return s[:bsz], i[:bsz], fl[:bsz]
+
+    if tile <= 0:
+        tile = _fit_tile(min(bsz, max_b), g, depth, 4, planes=4)
+        if tile <= 0:
+            tile = 1024                  # Mosaic floor; G past ~1500
+    if bsz > max_b:
+        outs = [binned_energy_topk(z_q[i:i + max_b],
+                                   query_lambdas[i:i + max_b],
+                                   z_items, item_lambdas,
+                                   w_lambda, w_dirichlet,
+                                   k=k, depth=depth, tile=tile,
+                                   interpret=interpret, block_b=block_b)
+                for i in range(0, bsz, max_b)]
+        return (jnp.concatenate([o[0] for o in outs], axis=0),
+                jnp.concatenate([o[1] for o in outs], axis=0),
+                jnp.concatenate([o[2] for o in outs], axis=0))
+
+    from ..config import bucket_rows
+    n_bucket = max(bucket_rows(n), tile)
+    n_pad = ((n_bucket + tile - 1) // tile) * tile
+
+    zq = z_q.astype(dt)
+    zx = jnp.pad(z_items.astype(dt), ((0, n_pad - n), (0, 0)))
+    qlam = query_lambdas.astype(dt)
+    xlam = jnp.pad(item_lambdas.astype(dt), (0, n_pad - n))
+    # Norms in XLA with the same reduce the chunked path uses, so d²
+    # matches it bitwise; padded rows are zero → norm 0, masked anyway.
+    qn = jnp.sum(zq * zq, axis=1)
+    xn = jnp.sum(zx * zx, axis=1)
+    n_tiles = n_pad // tile
+
+    pool_spec = pl.BlockSpec((bsz, tile), lambda t: (0, 0),
+                             memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((bsz, g), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),      # z_q (replicated)
+            pl.BlockSpec((bsz,), lambda t: (0,),
+                         memory_space=pltpu.VMEM),      # qn
+            pl.BlockSpec((bsz,), lambda t: (0,),
+                         memory_space=pltpu.VMEM),      # qlam
+            pl.BlockSpec((tile, g), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),      # z tile
+            pl.BlockSpec((tile,), lambda t: (t,),
+                         memory_space=pltpu.VMEM),      # xn tile
+            pl.BlockSpec((tile,), lambda t: (t,),
+                         memory_space=pltpu.VMEM),      # xlam tile
+            pl.BlockSpec((1, 1), lambda t: (0, 0),
+                         memory_space=pltpu.SMEM),      # w_lambda
+            pl.BlockSpec((1, 1), lambda t: (0, 0),
+                         memory_space=pltpu.SMEM),      # w_dirichlet
+            pl.BlockSpec((1, 1), lambda t: (0, 0),
+                         memory_space=pltpu.SMEM),      # true N
+        ],
+        out_specs=tuple([pool_spec] * (2 * depth + 1)),
+    )
+
+    kernel = functools.partial(_energy_kernel, tile=tile, depth=depth)
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=tuple(
+            [jax.ShapeDtypeStruct((bsz, tile), dt)] * depth
+            + [jax.ShapeDtypeStruct((bsz, tile), jnp.int32)] * depth
+            + [jax.ShapeDtypeStruct((bsz, tile), dt)]),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bsz * n_pad * g,
+            bytes_accessed=n_pad * (g + 2) * 4 + bsz * (g + 2) * 4
+            + bsz * tile * (2 * depth + 1) * 4,
+            transcendentals=n_pad * bsz,         # the per-pair sqrt
+        ),
+    )(zq, qn, qlam, zx, xn, xlam,
+      jnp.asarray(w_lambda, dtype=dt).reshape(1, 1),
+      jnp.asarray(w_dirichlet, dtype=dt).reshape(1, 1),
+      jnp.asarray(n, dtype=jnp.int32).reshape(1, 1))
+    return _flush_pool(outs, depth, k)
+
+
+def _flush_pool(outs, depth: int, k: int):
+    """Exact top-k over the (B, D·L) bin pool + the miss detector.
+
+    Top-k with lax.top_k's tie order (lowest global index) via a two-key
+    lexicographic sort: ascending (-score, idx).  Runs in XLA on the tiny
+    pool — off the streaming hot path and free of the Mosaic VMEM budget.
+
+    Miss detector: a hidden (D+1)-th same-bin element could belong in the
+    top-k iff it ties-or-beats the pool's kth score; the (det > NEG_INF)
+    guard keeps the degenerate n < k·depth case (both still at the
+    sentinel) from flagging."""
     pool_s = jnp.concatenate(outs[:depth], axis=1)          # (B, D·L)
     pool_i = jnp.concatenate(outs[depth:2 * depth], axis=1)
     det = outs[2 * depth]                                   # (B, L)
 
-    # Exact top-k with lax.top_k's tie order (lowest global index) via a
-    # two-key lexicographic sort: ascending (-score, idx).  Runs in XLA
-    # on the tiny (B, D·L) pool — off the streaming hot path and free of
-    # the Mosaic VMEM budget.
     sorted_neg, sorted_idx = jax.lax.sort((-pool_s, pool_i), num_keys=2,
                                           dimension=1)
     out_s = -sorted_neg[:, :k]
     out_i = sorted_idx[:, :k]
 
-    # Miss detector: a hidden (D+1)-th same-bin element could belong in
-    # the top-k iff it ties-or-beats the pool's kth score; the
-    # (det > NEG_INF) guard keeps the degenerate n < k·depth case (both
-    # still at the sentinel) from flagging.
     kth = out_s[:, k - 1]
     flags = jnp.max(
         jnp.where((det >= kth[:, None]) & (det > NEG_INF), 1, 0),

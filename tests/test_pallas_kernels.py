@@ -316,3 +316,131 @@ def test_binned_topk_fuzz_shapes_and_k():
                                       f"a={alpha:.2f} tile={tile})")
         np.testing.assert_allclose(np.asarray(s1)[ok],
                                    np.asarray(s2)[ok], atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# Energy bin-accumulator kernel (ops/pallas_bintopk.binned_energy_topk)
+# ---------------------------------------------------------------------------
+
+def _energy_data(n, g, b, seed=0):
+    rng = np.random.default_rng(seed)
+    return (jnp.asarray(rng.normal(size=(b, g)), jnp.float32),
+            jnp.asarray(rng.uniform(0, 1, (b,)), jnp.float32),
+            jnp.asarray(rng.normal(size=(n, g)), jnp.float32),
+            jnp.asarray(rng.uniform(0, 1, (n,)), jnp.float32))
+
+
+def _energy_oracle(zq, qlam, z, xlam, wl, wd, k):
+    from arrowspace_tpu.energymaps import _energy_score_topk_chunked
+    return _energy_score_topk_chunked(
+        zq, qlam, z, xlam, jnp.float32(wl), jnp.float32(wd), k=k,
+        chunk=128)
+
+
+@pytest.mark.parametrize("n,tile,k", [(1000, 256, 8), (2048, 512, 10),
+                                      (777, 256, 5)])
+def test_binned_energy_matches_chunked(n, tile, k):
+    from arrowspace_tpu.ops.pallas_bintopk import binned_energy_topk
+    zq, qlam, z, xlam = _energy_data(n, 48, 4, seed=n)
+    s1, i1, fl = binned_energy_topk(zq, qlam, z, xlam, 1.0, 0.5, k=k,
+                                    tile=tile, interpret=True, block_b=4)
+    s2, i2 = _energy_oracle(zq, qlam, z, xlam, 1.0, 0.5, k)
+    assert (np.asarray(fl) == 0).all(), \
+        "random data should not collide deeper than D"
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-6)
+
+
+def test_binned_energy_block_padding_and_chunking():
+    """B not a multiple of the query block (pad path) and B larger than
+    the block (chunk path) both reproduce the chunked oracle."""
+    from arrowspace_tpu.ops.pallas_bintopk import binned_energy_topk
+    zq, qlam, z, xlam = _energy_data(900, 32, 5, seed=7)
+    s1, i1, fl = binned_energy_topk(zq, qlam, z, xlam, 0.7, 1.3, k=6,
+                                    tile=256, interpret=True, block_b=2)
+    s2, i2 = _energy_oracle(zq, qlam, z, xlam, 0.7, 1.3, 6)
+    assert np.asarray(fl).shape == (5,)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-6)
+
+
+def test_binned_energy_duplicate_tie_order():
+    """Exact duplicate z-rows in the SAME bin (stride = tile) and in
+    different bins: tie order must match lax.top_k (lowest index)."""
+    from arrowspace_tpu.ops.pallas_bintopk import binned_energy_topk
+    rng = np.random.default_rng(11)
+    n, g, tile, k = 900, 16, 256, 6
+    z = rng.normal(size=(n, g))
+    for j in (5, 5 + tile, 5 + 2 * tile, 300):   # 3 same-bin + 1 other
+        z[j] = z[5]
+    xlam = np.full(n, 0.4, np.float32)
+    zq = jnp.asarray(z[5][None, :], jnp.float32)
+    zj = jnp.asarray(z, jnp.float32)
+    s1, i1, fl = binned_energy_topk(zq, jnp.asarray([0.4], jnp.float32),
+                                    zj, jnp.asarray(xlam), 1.0, 0.5, k=k,
+                                    tile=tile, interpret=True, block_b=1)
+    s2, i2 = _energy_oracle(zq, jnp.asarray([0.4], jnp.float32), zj,
+                            jnp.asarray(xlam), 1.0, 0.5, k)
+    if (np.asarray(fl) == 0).all():
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        # ties resolve to lowest GLOBAL index regardless of bin: 300 is
+        # in a different bin than the stride-tile copies but sorts
+        # between them
+        assert list(np.asarray(i1)[0][:4]) == [5, 5 + tile, 300,
+                                               5 + 2 * tile]
+
+
+def test_binned_energy_flags_deep_collision():
+    """>depth copies of the best row in ONE bin: the kernel must flag the
+    query (the dispatch in search_energy_batch re-runs flagged rows
+    through the exact chunked path)."""
+    from arrowspace_tpu.ops.pallas_bintopk import (binned_energy_topk,
+                                                   binned_topk_depth_for)
+    rng = np.random.default_rng(13)
+    n, g, tile, k = 1100, 16, 256, 8
+    depth = binned_topk_depth_for(k)
+    z = rng.normal(size=(n, g)) * 5.0            # spread => dupes win
+    dup_rows = [9 + d * tile for d in range(depth + 1)]  # one bin
+    for j in dup_rows:
+        z[j] = z[9]
+    xlam = np.full(n, 0.5, np.float32)
+    zq = jnp.asarray(z[9][None, :], jnp.float32)
+    zj = jnp.asarray(z, jnp.float32)
+    s1, i1, fl = binned_energy_topk(zq, jnp.asarray([0.5], jnp.float32),
+                                    zj, jnp.asarray(xlam), 1.0, 0.5, k=k,
+                                    tile=tile, interpret=True, block_b=1)
+    assert np.asarray(fl)[0] == 1, \
+        "depth+1 same-bin top rows must raise the miss flag"
+    # and the exact path recovers all depth+1 duplicates in index order
+    s2, i2 = _energy_oracle(zq, jnp.asarray([0.5], jnp.float32), zj,
+                            jnp.asarray(xlam), 1.0, 0.5, k)
+    assert list(np.asarray(i2)[0][:depth + 1]) == dup_rows
+
+
+def test_binned_energy_fuzz_shapes_and_k():
+    """Randomised sweep of (n, g, b, k, weights, tile, block) against the
+    chunked oracle; unflagged rows must match exactly."""
+    from arrowspace_tpu.ops.pallas_bintopk import binned_energy_topk
+    rng = np.random.default_rng(17)
+    for trial in range(8):
+        n = int(rng.integers(300, 4000))
+        g = int(rng.choice([8, 17, 48, 96]))
+        b = int(rng.integers(1, 7))
+        k = int(rng.choice([1, 3, 11, 29]))
+        wl = float(rng.uniform(0.0, 2.0))
+        wd = float(rng.uniform(0.0, 2.0))
+        tile = int(rng.choice([256, 512]))
+        block = int(rng.choice([2, 4, 8]))
+        zq, qlam, z, xlam = _energy_data(n, g, b, seed=100 + trial)
+        kk = min(k, n)
+        s1, i1, fl = binned_energy_topk(zq, qlam, z, xlam, wl, wd, k=kk,
+                                        tile=tile, interpret=True,
+                                        block_b=block)
+        s2, i2 = _energy_oracle(zq, qlam, z, xlam, wl, wd, kk)
+        ok = np.asarray(fl) == 0
+        np.testing.assert_array_equal(
+            np.asarray(i1)[ok], np.asarray(i2)[ok],
+            err_msg=f"trial {trial} (n={n} g={g} b={b} k={kk} "
+            f"wl={wl:.2f} wd={wd:.2f} tile={tile})")
+        np.testing.assert_allclose(np.asarray(s1)[ok],
+                                   np.asarray(s2)[ok], atol=2e-5)
