@@ -574,6 +574,97 @@ def _chunk_segsum_jit():
 
 _CHUNK_SEGSUM = None
 
+
+def _chunk_decide_jit():
+    """Module-level jitted AT-CAP chunk-decision program: once
+    n_c == max_clusters no row can create a centroid, so the entire
+    per-chunk rule set (snapshot distances, sampling keep, the
+    create→soft re-route, assign/soft routing, grouped running-mean
+    sums, soft counts) collapses to ONE device dispatch against the
+    resident corpus.  The host receives (cap, F) mean ingredients plus
+    the (chunk,) assignment vector — it never fetches per-row distances
+    again, halving the chunked scan's round trips and cutting its
+    fetched bytes ~2x for the post-cap majority of the corpus.
+
+    Rule parity with _apply_chunk_decisions at cap (host reference):
+    want_create rows (bd > radius/2) fall through the creation loop
+    untouched (no creations happen) and take the soft test on their
+    UNCHANGED best distance — so routing reduces to
+        assign iff keep and not create and bd <= radius
+        soft   iff keep and not assign and bd <= 1.5*radius
+    which is exactly what this program computes.  On the CPU/f64 test
+    backend all arithmetic matches the host rules bitwise; on TPU the
+    f32 distance/probability comparisons sit inside the chunked
+    (unseeded) mode's documented f32 relaxation."""
+    global _CHUNK_DECIDE
+    if _CHUNK_DECIDE is None:
+        import functools
+        import jax
+        import jax.numpy as jnp
+
+        @functools.partial(jax.jit,
+                           static_argnames=("chunk", "cap", "sampler_kind"))
+        def _decide(corpus, start, cent_pad, n_c, radius, draws,
+                    base_rate, saturation, valid_from, *,
+                    chunk, cap, sampler_kind):
+            f = corpus.shape[1]
+            dt = corpus.dtype
+            rows_c = jax.lax.dynamic_slice(
+                corpus, (start, jnp.zeros((), start.dtype)), (chunk, f))
+            d2 = (jnp.sum(rows_c * rows_c, axis=1)[:, None]
+                  - 2.0 * jnp.dot(rows_c, cent_pad.T,
+                                  preferred_element_type=dt)
+                  + jnp.sum(cent_pad * cent_pad, axis=1)[None, :])
+            d2 = jnp.maximum(d2, 0.0)
+            valid_c = jnp.arange(cent_pad.shape[0]) < n_c
+            d2 = jnp.where(valid_c[None, :], d2, jnp.inf)
+            best = jnp.argmin(d2, axis=1).astype(jnp.int32)
+            bd = jnp.take_along_axis(d2, best[:, None].astype(jnp.int64),
+                                     axis=1)[:, 0]
+
+            pos = jnp.arange(chunk, dtype=jnp.int32)
+            in_win = pos >= valid_from
+            radius = radius.astype(dt)
+            if sampler_kind == "none":
+                keep = in_win
+            else:
+                if sampler_kind == "simple":
+                    prob = jnp.full((chunk,), base_rate, dtype=dt)
+                else:   # density-adaptive (sampling.rs:167-238 formula)
+                    fin = jnp.isfinite(bd)
+                    df = jnp.maximum(
+                        jnp.log(jnp.where(fin, bd, 0.0) + 0.1), 0.0)
+                    df = jnp.where(fin, df, 0.0)
+                    prob = jnp.clip(
+                        base_rate.astype(dt) * (1.0 - saturation * 0.1)
+                        * (1.0 + df * 0.3), 0.01, 1.0)
+                keep = in_win & (draws < prob)
+            kept_cnt = jnp.sum(keep.astype(jnp.int32))
+
+            want_create = keep & (bd > radius * 0.5)
+            assign_m = keep & ~want_create & (bd <= radius)
+            soft_m = keep & ~assign_m & (bd <= radius * 1.5)
+
+            t_a = jnp.where(assign_m, best, cap)   # park slot = cap
+            sums = jnp.zeros((cap + 1, f), dtype=dt)
+            sums = sums.at[t_a].add(jnp.where(assign_m[:, None],
+                                              rows_c, 0.0))
+            counts_add = jnp.zeros((cap + 1,), dtype=jnp.int32) \
+                .at[t_a].add(assign_m.astype(jnp.int32))
+            t_s = jnp.where(soft_m, best, cap)
+            soft_cnt = jnp.zeros((cap + 1,), dtype=jnp.int32) \
+                .at[t_s].add(soft_m.astype(jnp.int32))
+            assign_vec = jnp.where(assign_m | soft_m, best,
+                                   jnp.int32(-1))
+            return (sums[:cap], counts_add[:cap], soft_cnt[:cap],
+                    assign_vec, kept_cnt)
+
+        _CHUNK_DECIDE = _decide
+    return _CHUNK_DECIDE
+
+
+_CHUNK_DECIDE = None
+
 # Corpora below this many elements keep the clustering scan on host BLAS
 # (an accelerator compile through the tunnel dwarfs a few ms of matmul;
 # with setup_cache persisting every program, the compile is one-time per
@@ -654,6 +745,55 @@ class _DeviceChunkDistances:
         return (np.asarray(sums, dtype=np.float64),
                 np.asarray(counts, dtype=np.int64))
 
+    def decide(self, c0: int, cent: np.ndarray, n_c: int, radius: float,
+               sampler, sampling_enabled: bool, max_clusters: int):
+        """AT-CAP chunk decisions in one dispatch (see _chunk_decide_jit):
+        returns host (sums (cap,F) f64, counts_add (n_c,) i64,
+        soft_cnt (n_c,) i64, assign_vec (m,) i64, kept int) for the
+        window at c0.  Draws come from the HOST sampler RNG (same stream
+        and order as the host rule path), uploaded with the dispatch."""
+        import jax
+
+        jnp = self._jnp
+        dt = self.corpus.dtype
+        m = min(self.chunk, self.n - c0)
+        start = np.int32(min(c0, self.n - self.chunk))
+        cent_pad = np.zeros((self.mc_pad, self.corpus.shape[1]),
+                            dtype=np.float64)
+        cent_pad[:n_c] = cent[:n_c]
+
+        if sampling_enabled:
+            from .sampling import SimpleRandomSampler
+            kind = "simple" if isinstance(sampler, SimpleRandomSampler) \
+                else "density"
+            base = getattr(sampler, "keep_rate",
+                           getattr(sampler, "base_rate", 1.0))
+            draws_pad = np.ones(self.chunk, dtype=np.float64)
+            draws_pad[self.chunk - m:] = sampler._rng.random(m)
+        else:
+            kind = "none"
+            base = 1.0
+            draws_pad = np.ones(self.chunk, dtype=np.float64)
+        saturation = n_c / max_clusters if max_clusters else 0.0
+
+        sums, cadd, scnt, avec, kept = _chunk_decide_jit()(
+            self.corpus, start,
+            jnp.asarray(cent_pad, dtype=dt),
+            np.int32(n_c),
+            jnp.asarray(radius, dtype=dt),
+            jnp.asarray(draws_pad, dtype=dt),
+            jnp.asarray(base, dtype=dt),
+            jnp.asarray(saturation, dtype=dt),
+            np.int32(self.chunk - m),
+            chunk=self.chunk, cap=self.mc_pad, sampler_kind=kind)
+        sums, cadd, scnt, avec, kept = jax.device_get(
+            (sums, cadd, scnt, avec[self.chunk - m:], kept))
+        return (np.asarray(sums, dtype=np.float64),
+                np.asarray(cadd[:n_c], dtype=np.int64),
+                np.asarray(scnt[:n_c], dtype=np.int64),
+                np.asarray(avec, dtype=np.int64),
+                int(kept))
+
     def __call__(self, c0: int, cent: np.ndarray, n_c: int):
         jnp = self._jnp
         cent_pad = np.zeros((self.mc_pad, self.corpus.shape[1]),
@@ -733,7 +873,18 @@ def _apply_chunk_decisions(rows_c, best, best_d2, offset, builder, sampler,
     creators = np.nonzero(want_create)[0]
     reroute_assign_rows, reroute_assign_tgt = [], []
     soft_extra_rows, soft_extra_tgt = [], []
-    if creators.size:
+    if creators.size and n_c >= max_clusters:
+        # cap already reached: the creation loop cannot run, so every
+        # candidate takes the soft test on its UNCHANGED best distance —
+        # no row data needed (this also spares the sharded path its
+        # creator-row fetch) and no f32 staging (the cast below exists
+        # for the creation loop's BLAS block only).  Matches the at-cap
+        # device decide program (_chunk_decide_jit) bitwise on f64.
+        lb = best_d2[creators]
+        soft_ok = lb <= radius * relax
+        soft_extra_rows.extend(creators[soft_ok].tolist())
+        soft_extra_tgt.extend(best[creators][soft_ok].tolist())
+    elif creators.size:
         creator_rows = rows_c[creators] if rows_c is not None \
             else fetch_at(creators)
         # fixed arrays + active mask: no per-iteration copies; f32
@@ -831,6 +982,35 @@ def _apply_chunk_decisions(rows_c, best, best_d2, offset, builder, sampler,
     state["n_c"] = n_c
 
 
+def _apply_atcap_chunk(engine, c0: int, offset: int, builder, sampler,
+                       radius, max_clusters, cent, counts, assign,
+                       n_c: int) -> None:
+    """Apply one at-cap chunk from the device decide program: grouped
+    running-mean update, soft-outlier counts, assignments, sampler
+    stats.  Semantics identical to _apply_chunk_decisions when
+    n_c == max_clusters (proven by the engine-vs-host equality tests on
+    the CPU/f64 backend)."""
+    sums, cadd, scnt, avec, kept = engine.decide(
+        c0, cent, n_c, radius, sampler, builder.sampling is not None,
+        max_clusters)
+    m = avec.shape[0]
+    if builder.sampling is not None:
+        sampler.sampled_count += kept
+        sampler.discarded_count += m - kept
+
+    upd = cadd > 0
+    if upd.any():
+        new_counts = counts[:n_c] + cadd
+        cent[:n_c][upd] = (
+            (cent[:n_c][upd] * counts[:n_c][upd, None]
+             + sums[:n_c][upd]) / new_counts[upd, None])
+        counts[:n_c] = new_counts
+    counts[:n_c] += scnt          # soft outliers: counted, eta = 0
+    idx = np.nonzero(avec >= 0)[0]
+    if idx.size:
+        assign[offset + idx] = avec[idx]
+
+
 def _incremental_clustering_chunked(builder, rows, nfeatures, max_clusters,
                                     radius, sampler,
                                     chunk: Optional[int] = None,
@@ -864,10 +1044,19 @@ def _incremental_clustering_chunked(builder, rows, nfeatures, max_clusters,
     assign = np.full(nrows, -1, dtype=np.int64)
 
     for c0 in range(0, nrows, chunk):
+        use_engine = engine is not None
+
+        if use_engine and n_c >= max_clusters:
+            # at cap no row can create a centroid, so the whole chunk
+            # decision runs on device in ONE dispatch (the post-cap
+            # majority of a large scan) — no per-row distance fetch
+            _apply_atcap_chunk(engine, c0, c0, builder, sampler, radius,
+                               max_clusters, cent, counts, assign, n_c)
+            continue
+
         rows_c = x[c0:c0 + chunk]
         m = rows_c.shape[0]
         offset = c0
-        use_engine = engine is not None
 
         if n_c == 0:
             # bootstrap: scan sequentially until the first kept row seeds

@@ -126,6 +126,15 @@ def warm(
             aot(f"chunk_segsum_cap{cap}", clustering._chunk_segsum_jit(),
                 corpus, S((), i32), S((chunk,), i32),
                 chunk=chunk, cap=cap)
+            # at-cap one-dispatch decide program (post-saturation chunks);
+            # "simple" covers the builder default sampler, "none" the
+            # sampling-disabled build
+            for kind in ("simple", "none"):
+                aot(f"chunk_decide_cap{cap}_{kind}",
+                    clustering._chunk_decide_jit(),
+                    corpus, S((), i32), S((cap, f), dt), S((), i32),
+                    S((), dt), S((chunk,), dt), S((), dt), S((), dt),
+                    S((), i32), chunk=chunk, cap=cap, sampler_kind=kind)
 
     # --- build stage 4: fused τ+λ kernel ---------------------------------
     if on_tpu and dt == jnp.float32:

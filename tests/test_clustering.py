@@ -556,3 +556,61 @@ def test_certified_scan_bitwise_equals_one_shot():
             assert z1 == z2, mode
     finally:
         mp.undo()
+
+
+@pytest.mark.parametrize("sampling", ["none", "simple", "density"])
+def test_chunked_atcap_device_decisions_match_host(monkeypatch, sampling):
+    """Once n_c saturates max_clusters the device engine switches to the
+    one-dispatch at-cap decide program (_chunk_decide_jit); on the
+    CPU/f64 backend it must reproduce the host rule path exactly —
+    centroids, counts, assignments and sampler RNG consumption.  The
+    cap is set BELOW the natural cluster count so the scan saturates
+    early and most chunks take the at-cap path (asserted via a call
+    counter — without it this test would be vacuous)."""
+    import jax.numpy as jnp
+    from arrowspace_tpu.clustering import (_incremental_clustering_chunked,
+                                           _apply_atcap_chunk)
+
+    monkeypatch.setattr(clustering, "DEVICE_CLUSTERING_MIN_ELEMS", 0)
+    calls = {"n": 0}
+
+    def counted(*a, **k):
+        calls["n"] += 1
+        return _apply_atcap_chunk(*a, **k)
+
+    monkeypatch.setattr(clustering, "_apply_atcap_chunk", counted)
+
+    rng = np.random.default_rng(61)
+    centers = rng.uniform(0, 1, (10, 16))
+    rows = centers[rng.integers(0, 10, 9000 + 777)] \
+        + rng.normal(0, 0.04, (9000 + 777, 16))   # chunk-misaligned tail
+
+    def build(sampler_seed):
+        b = ArrowSpaceBuilder()
+        if sampling == "none":
+            b.sampling = None
+            s = SamplerType.simple(1.0).make(seed=sampler_seed)
+        elif sampling == "simple":
+            b.sampling = SamplerType.simple(0.6)
+            s = SamplerType.simple(0.6).make(seed=sampler_seed)
+        else:
+            b.sampling = SamplerType.density_adaptive(0.7)
+            s = SamplerType.density_adaptive(0.7).make(seed=sampler_seed)
+        return b, s
+
+    b1, s1 = build(5)
+    c_host, a_host, z_host = _incremental_clustering_chunked(
+        b1, rows, 16, 6, 0.3, s1, chunk=2048)
+
+    b2, s2 = build(5)
+    c_dev, a_dev, z_dev = _incremental_clustering_chunked(
+        b2, rows, 16, 6, 0.3, s2, chunk=2048,
+        device_data=jnp.asarray(rows))
+
+    assert calls["n"] >= 2, \
+        "cap below natural cluster count must engage the at-cap path"
+    np.testing.assert_allclose(c_dev, c_host, rtol=1e-9, atol=1e-12)
+    assert a_dev == a_host
+    assert z_dev == z_host
+    assert s2.sampled_count == s1.sampled_count
+    assert s2.discarded_count == s1.discarded_count
