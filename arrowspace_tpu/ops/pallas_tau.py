@@ -107,8 +107,41 @@ def _bitonic_sort_lanes(x, f2: int):
     return x
 
 
-def _tau_rows(x, f: int, f2: int, kind: str, pct: float):
-    """τ per row of an in-VMEM (rows, F) block."""
+def _bitonic_sort_sublanes(xt, f2: int):
+    """Ascending bitonic sort along axis 0 (the SUBLANE axis) of a
+    (f2, T) plane — the experimental layout for the τ sort (STATUS r3
+    known-gap 1): exchange distances j >= 8 cross whole 8-sublane
+    registers, which the compiler can resolve as register operand
+    selection instead of data movement, and only j in {1, 2, 4} need
+    intra-register sublane rotates.  The lane-axis variant pays two
+    multi-micro-op lane rolls at EVERY one of the 28-55 stages."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (f2, 1), 0)
+    k = 2
+    while k <= f2:
+        j = k // 2
+        while j >= 1:
+            plus = pltpu.roll(xt, f2 - j, 0)   # out[row] = xt[row + j]
+            minus = pltpu.roll(xt, j, 0)       # out[row] = xt[row - j]
+            bit = (row & j) != 0               # (f2, 1), broadcasts
+            px = jnp.where(bit, minus, plus)
+            ascending = (row & k) == 0
+            is_lower = ~bit
+            take_min = ascending == is_lower   # XNOR as i1 equality
+            xt = jnp.where(take_min, jnp.minimum(xt, px),
+                           jnp.maximum(xt, px))
+            j //= 2
+        k *= 2
+    return xt
+
+
+def _tau_rows(x, f: int, f2: int, kind: str, pct: float,
+              layout: str = "lane"):
+    """τ per row of an in-VMEM (rows, F) block.
+
+    layout: "lane" sorts each row along the lane axis (production);
+    "sublane" / "sublane_mm" transpose the block and sort along the
+    sublane axis (jnp transpose vs an exact MXU identity-matmul
+    transpose) — numerically identical, kept for on-chip measurement."""
     t = x.shape[0]
     finite = jnp.isfinite(x)
     m = jnp.sum(finite.astype(jnp.int32), axis=1)    # finite count per row
@@ -123,28 +156,50 @@ def _tau_rows(x, f: int, f2: int, kind: str, pct: float):
     if f2 != f:
         pad = jnp.full((t, f2 - f), big, dtype=x.dtype)
         xs = jnp.concatenate([xs, pad], axis=1)
-    xs = _bitonic_sort_lanes(xs, f2)
 
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, f2), 1)  # lane-row, broadcasts
+    if layout == "lane":
+        xs = _bitonic_sort_lanes(xs, f2)
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, f2), 1)
+        sel = lambda idx: jnp.sum(
+            jnp.where(col == idx[:, None], xs, 0.0), axis=1)
+    else:
+        if layout == "sublane_mm":
+            # exact transpose on the MXU: xt[f, s] = Σ_t xs[t, f]·I[t, s]
+            # (products are x·1 with a single nonzero per sum — exact).
+            # The inf sort-last sentinel would poison the sum (inf·0 =
+            # NaN), so it is clamped to finfo.max first — extraction
+            # indices stay < m, so sentinel slots are never read and
+            # outputs match the inf-sentinel layouts exactly.
+            xs = jnp.minimum(xs, jnp.finfo(xs.dtype).max)
+            eye = (jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
+                   == jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
+                   ).astype(xs.dtype)
+            xt = jax.lax.dot_general(
+                xs, eye, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=xs.dtype)
+        else:
+            xt = xs.T
+        xt = _bitonic_sort_sublanes(xt, f2)
+        row = jax.lax.broadcasted_iota(jnp.int32, (f2, 1), 0)
+        sel = lambda idx: jnp.sum(
+            jnp.where(row == idx[None, :], xt, 0.0), axis=0)
+
     if kind == "percentile":
         pp = min(max(pct, 0.0), 1.0)
         idx = jnp.floor((m - 1).astype(jnp.float32) * pp + 0.5) \
             .astype(jnp.int32)
         idx = jnp.clip(idx, 0, f - 1)
-        val = jnp.sum(jnp.where(col == idx[:, None], xs, 0.0), axis=1)
-        out = jnp.where(m > 0, val, TAU_FLOOR)
+        out = jnp.where(m > 0, sel(idx), TAU_FLOOR)
     else:  # median
         lo = jnp.clip((jnp.maximum(m, 1) - 1) // 2, 0, f - 1)
         hi = jnp.clip(jnp.maximum(m, 1) // 2, 0, f - 1)
-        vlo = jnp.sum(jnp.where(col == lo[:, None], xs, 0.0), axis=1)
-        vhi = jnp.sum(jnp.where(col == hi[:, None], xs, 0.0), axis=1)
-        med = 0.5 * (vlo + vhi)
+        med = 0.5 * (sel(lo) + sel(hi))
         out = jnp.where(m > 0, med, TAU_FLOOR)
     return jnp.maximum(out, TAU_FLOOR)
 
 
 def _kernel(x_ref, out_ref, *, f: int, f2: int, kind: str, pct: float,
-            sub: int):
+            sub: int, layout: str = "lane"):
     """Row tile processed in `sub`-row sub-blocks: the tile itself must
     be >= 1024 rows (Mosaic floor), but the bitonic sort's ~5 working
     planes of (rows, f2) blow the 16 MB scoped-VMEM limit at wide F if
@@ -156,11 +211,13 @@ def _kernel(x_ref, out_ref, *, f: int, f2: int, kind: str, pct: float,
     t = x_ref.shape[0]
     for s0 in range(0, t, sub):
         out_ref[s0:s0 + sub, :] = _tau_rows(
-            x_ref[s0:s0 + sub, :], f, f2, kind, pct)[:, None]
+            x_ref[s0:s0 + sub, :], f, f2, kind, pct,
+            layout=layout)[:, None]
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("kind", "pct", "tile", "interpret"))
+                   static_argnames=("kind", "pct", "tile", "interpret",
+                                    "layout"))
 def fused_select_tau(
     items: jax.Array,        # (N, F)
     *,
@@ -168,6 +225,7 @@ def fused_select_tau(
     pct: float = 0.5,
     tile: int = 1024,
     interpret: bool = False,
+    layout: str = "lane",    # "lane" | "sublane" | "sublane_mm"
 ) -> jax.Array:
     n, f = items.shape
     f2 = 1 << (f - 1).bit_length()
@@ -190,7 +248,7 @@ def fused_select_tau(
     )
     out = pl.pallas_call(
         functools.partial(_kernel, f=f, f2=f2, kind=kind, pct=pct,
-                          sub=_sub_rows_for(f, tile)),
+                          sub=_sub_rows_for(f, tile), layout=layout),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_pad, 1), dt),
         interpret=interpret,

@@ -25,49 +25,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import DENOM_EPS, TAU_FLOOR
-from .pallas_tau import _bitonic_sort_lanes
+from .pallas_tau import _tau_rows
 
 __all__ = ["fused_taulambda_batch", "fused_taulambda_fits"]
 
 
-def _tau_from_tile(x, f: int, f2: int, kind: str, pct: float):
-    """τ per row of the resident tile (same semantics as pallas_tau)."""
-    t = x.shape[0]
-    finite = jnp.isfinite(x)
-    m = jnp.sum(finite.astype(jnp.int32), axis=1)
-
-    if kind == "mean":
-        s = jnp.sum(jnp.where(finite, x, 0.0), axis=1)
-        mean = jnp.where(m > 0, s / jnp.maximum(m, 1).astype(x.dtype), 0.0)
-        return jnp.maximum(mean, TAU_FLOOR)
-
-    big = jnp.asarray(jnp.inf, dtype=x.dtype)
-    xs = jnp.where(finite, x, big)
-    if f2 != f:
-        pad = jnp.full((t, f2 - f), big, dtype=x.dtype)
-        xs = jnp.concatenate([xs, pad], axis=1)
-    xs = _bitonic_sort_lanes(xs, f2)
-
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, f2), 1)  # lane-row, broadcasts
-    if kind == "percentile":
-        pp = min(max(pct, 0.0), 1.0)
-        idx = jnp.floor((m - 1).astype(jnp.float32) * pp + 0.5) \
-            .astype(jnp.int32)
-        idx = jnp.clip(idx, 0, f - 1)
-        val = jnp.sum(jnp.where(col == idx[:, None], xs, 0.0), axis=1)
-        out = jnp.where(m > 0, val, TAU_FLOOR)
-    else:  # median
-        lo = jnp.clip((jnp.maximum(m, 1) - 1) // 2, 0, f - 1)
-        hi = jnp.clip(jnp.maximum(m, 1) // 2, 0, f - 1)
-        vlo = jnp.sum(jnp.where(col == lo[:, None], xs, 0.0), axis=1)
-        vhi = jnp.sum(jnp.where(col == hi[:, None], xs, 0.0), axis=1)
-        out = jnp.where(m > 0, 0.5 * (vlo + vhi), TAU_FLOOR)
-    return jnp.maximum(out, TAU_FLOOR)
-
-
 def _kernel(x_ref, lap_ref, w_ref, w2_ref, dr_ref, dc_ref, d2r_ref,
             d2c_ref, out_ref, *, n: int, f: int, f2: int, kind: str,
-            pct: float, fixed: float):
+            pct: float, fixed: float, layout: str = "lane"):
     x = x_ref[:]                      # (T, F) — the ONLY HBM read of items
     dt = jnp.float32
 
@@ -75,7 +40,7 @@ def _kernel(x_ref, lap_ref, w_ref, w2_ref, dr_ref, dc_ref, d2r_ref,
         t = fixed if np.isfinite(fixed) and fixed > 0.0 else TAU_FLOOR
         tau = jnp.full((x.shape[0],), t, dtype=dt)
     else:
-        tau = _tau_from_tile(x, f, f2, kind, pct)
+        tau = _tau_rows(x, f, f2, kind, pct, layout=layout)
 
     xn = x[:, :n]
 
@@ -124,7 +89,7 @@ def fused_taulambda_fits(n_items: int, f: int, n: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("kind", "pct", "fixed", "tile",
-                                    "interpret"))
+                                    "interpret", "layout"))
 def fused_taulambda_batch(
     items: jax.Array,      # (N, F)
     laplacian: jax.Array,  # (n, n), n <= F
@@ -134,6 +99,7 @@ def fused_taulambda_batch(
     fixed: float = 0.0,
     tile: int = 1024,
     interpret: bool = False,
+    layout: str = "lane",  # τ sort layout (see pallas_tau._tau_rows)
 ) -> jax.Array:
     n_items, f = items.shape
     n = laplacian.shape[0]
@@ -179,7 +145,7 @@ def fused_taulambda_batch(
     )
     out = pl.pallas_call(
         functools.partial(_kernel, n=n, f=f, f2=f2, kind=kind, pct=pct,
-                          fixed=fixed),
+                          fixed=fixed, layout=layout),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_pad,), dt),
         interpret=interpret,

@@ -444,3 +444,26 @@ def test_binned_energy_fuzz_shapes_and_k():
             f"wl={wl:.2f} wd={wd:.2f} tile={tile})")
         np.testing.assert_allclose(np.asarray(s1)[ok],
                                    np.asarray(s2)[ok], atol=2e-5)
+
+
+@pytest.mark.parametrize("layout", ["sublane", "sublane_mm"])
+def test_fused_select_tau_sublane_layouts_match_lane(layout):
+    """The experimental sublane-sorted τ layouts must agree bitwise with
+    the production lane layout (same values, same extraction arithmetic),
+    including non-finite filtering, non-power-of-two F and percentile."""
+    from arrowspace_tpu.ops.pallas_tau import fused_select_tau
+    rng = np.random.default_rng(29)
+    for f in (24, 64, 128):
+        x = rng.normal(size=(700, f)).astype(np.float32)
+        x[3, 5] = np.nan
+        x[17, :] = np.inf
+        xj = jnp.asarray(x)
+        for kind, pct in (("median", 0.5), ("percentile", 0.25),
+                          ("mean", 0.5)):
+            a = np.asarray(fused_select_tau(xj, kind=kind, pct=pct,
+                                            tile=256, interpret=True))
+            b = np.asarray(fused_select_tau(xj, kind=kind, pct=pct,
+                                            tile=256, interpret=True,
+                                            layout=layout))
+            np.testing.assert_array_equal(a, b,
+                                          err_msg=f"f={f} kind={kind}")
