@@ -37,9 +37,23 @@ Alternatives evaluated and rejected (so they are not re-tried):
   fused 25 ms, ~3× the naive op-count estimate, i.e. a lane rotate
   lowers to several micro-ops).  Kept the (1, f2) form as the clearer
   statement of intent.
+- MXU identity-matmul transpose for the sublane layout ("sublane_mm"):
+  NOT exact on the real chip (measured max |Δτ| 9.2e-4 at 4096×128 —
+  the f32 MXU matmul truncates operands), and no faster than the plain
+  Mosaic relayout transpose (13.78 vs 13.52 ms at 1M×128).  τ parity
+  is bitwise by contract, so it is measurement-only.
+
+PRODUCTION LAYOUT: "sublane" — the sub-block is transposed in-kernel
+and sorted along the SUBLANE axis, where exchange distances j >= 8
+cross whole 8-sublane registers (register operand selection, not data
+movement) and only j in {1,2,4} rotate within a register; the lane
+layout pays two multi-micro-op lane rolls at EVERY stage.  Measured
+amortised on v5e (bitwise-equal outputs): τ 1M×128 20.6 → 13.5 ms,
+τ 500k×384 52.6 → 27.9 ms, fused τ+λ 1M×128 24.8 → 17.6 ms
+(benchmarks/tau_layout_bench.py, tau_layout_widef.py).
 Mosaic overlaps this VPU-bound sort with the MXU λ matmul chain in the
 fused τ+λ kernel (ops/pallas_taulambda.py), so the sort bounds the whole
-λτ pipeline: ~18.7 ms device at 1M×128.
+λτ pipeline.
 """
 
 from __future__ import annotations
@@ -109,12 +123,13 @@ def _bitonic_sort_lanes(x, f2: int):
 
 def _bitonic_sort_sublanes(xt, f2: int):
     """Ascending bitonic sort along axis 0 (the SUBLANE axis) of a
-    (f2, T) plane — the experimental layout for the τ sort (STATUS r3
-    known-gap 1): exchange distances j >= 8 cross whole 8-sublane
-    registers, which the compiler can resolve as register operand
-    selection instead of data movement, and only j in {1, 2, 4} need
-    intra-register sublane rotates.  The lane-axis variant pays two
-    multi-micro-op lane rolls at EVERY one of the 28-55 stages."""
+    (f2, T) plane — the production layout for the τ sort: exchange
+    distances j >= 8 cross whole 8-sublane registers, which the
+    compiler can resolve as register operand selection instead of data
+    movement, and only j in {1, 2, 4} need intra-register sublane
+    rotates.  The lane-axis variant pays two multi-micro-op lane rolls
+    at EVERY one of the 28-55 stages (measured 1.5-1.9× slower; see
+    module docstring)."""
     row = jax.lax.broadcasted_iota(jnp.int32, (f2, 1), 0)
     k = 2
     while k <= f2:
@@ -135,13 +150,15 @@ def _bitonic_sort_sublanes(xt, f2: int):
 
 
 def _tau_rows(x, f: int, f2: int, kind: str, pct: float,
-              layout: str = "lane"):
+              layout: str = "sublane"):
     """τ per row of an in-VMEM (rows, F) block.
 
-    layout: "lane" sorts each row along the lane axis (production);
-    "sublane" / "sublane_mm" transpose the block and sort along the
-    sublane axis (jnp transpose vs an exact MXU identity-matmul
-    transpose) — numerically identical, kept for on-chip measurement."""
+    layout: "sublane" (production) transposes the block and sorts along
+    the sublane axis; "lane" sorts each row along the lane axis (the
+    pre-r3 production layout, kept for A/B); "sublane_mm" replaces the
+    transpose with an MXU identity matmul — bitwise-equal to the others
+    under interpret/CPU but INEXACT on the real chip (the f32 MXU
+    matmul truncates; measurement-only)."""
     t = x.shape[0]
     finite = jnp.isfinite(x)
     m = jnp.sum(finite.astype(jnp.int32), axis=1)    # finite count per row
@@ -199,7 +216,7 @@ def _tau_rows(x, f: int, f2: int, kind: str, pct: float,
 
 
 def _kernel(x_ref, out_ref, *, f: int, f2: int, kind: str, pct: float,
-            sub: int, layout: str = "lane"):
+            sub: int, layout: str = "sublane"):
     """Row tile processed in `sub`-row sub-blocks: the tile itself must
     be >= 1024 rows (Mosaic floor), but the bitonic sort's ~5 working
     planes of (rows, f2) blow the 16 MB scoped-VMEM limit at wide F if
@@ -225,7 +242,7 @@ def fused_select_tau(
     pct: float = 0.5,
     tile: int = 1024,
     interpret: bool = False,
-    layout: str = "lane",    # "lane" | "sublane" | "sublane_mm"
+    layout: str = "sublane",  # "sublane" | "lane" | "sublane_mm"
 ) -> jax.Array:
     n, f = items.shape
     f2 = 1 << (f - 1).bit_length()

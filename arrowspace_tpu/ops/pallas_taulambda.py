@@ -32,7 +32,7 @@ __all__ = ["fused_taulambda_batch", "fused_taulambda_fits"]
 
 def _kernel(x_ref, lap_ref, w_ref, w2_ref, dr_ref, dc_ref, d2r_ref,
             d2c_ref, out_ref, *, n: int, f: int, f2: int, kind: str,
-            pct: float, fixed: float, layout: str = "lane"):
+            pct: float, fixed: float, layout: str = "sublane"):
     x = x_ref[:]                      # (T, F) — the ONLY HBM read of items
     dt = jnp.float32
 
@@ -99,7 +99,7 @@ def fused_taulambda_batch(
     fixed: float = 0.0,
     tile: int = 1024,
     interpret: bool = False,
-    layout: str = "lane",  # τ sort layout (see pallas_tau._tau_rows)
+    layout: str = "sublane",  # τ sort layout (see pallas_tau._tau_rows)
 ) -> jax.Array:
     n_items, f = items.shape
     n = laplacian.shape[0]

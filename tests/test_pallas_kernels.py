@@ -448,9 +448,12 @@ def test_binned_energy_fuzz_shapes_and_k():
 
 @pytest.mark.parametrize("layout", ["sublane", "sublane_mm"])
 def test_fused_select_tau_sublane_layouts_match_lane(layout):
-    """The experimental sublane-sorted τ layouts must agree bitwise with
-    the production lane layout (same values, same extraction arithmetic),
-    including non-finite filtering, non-power-of-two F and percentile."""
+    """The sublane-sorted τ layouts (sublane = production) must agree
+    bitwise with the lane layout (same values, same extraction
+    arithmetic), including non-finite filtering, non-power-of-two F and
+    percentile.  (On the real chip sublane ≡ lane exactly too, but
+    sublane_mm is inexact — the f32 MXU identity-matmul transpose
+    truncates; it stays interpret/CPU-only.)"""
     from arrowspace_tpu.ops.pallas_tau import fused_select_tau
     rng = np.random.default_rng(29)
     for f in (24, 64, 128):
@@ -461,7 +464,8 @@ def test_fused_select_tau_sublane_layouts_match_lane(layout):
         for kind, pct in (("median", 0.5), ("percentile", 0.25),
                           ("mean", 0.5)):
             a = np.asarray(fused_select_tau(xj, kind=kind, pct=pct,
-                                            tile=256, interpret=True))
+                                            tile=256, interpret=True,
+                                            layout="lane"))
             b = np.asarray(fused_select_tau(xj, kind=kind, pct=pct,
                                             tile=256, interpret=True,
                                             layout=layout))
