@@ -575,16 +575,25 @@ def _chunk_segsum_jit():
 _CHUNK_SEGSUM = None
 
 
-def _chunk_decide_jit():
-    """Module-level jitted AT-CAP chunk-decision program: once
-    n_c == max_clusters no row can create a centroid, so the entire
-    per-chunk rule set (snapshot distances, sampling keep, the
-    create→soft re-route, assign/soft routing, grouped running-mean
-    sums, soft counts) collapses to ONE device dispatch against the
-    resident corpus.  The host receives (cap, F) mean ingredients plus
-    the (chunk,) assignment vector — it never fetches per-row distances
-    again, halving the chunked scan's round trips and cutting its
-    fetched bytes ~2x for the post-cap majority of the corpus.
+def _chunk_decide_tail_jit():
+    """Module-level jitted AT-CAP TAIL program: once n_c == max_clusters
+    no row can create a centroid, so every remaining chunk's rule set
+    (snapshot distances, sampling keep, the create→soft re-route,
+    assign/soft routing, grouped running-mean sums, soft counts, and the
+    running-mean centroid update itself) collapses into ONE device
+    dispatch — a lax.scan over all remaining chunk windows carrying
+    (centroids, counts).  The host uploads the sampler draws for the
+    whole tail once and fetches (final centroids, final counts, the full
+    tail assignment matrix, kept-row count) once: the per-chunk
+    round-trip cadence of the former one-chunk decide program (~2 round
+    trips x ~39 chunks at 10M rows, the measured wall of the 10M scan
+    through the dev tunnel) becomes 2 transfers total.
+
+    n_steps is ceil(n/chunk) — purely shape-derived, so one compiled
+    program serves the scan no matter where the cap was hit: steps whose
+    window starts past the corpus end are inert (their in-window mask is
+    empty), and the scan always starts at the first at-cap chunk
+    boundary c0_tail.
 
     Rule parity with _apply_chunk_decisions at cap (host reference):
     want_create rows (bd > radius/2) fall through the creation loop
@@ -592,78 +601,103 @@ def _chunk_decide_jit():
     UNCHANGED best distance — so routing reduces to
         assign iff keep and not create and bd <= radius
         soft   iff keep and not assign and bd <= 1.5*radius
-    which is exactly what this program computes.  On the CPU/f64 test
-    backend all arithmetic matches the host rules bitwise; on TPU the
-    f32 distance/probability comparisons sit inside the chunked
-    (unseeded) mode's documented f32 relaxation."""
-    global _CHUNK_DECIDE
-    if _CHUNK_DECIDE is None:
+    and the centroid update is the grouped running mean
+        cent' = (cent*counts + sums) / (counts + adds)  where adds > 0
+    exactly as the host applies it.  On the CPU/f64 test backend all
+    arithmetic matches the host rules to scatter-order rounding (the
+    parity test pins centroids at 1e-9 and assignments exactly); on TPU
+    the f32 distances/probabilities AND the f32 carried centroids sit
+    inside the chunked (unseeded) mode's documented f32 relaxation —
+    the former per-chunk program round-tripped the running means through
+    host f64 between chunks, this one carries them in the corpus dtype."""
+    global _CHUNK_DECIDE_TAIL
+    if _CHUNK_DECIDE_TAIL is None:
         import functools
         import jax
         import jax.numpy as jnp
 
         @functools.partial(jax.jit,
-                           static_argnames=("chunk", "cap", "sampler_kind"))
-        def _decide(corpus, start, cent_pad, n_c, radius, draws,
-                    base_rate, saturation, valid_from, *,
-                    chunk, cap, sampler_kind):
-            f = corpus.shape[1]
+                           static_argnames=("chunk", "cap", "sampler_kind",
+                                            "n_steps"))
+        def _tail(corpus, c0_tail, cent0, counts0, n_c, radius, draws,
+                  base_rate, saturation, *, chunk, cap, sampler_kind,
+                  n_steps):
+            n, f = corpus.shape
             dt = corpus.dtype
-            rows_c = jax.lax.dynamic_slice(
-                corpus, (start, jnp.zeros((), start.dtype)), (chunk, f))
-            d2 = (jnp.sum(rows_c * rows_c, axis=1)[:, None]
-                  - 2.0 * jnp.dot(rows_c, cent_pad.T,
-                                  preferred_element_type=dt)
-                  + jnp.sum(cent_pad * cent_pad, axis=1)[None, :])
-            d2 = jnp.maximum(d2, 0.0)
-            valid_c = jnp.arange(cent_pad.shape[0]) < n_c
-            d2 = jnp.where(valid_c[None, :], d2, jnp.inf)
-            best = jnp.argmin(d2, axis=1).astype(jnp.int32)
-            bd = jnp.take_along_axis(d2, best[:, None].astype(jnp.int64),
-                                     axis=1)[:, 0]
-
+            valid_c = (jnp.arange(cap) < n_c)[None, :]
             pos = jnp.arange(chunk, dtype=jnp.int32)
-            in_win = pos >= valid_from
             radius = radius.astype(dt)
-            if sampler_kind == "none":
-                keep = in_win
-            else:
-                if sampler_kind == "simple":
-                    prob = jnp.full((chunk,), base_rate, dtype=dt)
-                else:   # density-adaptive (sampling.rs:167-238 formula)
-                    fin = jnp.isfinite(bd)
-                    df = jnp.maximum(
-                        jnp.log(jnp.where(fin, bd, 0.0) + 0.1), 0.0)
-                    df = jnp.where(fin, df, 0.0)
-                    prob = jnp.clip(
-                        base_rate.astype(dt) * (1.0 - saturation * 0.1)
-                        * (1.0 + df * 0.3), 0.01, 1.0)
-                keep = in_win & (draws < prob)
-            kept_cnt = jnp.sum(keep.astype(jnp.int32))
 
-            want_create = keep & (bd > radius * 0.5)
-            assign_m = keep & ~want_create & (bd <= radius)
-            soft_m = keep & ~assign_m & (bd <= radius * 1.5)
+            def step(carry, inp):
+                cent, counts = carry
+                i, drw = inp
+                c0 = c0_tail + i * chunk
+                start = jnp.minimum(c0, n - chunk)
+                m = jnp.clip(n - c0, 0, chunk)
+                valid_from = chunk - m
+                rows_c = jax.lax.dynamic_slice(
+                    corpus, (start, jnp.zeros((), start.dtype)),
+                    (chunk, f))
+                d2 = (jnp.sum(rows_c * rows_c, axis=1)[:, None]
+                      - 2.0 * jnp.dot(rows_c, cent.T,
+                                      preferred_element_type=dt)
+                      + jnp.sum(cent * cent, axis=1)[None, :])
+                d2 = jnp.maximum(d2, 0.0)
+                d2 = jnp.where(valid_c, d2, jnp.inf)
+                best = jnp.argmin(d2, axis=1).astype(jnp.int32)
+                bd = jnp.take_along_axis(
+                    d2, best[:, None].astype(jnp.int64), axis=1)[:, 0]
 
-            t_a = jnp.where(assign_m, best, cap)   # park slot = cap
-            sums = jnp.zeros((cap + 1, f), dtype=dt)
-            sums = sums.at[t_a].add(jnp.where(assign_m[:, None],
-                                              rows_c, 0.0))
-            counts_add = jnp.zeros((cap + 1,), dtype=jnp.int32) \
-                .at[t_a].add(assign_m.astype(jnp.int32))
-            t_s = jnp.where(soft_m, best, cap)
-            soft_cnt = jnp.zeros((cap + 1,), dtype=jnp.int32) \
-                .at[t_s].add(soft_m.astype(jnp.int32))
-            assign_vec = jnp.where(assign_m | soft_m, best,
-                                   jnp.int32(-1))
-            return (sums[:cap], counts_add[:cap], soft_cnt[:cap],
-                    assign_vec, kept_cnt)
+                in_win = pos >= valid_from
+                if sampler_kind == "none":
+                    keep = in_win
+                else:
+                    if sampler_kind == "simple":
+                        prob = jnp.full((chunk,), base_rate, dtype=dt)
+                    else:   # density-adaptive (sampling.rs:167-238)
+                        fin = jnp.isfinite(bd)
+                        df = jnp.maximum(
+                            jnp.log(jnp.where(fin, bd, 0.0) + 0.1), 0.0)
+                        df = jnp.where(fin, df, 0.0)
+                        prob = jnp.clip(
+                            base_rate.astype(dt) * (1.0 - saturation * 0.1)
+                            * (1.0 + df * 0.3), 0.01, 1.0)
+                    keep = in_win & (drw < prob)
+                kept_cnt = jnp.sum(keep.astype(jnp.int32))
 
-        _CHUNK_DECIDE = _decide
-    return _CHUNK_DECIDE
+                want_create = keep & (bd > radius * 0.5)
+                assign_m = keep & ~want_create & (bd <= radius)
+                soft_m = keep & ~assign_m & (bd <= radius * 1.5)
+
+                t_a = jnp.where(assign_m, best, cap)   # park slot = cap
+                sums = jnp.zeros((cap + 1, f), dtype=dt) \
+                    .at[t_a].add(jnp.where(assign_m[:, None],
+                                           rows_c, 0.0))[:cap]
+                cadd = jnp.zeros((cap + 1,), jnp.int32) \
+                    .at[t_a].add(assign_m.astype(jnp.int32))[:cap]
+                t_s = jnp.where(soft_m, best, cap)
+                scnt = jnp.zeros((cap + 1,), jnp.int32) \
+                    .at[t_s].add(soft_m.astype(jnp.int32))[:cap]
+                avec = jnp.where(assign_m | soft_m, best, jnp.int32(-1))
+
+                new_counts = counts + cadd
+                cf = counts.astype(dt)[:, None]
+                nf = jnp.maximum(new_counts, 1).astype(dt)[:, None]
+                cent = jnp.where((cadd > 0)[:, None],
+                                 (cent * cf + sums) / nf, cent)
+                counts = new_counts + scnt   # soft: counted, eta = 0
+                return (cent, counts), (avec, kept_cnt)
+
+            (cent, counts), (avecs, kepts) = jax.lax.scan(
+                step, (cent0, counts0),
+                (jnp.arange(n_steps, dtype=jnp.int32), draws))
+            return cent, counts, avecs, jnp.sum(kepts)
+
+        _CHUNK_DECIDE_TAIL = _tail
+    return _CHUNK_DECIDE_TAIL
 
 
-_CHUNK_DECIDE = None
+_CHUNK_DECIDE_TAIL = None
 
 # Corpora below this many elements keep the clustering scan on host BLAS
 # (an accelerator compile through the tunnel dwarfs a few ms of matmul;
@@ -745,22 +779,35 @@ class _DeviceChunkDistances:
         return (np.asarray(sums, dtype=np.float64),
                 np.asarray(counts, dtype=np.int64))
 
-    def decide(self, c0: int, cent: np.ndarray, n_c: int, radius: float,
-               sampler, sampling_enabled: bool, max_clusters: int):
-        """AT-CAP chunk decisions in one dispatch (see _chunk_decide_jit):
-        returns host (sums (cap,F) f64, counts_add (n_c,) i64,
-        soft_cnt (n_c,) i64, assign_vec (m,) i64, kept int) for the
-        window at c0.  Draws come from the HOST sampler RNG (same stream
-        and order as the host rule path), uploaded with the dispatch."""
+    def tail_steps(self) -> int:
+        """Static step count of the at-cap tail program: ceil(n/chunk),
+        purely shape-derived (one compile per corpus/chunk shape
+        regardless of where the scan saturates the cap)."""
+        return (self.n + self.chunk - 1) // self.chunk
+
+    def decide_tail(self, c0: int, cent: np.ndarray, counts: np.ndarray,
+                    n_c: int, radius: float, sampler,
+                    sampling_enabled: bool, max_clusters: int):
+        """ALL remaining at-cap chunk decisions in one dispatch (see
+        _chunk_decide_tail_jit): returns host (cent (n_c,F) f64,
+        counts (n_c,) i64, assign_tail (n-c0,) i64, kept int) for the
+        whole window [c0, n).  Draws come from the HOST sampler RNG in
+        one pregenerated block — numpy Generators consume the bit
+        stream per value, so rng.random(m_total) equals the per-chunk
+        rng.random(m) sequence the host rule path draws."""
         import jax
 
         jnp = self._jnp
         dt = self.corpus.dtype
-        m = min(self.chunk, self.n - c0)
-        start = np.int32(min(c0, self.n - self.chunk))
+        n, chunk = self.n, self.chunk
+        n_steps = self.tail_steps()
+        m_total = n - c0
+        n_real = (m_total + chunk - 1) // chunk
         cent_pad = np.zeros((self.mc_pad, self.corpus.shape[1]),
                             dtype=np.float64)
         cent_pad[:n_c] = cent[:n_c]
+        counts_pad = np.zeros(self.mc_pad, dtype=np.int32)
+        counts_pad[:n_c] = counts[:n_c]
 
         if sampling_enabled:
             from .sampling import SimpleRandomSampler
@@ -768,31 +815,41 @@ class _DeviceChunkDistances:
                 else "density"
             base = getattr(sampler, "keep_rate",
                            getattr(sampler, "base_rate", 1.0))
-            draws_pad = np.ones(self.chunk, dtype=np.float64)
-            draws_pad[self.chunk - m:] = sampler._rng.random(m)
+            draws = np.ones((n_steps, chunk), dtype=np.float64)
+            flat = sampler._rng.random(m_total)
+            off = 0
+            for i in range(n_real):
+                mi = min(chunk, n - (c0 + i * chunk))
+                draws[i, chunk - mi:] = flat[off:off + mi]
+                off += mi
         else:
             kind = "none"
             base = 1.0
-            draws_pad = np.ones(self.chunk, dtype=np.float64)
+            draws = np.zeros((n_steps, 1), dtype=np.float64)
         saturation = n_c / max_clusters if max_clusters else 0.0
 
-        sums, cadd, scnt, avec, kept = _chunk_decide_jit()(
-            self.corpus, start,
+        cent_new, counts_new, avecs, kept = _chunk_decide_tail_jit()(
+            self.corpus, np.int32(c0),
             jnp.asarray(cent_pad, dtype=dt),
+            jnp.asarray(counts_pad),
             np.int32(n_c),
             jnp.asarray(radius, dtype=dt),
-            jnp.asarray(draws_pad, dtype=dt),
+            jnp.asarray(draws, dtype=dt),
             jnp.asarray(base, dtype=dt),
             jnp.asarray(saturation, dtype=dt),
-            np.int32(self.chunk - m),
-            chunk=self.chunk, cap=self.mc_pad, sampler_kind=kind)
-        sums, cadd, scnt, avec, kept = jax.device_get(
-            (sums, cadd, scnt, avec[self.chunk - m:], kept))
-        return (np.asarray(sums, dtype=np.float64),
-                np.asarray(cadd[:n_c], dtype=np.int64),
-                np.asarray(scnt[:n_c], dtype=np.int64),
-                np.asarray(avec, dtype=np.int64),
-                int(kept))
+            chunk=chunk, cap=self.mc_pad, sampler_kind=kind,
+            n_steps=n_steps)
+        cent_new, counts_new, avecs, kept = jax.device_get(
+            (cent_new, counts_new, avecs, kept))
+        assign_tail = np.empty(m_total, dtype=np.int64)
+        off = 0
+        for i in range(n_real):
+            mi = min(chunk, n - (c0 + i * chunk))
+            assign_tail[off:off + mi] = avecs[i, chunk - mi:]
+            off += mi
+        return (np.asarray(cent_new, dtype=np.float64)[:n_c],
+                np.asarray(counts_new, dtype=np.int64)[:n_c],
+                assign_tail, int(kept))
 
     def __call__(self, c0: int, cent: np.ndarray, n_c: int):
         jnp = self._jnp
@@ -879,7 +936,7 @@ def _apply_chunk_decisions(rows_c, best, best_d2, offset, builder, sampler,
         # no row data needed (this also spares the sharded path its
         # creator-row fetch) and no f32 staging (the cast below exists
         # for the creation loop's BLAS block only).  Matches the at-cap
-        # device decide program (_chunk_decide_jit) bitwise on f64.
+        # device tail program (_chunk_decide_tail_jit) bitwise on f64.
         lb = best_d2[creators]
         soft_ok = lb <= radius * relax
         soft_extra_rows.extend(creators[soft_ok].tolist())
@@ -982,33 +1039,27 @@ def _apply_chunk_decisions(rows_c, best, best_d2, offset, builder, sampler,
     state["n_c"] = n_c
 
 
-def _apply_atcap_chunk(engine, c0: int, offset: int, builder, sampler,
-                       radius, max_clusters, cent, counts, assign,
-                       n_c: int) -> None:
-    """Apply one at-cap chunk from the device decide program: grouped
-    running-mean update, soft-outlier counts, assignments, sampler
-    stats.  Semantics identical to _apply_chunk_decisions when
+def _apply_atcap_tail(engine, c0: int, builder, sampler, radius,
+                      max_clusters, cent, counts, assign,
+                      n_c: int) -> None:
+    """Apply the WHOLE at-cap remainder of the scan from the device tail
+    program: final centroids/counts (running means carried on device),
+    tail assignments, sampler stats — one dispatch, two transfers.
+    Semantics identical to _apply_chunk_decisions chunk-by-chunk when
     n_c == max_clusters (proven by the engine-vs-host equality tests on
     the CPU/f64 backend)."""
-    sums, cadd, scnt, avec, kept = engine.decide(
-        c0, cent, n_c, radius, sampler, builder.sampling is not None,
-        max_clusters)
-    m = avec.shape[0]
+    cent_new, counts_new, assign_tail, kept = engine.decide_tail(
+        c0, cent, counts, n_c, radius, sampler,
+        builder.sampling is not None, max_clusters)
+    m_total = assign_tail.shape[0]
     if builder.sampling is not None:
         sampler.sampled_count += kept
-        sampler.discarded_count += m - kept
-
-    upd = cadd > 0
-    if upd.any():
-        new_counts = counts[:n_c] + cadd
-        cent[:n_c][upd] = (
-            (cent[:n_c][upd] * counts[:n_c][upd, None]
-             + sums[:n_c][upd]) / new_counts[upd, None])
-        counts[:n_c] = new_counts
-    counts[:n_c] += scnt          # soft outliers: counted, eta = 0
-    idx = np.nonzero(avec >= 0)[0]
+        sampler.discarded_count += m_total - kept
+    cent[:n_c] = cent_new
+    counts[:n_c] = counts_new
+    idx = np.nonzero(assign_tail >= 0)[0]
     if idx.size:
-        assign[offset + idx] = avec[idx]
+        assign[c0 + idx] = assign_tail[idx]
 
 
 def _incremental_clustering_chunked(builder, rows, nfeatures, max_clusters,
@@ -1047,12 +1098,13 @@ def _incremental_clustering_chunked(builder, rows, nfeatures, max_clusters,
         use_engine = engine is not None
 
         if use_engine and n_c >= max_clusters:
-            # at cap no row can create a centroid, so the whole chunk
-            # decision runs on device in ONE dispatch (the post-cap
-            # majority of a large scan) — no per-row distance fetch
-            _apply_atcap_chunk(engine, c0, c0, builder, sampler, radius,
-                               max_clusters, cent, counts, assign, n_c)
-            continue
+            # at cap no row can create a centroid, so the ENTIRE
+            # remainder of the scan (the post-cap majority of a large
+            # corpus) runs on device in ONE dispatch — running means
+            # carried in the scan, no per-chunk round trips
+            _apply_atcap_tail(engine, c0, builder, sampler, radius,
+                              max_clusters, cent, counts, assign, n_c)
+            break
 
         rows_c = x[c0:c0 + chunk]
         m = rows_c.shape[0]

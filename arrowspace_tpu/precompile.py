@@ -126,15 +126,21 @@ def warm(
             aot(f"chunk_segsum_cap{cap}", clustering._chunk_segsum_jit(),
                 corpus, S((), i32), S((chunk,), i32),
                 chunk=chunk, cap=cap)
-            # at-cap one-dispatch decide program (post-saturation chunks);
-            # "simple" covers the builder default sampler, "none" the
-            # sampling-disabled build
+            # at-cap one-dispatch TAIL program (the whole post-saturation
+            # remainder of the scan); n_steps is shape-derived so one
+            # program per (corpus, cap, kind).  "simple" covers the
+            # builder default sampler, "none" the sampling-disabled build
+            n_steps = (n + chunk - 1) // chunk
             for kind in ("simple", "none"):
-                aot(f"chunk_decide_cap{cap}_{kind}",
-                    clustering._chunk_decide_jit(),
-                    corpus, S((), i32), S((cap, f), dt), S((), i32),
-                    S((), dt), S((chunk,), dt), S((), dt), S((), dt),
-                    S((), i32), chunk=chunk, cap=cap, sampler_kind=kind)
+                draws_shape = (n_steps, chunk) if kind != "none" \
+                    else (n_steps, 1)
+                aot(f"chunk_tail_cap{cap}_{kind}",
+                    clustering._chunk_decide_tail_jit(),
+                    corpus, S((), i32), S((cap, f), dt), S((cap,), i32),
+                    S((), i32), S((), dt), S(draws_shape, dt),
+                    S((), dt), S((), dt),
+                    chunk=chunk, cap=cap, sampler_kind=kind,
+                    n_steps=n_steps)
 
     # --- build stage 4: fused τ+λ kernel ---------------------------------
     if on_tpu and dt == jnp.float32:

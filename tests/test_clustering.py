@@ -560,25 +560,27 @@ def test_certified_scan_bitwise_equals_one_shot():
 
 @pytest.mark.parametrize("sampling", ["none", "simple", "density"])
 def test_chunked_atcap_device_decisions_match_host(monkeypatch, sampling):
-    """Once n_c saturates max_clusters the device engine switches to the
-    one-dispatch at-cap decide program (_chunk_decide_jit); on the
-    CPU/f64 backend it must reproduce the host rule path exactly —
-    centroids, counts, assignments and sampler RNG consumption.  The
-    cap is set BELOW the natural cluster count so the scan saturates
-    early and most chunks take the at-cap path (asserted via a call
-    counter — without it this test would be vacuous)."""
+    """Once n_c saturates max_clusters the device engine hands the WHOLE
+    remaining scan to the one-dispatch at-cap tail program
+    (_chunk_decide_tail_jit); on the CPU/f64 backend it must reproduce
+    the host rule path exactly — centroids, counts, assignments and
+    sampler RNG consumption.  The cap is set BELOW the natural cluster
+    count so the scan saturates early and the tail covers most chunks
+    (asserted via a call counter recording the tail's starting row —
+    without it this test would be vacuous)."""
     import jax.numpy as jnp
     from arrowspace_tpu.clustering import (_incremental_clustering_chunked,
-                                           _apply_atcap_chunk)
+                                           _apply_atcap_tail)
 
     monkeypatch.setattr(clustering, "DEVICE_CLUSTERING_MIN_ELEMS", 0)
-    calls = {"n": 0}
+    calls = {"n": 0, "c0": None}
 
-    def counted(*a, **k):
+    def counted(engine, c0, *a, **k):
         calls["n"] += 1
-        return _apply_atcap_chunk(*a, **k)
+        calls["c0"] = c0
+        return _apply_atcap_tail(engine, c0, *a, **k)
 
-    monkeypatch.setattr(clustering, "_apply_atcap_chunk", counted)
+    monkeypatch.setattr(clustering, "_apply_atcap_tail", counted)
 
     rng = np.random.default_rng(61)
     centers = rng.uniform(0, 1, (10, 16))
@@ -607,8 +609,11 @@ def test_chunked_atcap_device_decisions_match_host(monkeypatch, sampling):
         b2, rows, 16, 6, 0.3, s2, chunk=2048,
         device_data=jnp.asarray(rows))
 
-    assert calls["n"] >= 2, \
-        "cap below natural cluster count must engage the at-cap path"
+    assert calls["n"] == 1, \
+        "the at-cap tail must engage exactly once (one dispatch)"
+    # the tail must cover MOST of the scan (cap hit early), not just the
+    # last chunk — otherwise this parity test would be near-vacuous
+    assert calls["c0"] <= len(rows) // 2
     np.testing.assert_allclose(c_dev, c_host, rtol=1e-9, atol=1e-12)
     assert a_dev == a_host
     assert z_dev == z_host

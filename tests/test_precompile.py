@@ -81,7 +81,7 @@ def test_aot_matches_runtime_build_programs(cache_dir):
     n, f = 9_000, 1_024  # above DEVICE_CLUSTERING_MIN_ELEMS
     assert n * f >= clustering.DEVICE_CLUSTERING_MIN_ELEMS
     warm(n, f, batch_sizes=(), cache_path=cache_dir)
-    names = ("tile", "_dist", "_segsum", "_decide")
+    names = ("tile", "_dist", "_segsum", "_tail")
     before = _entries(cache_dir, names)
     assert before, "warm() wrote no build-program cache entries"
 
@@ -103,11 +103,12 @@ def test_aot_matches_runtime_build_programs(cache_dir):
         tgt[:16] = 0
         eng.segment_sums(0, tgt)
 
-        # at-cap decide program, both warmed sampler kinds
+        # at-cap tail program, both warmed sampler kinds
         from arrowspace_tpu.builder import SamplerType
         s = SamplerType.simple(0.6).make(seed=1)
-        eng.decide(0, cent, cap_k, 0.5, s, True, cap_k)     # "simple"
-        eng.decide(0, cent, cap_k, 0.5, s, False, cap_k)    # "none"
+        cnt = np.ones(cap_k, dtype=np.int64)
+        eng.decide_tail(0, cent, cnt, cap_k, 0.5, s, True, cap_k)   # "simple"
+        eng.decide_tail(0, cent, cnt, cap_k, 0.5, s, False, cap_k)  # "none"
 
     after = _entries(cache_dir, names)
     assert after == before, (
