@@ -28,6 +28,7 @@ Key semantics preserved:
 from __future__ import annotations
 
 import math
+import time
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -1074,8 +1075,7 @@ def _incremental_clustering_chunked(builder, rows, nfeatures, max_clusters,
     grouped mean).  Creations within a chunk respect the cap in row
     order; rows never see centroids created later in their own chunk —
     exactly the wider race window the reference's rayon mode allows."""
-    x = np.asarray(rows, dtype=np.float64)
-    nrows = x.shape[0]
+    nrows = len(rows)
     sampling_enabled = builder.sampling is not None
 
     engine = None
@@ -1089,10 +1089,22 @@ def _incremental_clustering_chunked(builder, rows, nfeatures, max_clusters,
     elif chunk is None:
         chunk = 8192
 
+    if engine is None:
+        x = np.asarray(rows, dtype=np.float64)
+    else:
+        # with the device engine only the pre-cap chunks' rows are read
+        # on the host (bootstrap + creator candidates) — the eager f64
+        # conversion of the WHOLE corpus was a 10 GB host copy at
+        # 10M x 128 for a scan whose at-cap majority never touches it;
+        # slice-convert per visited chunk instead (identical values)
+        x = rows if isinstance(rows, np.ndarray) else np.asarray(rows)
+    nrows = x.shape[0]
+
     cent = np.zeros((max_clusters, nfeatures), dtype=np.float64)
     counts = np.zeros(max_clusters, dtype=np.int64)
     n_c = 0
     assign = np.full(nrows, -1, dtype=np.int64)
+    t_scan0 = time.perf_counter()
 
     for c0 in range(0, nrows, chunk):
         use_engine = engine is not None
@@ -1102,11 +1114,17 @@ def _incremental_clustering_chunked(builder, rows, nfeatures, max_clusters,
             # remainder of the scan (the post-cap majority of a large
             # corpus) runs on device in ONE dispatch — running means
             # carried in the scan, no per-chunk round trips
+            logger.info("chunked scan: pre-cap phase %d rows in %.2fs; "
+                        "at-cap tail %d rows in one dispatch",
+                        c0, time.perf_counter() - t_scan0, nrows - c0)
+            t_tail0 = time.perf_counter()
             _apply_atcap_tail(engine, c0, builder, sampler, radius,
                               max_clusters, cent, counts, assign, n_c)
+            logger.info("chunked scan: at-cap tail done in %.2fs",
+                        time.perf_counter() - t_tail0)
             break
 
-        rows_c = x[c0:c0 + chunk]
+        rows_c = np.asarray(x[c0:c0 + chunk], dtype=np.float64)
         m = rows_c.shape[0]
         offset = c0
 

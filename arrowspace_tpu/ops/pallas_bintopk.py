@@ -62,7 +62,7 @@ def binned_topk_depth_for(k: int) -> int:
 
 
 def _fit_tile(block: int, f: int, depth: int, elem: int,
-              planes: int = 3) -> int:
+              planes: int = 3, lane_split: int = 1) -> int:
     """Largest tile in {4096, 2048, 1024} whose VMEM estimate fits the
     scoped budget for a given query block, or 0 if none does.  Model:
     double-buffered item tile + (2D+1) state planes + `planes`
@@ -72,13 +72,21 @@ def _fit_tile(block: int, f: int, depth: int, elem: int,
     model reads ~0.6 MB low vs a measured F=768 f32 lowering, so the
     headroom absorbs it — calibration points: f32/768/B256 est 17.6 vs
     measured 18.2 OOM, bf16/768/B256 est 14.4 vs measured ~15.1
-    compiles)."""
+    compiles).
+
+    lane_split r folds r lane sub-tiles into tile/r bins: state AND
+    score intermediates shrink by r (they live at (block, tile/r)),
+    which is what lets the query block grow past 256 — every doubling
+    of the block halves corpus HBM streams for a big batch, the
+    measured bound at 10M rows.  Total fold work per query is
+    unchanged (r sub-folds of 1/r the width)."""
     budget = int(14.5 * 1024 * 1024)
     for t in (4096, 2048, 1024):
+        bins = t // lane_split
         est = (2 * t * f * elem               # xhat tile, double-buffered
-               + (2 * depth + 1) * block * t * 4   # run_s/run_i/det
-               + planes * block * t * 4            # score intermediates
-               + block * f * 4)                    # qhat
+               + (2 * depth + 1) * block * bins * 4  # run_s/run_i/det
+               + planes * block * bins * 4          # score intermediates
+               + block * f * 4)                     # qhat
         if est <= budget:
             return t
     return 0
@@ -113,7 +121,7 @@ def _init_bins(run_refs, depth: int):
 
 
 def _kernel(qhat_ref, qlam_ref, xhat_ref, xlam_ref, alpha_ref, n_ref,
-            *run_refs, tile: int, depth: int):
+            *run_refs, tile: int, depth: int, lane_split: int = 1):
     """run_refs layout: [s_0..s_{D-1}, i_0..i_{D-1}, det] — these are the
     kernel's OUTPUTS with constant index maps, so they stay resident in
     VMEM across grid steps (doubling as the running state) and flush to
@@ -122,8 +130,16 @@ def _kernel(qhat_ref, qlam_ref, xhat_ref, xlam_ref, alpha_ref, n_ref,
     in-kernel k-pass extraction made scoped VMEM scale with k (a k=42
     f64_rescore pool measured 17.7 MB against the 16 MB limit) and baked
     k into the Mosaic cache key — this way one compiled kernel serves
-    every k."""
+    every k.
+
+    lane_split r > 1 folds the tile's lanes in r sequential sub-tiles of
+    width tile/r into a (B, tile/r) running state — same total fold work
+    (r folds of 1/r width), 1/r the VMEM, so the query block can grow
+    and big batches stream the corpus fewer times.  Within a bin the
+    global index is strictly increasing across (grid step, sub-tile), so
+    the earliest-arrival tie rule still matches lax.top_k exactly."""
     t = pl.program_id(0)
+    bins = tile // lane_split
 
     @pl.when(t == 0)
     def _init():
@@ -138,24 +154,27 @@ def _kernel(qhat_ref, qlam_ref, xhat_ref, xlam_ref, alpha_ref, n_ref,
     def _body():
         alpha = alpha_ref[0, 0]
         qhat = qhat_ref[:]                       # (B, F)
-        xhat = xhat_ref[:]                       # (T, F) current tile
-        cos = jax.lax.dot_general(
-            qhat, xhat, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)  # (B, T) f32 accumulation
+        qlam = qlam_ref[:].reshape(-1, 1)
+        local = jax.lax.broadcasted_iota(
+            jnp.int32, (qhat.shape[0], bins), 1)
+        for j in range(lane_split):
+            xhat = xhat_ref[j * bins:(j + 1) * bins, :]  # (bins, F)
+            cos = jax.lax.dot_general(
+                qhat, xhat, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (B, bins) f32 acc
+            dl = jnp.abs(qlam - xlam_ref[j * bins:(j + 1) * bins]
+                         .reshape(1, -1))
+            lam_sim = 1.0 - jnp.minimum(dl, 1.0)
+            scores = alpha * cos + (1.0 - alpha) * lam_sim
 
-        dl = jnp.abs(qlam_ref[:].reshape(-1, 1) - xlam_ref[:].reshape(1, -1))
-        lam_sim = 1.0 - jnp.minimum(dl, 1.0)
-        scores = alpha * cos + (1.0 - alpha) * lam_sim
-
-        local = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-        gidx = local + base
-        scores = jnp.where(gidx < n, scores, NEG_INF)
-        _fold_tile(run_refs, scores, gidx, depth)
+            gidx = local + (base + j * bins)
+            scores = jnp.where(gidx < n, scores, NEG_INF)
+            _fold_tile(run_refs, scores, gidx, depth)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "depth", "tile", "interpret",
-                                    "use_bf16", "block_b"))
+                                    "use_bf16", "block_b", "lane_split"))
 def binned_lambda_topk(
     queries: jax.Array,        # (B, F) — raw, normalised inside
     query_lambdas: jax.Array,  # (B,)
@@ -169,6 +188,7 @@ def binned_lambda_topk(
     interpret: bool = False,
     use_bf16: bool = False,    # bf16 matmul inputs, f32 accumulation
     block_b: int = 0,          # 0 = auto from the VMEM budget
+    lane_split: int = 0,       # 0 = auto; r folds tile into tile/r bins
 ):
     """Returns (scores (B, k), indices (B, k), flags (B,) int32).
 
@@ -183,21 +203,43 @@ def binned_lambda_topk(
     if depth <= 0:
         depth = binned_topk_depth_for(k)
 
-    # Query-block size: auto-picked jointly with the tile from the
-    # 16 MB scoped-VMEM budget (measured model: double-buffered item
+    # Query-block size: auto-picked jointly with (tile, lane_split) from
+    # the 16 MB scoped-VMEM budget (measured model: double-buffered item
     # tile + (2D+1) state planes + ~3 intermediate score planes + query
     # block; an F=768 f32 B=256 kernel measured 18.2 MB against the
     # 16 MB limit, so the estimate keeps 2 MB headroom).  Bigger blocks
-    # halve corpus HBM traffic per doubling — prefer 256, drop to
-    # 128/64 only when F forces it.
+    # divide corpus HBM streams for a big batch — the measured bound on
+    # large corpora (10M x 128 f32 at block 256 sat exactly on the
+    # 8-stream HBM limit) — and lane_split r is what frees the VMEM for
+    # them (state lives at (block, tile/r)).  Bin width floors at 256
+    # lanes to keep the deep-collision flag rate negligible
+    # (P ~ C(k,D+1)/bins^D per query: ~2e-7 at bins=1024, ~1.2e-5 at
+    # 256 for k=10, D=3 — ~0.03 expected repair rows per 2048-batch).
     elem = 2 if use_bf16 else 4
     if block_b <= 0:
-        block_b = 256
-        if tile <= 0:
-            for cand_b in (256, 128, 64):
-                if _fit_tile(cand_b, f, depth, elem) > 0:
-                    block_b = cand_b
+        if lane_split <= 0:
+            # prefer the largest block the batch can use (fewest corpus
+            # streams), splitting lanes down to 256-wide bins; fall back
+            # to narrower blocks at wide F exactly as before
+            for cand_b, cand_r in ((1024, 4), (512, 2), (256, 1),
+                                   (128, 1), (64, 1)):
+                if cand_b <= max(bsz, 64) \
+                        and _fit_tile(cand_b, f, depth, elem,
+                                      lane_split=cand_r) > 0:
+                    block_b, lane_split = cand_b, cand_r
                     break
+            else:
+                block_b, lane_split = 256, 1
+        else:
+            block_b = 256
+            if tile <= 0:
+                for cand_b in (256, 128, 64):
+                    if _fit_tile(cand_b, f, depth, elem,
+                                 lane_split=lane_split) > 0:
+                        block_b = cand_b
+                        break
+    elif lane_split <= 0:
+        lane_split = 1
     max_b = block_b
 
     if bsz % max_b != 0:
@@ -207,11 +249,12 @@ def binned_lambda_topk(
         s, i, fl = binned_lambda_topk(
             qp, qlp, items, item_lambdas, alpha, k=k, depth=depth,
             tile=tile, interpret=interpret, use_bf16=use_bf16,
-            block_b=block_b)
+            block_b=block_b, lane_split=lane_split)
         return s[:bsz], i[:bsz], fl[:bsz]
 
     if tile <= 0:
-        tile = _fit_tile(min(bsz, max_b), f, depth, elem)
+        tile = _fit_tile(min(bsz, max_b), f, depth, elem,
+                         lane_split=lane_split)
         # Floor 1024 (Mosaic crashes on smaller tiles) even when the
         # estimate says nothing fits — F beyond ~1500 f32 should route
         # to the merge/XLA paths (session_kernel_kind's f gate).
@@ -223,13 +266,15 @@ def binned_lambda_topk(
                                    items, item_lambdas, alpha,
                                    k=k, depth=depth, tile=tile,
                                    interpret=interpret, use_bf16=use_bf16,
-                                   block_b=block_b)
+                                   block_b=block_b, lane_split=lane_split)
                 for i in range(0, bsz, max_b)]
         return (jnp.concatenate([o[0] for o in outs], axis=0),
                 jnp.concatenate([o[1] for o in outs], axis=0),
                 jnp.concatenate([o[2] for o in outs], axis=0))
 
     mm_dt = jnp.bfloat16 if use_bf16 else dt
+    bins = tile // lane_split
+    assert k <= depth * bins, (k, depth, bins)
 
     from ..config import bucket_rows
     n_bucket = max(bucket_rows(n), tile)
@@ -259,7 +304,7 @@ def binned_lambda_topk(
     # The running bins ARE the outputs (constant index maps keep them
     # VMEM-resident across grid steps; they spill to HBM once at program
     # end) — no scratch duplication and no in-kernel extraction.
-    pool_spec = pl.BlockSpec((bsz, tile), lambda t: (0, 0),
+    pool_spec = pl.BlockSpec((bsz, bins), lambda t: (0, 0),
                              memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -281,19 +326,20 @@ def binned_lambda_topk(
         out_specs=tuple([pool_spec] * (2 * depth + 1)),
     )
 
-    kernel = functools.partial(_kernel, tile=tile, depth=depth)
+    kernel = functools.partial(_kernel, tile=tile, depth=depth,
+                               lane_split=lane_split)
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=tuple(
-            [jax.ShapeDtypeStruct((bsz, tile), dt)] * depth
-            + [jax.ShapeDtypeStruct((bsz, tile), jnp.int32)] * depth
-            + [jax.ShapeDtypeStruct((bsz, tile), dt)]),
+            [jax.ShapeDtypeStruct((bsz, bins), dt)] * depth
+            + [jax.ShapeDtypeStruct((bsz, bins), jnp.int32)] * depth
+            + [jax.ShapeDtypeStruct((bsz, bins), dt)]),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * bsz * n_pad * f,
             bytes_accessed=n_pad * f * (2 if use_bf16 else 4)
-            + bsz * f * 4 + bsz * tile * (2 * depth + 1) * 4,
+            + bsz * f * 4 + bsz * bins * (2 * depth + 1) * 4,
             transcendentals=0,
         ),
     )(qhat, qlam, xhat, xlam,

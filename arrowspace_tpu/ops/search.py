@@ -23,7 +23,8 @@ __all__ = ["cosine_scores", "lambda_aware_scores",
 
 def pallas_binned_topk_with_repair(q, qlam, items, item_lambdas, alpha,
                                    k: int, use_bf16: bool = False,
-                                   tile: int = 0, interpret: bool = False):
+                                   tile: int = 0, interpret: bool = False,
+                                   block_b: int = 0, lane_split: int = 0):
     """Bin-accumulator streaming top-k + exact repair of flagged rows.
 
     The binned kernel (ops/pallas_bintopk.py) is exact except when more
@@ -38,7 +39,8 @@ def pallas_binned_topk_with_repair(q, qlam, items, item_lambdas, alpha,
     from .pallas_bintopk import binned_lambda_topk
     s, i, fl = binned_lambda_topk(q, qlam, items, item_lambdas, alpha,
                                   k=k, use_bf16=use_bf16, tile=tile,
-                                  interpret=interpret)
+                                  interpret=interpret, block_b=block_b,
+                                  lane_split=lane_split)
     flags = np.asarray(fl)
     if flags.any():
         from .pallas_topk import fused_lambda_topk

@@ -471,3 +471,41 @@ def test_fused_select_tau_sublane_layouts_match_lane(layout):
                                             layout=layout))
             np.testing.assert_array_equal(a, b,
                                           err_msg=f"f={f} kind={kind}")
+
+
+@pytest.mark.parametrize("lane_split", [2, 4])
+def test_binned_topk_lane_split_matches_xla(lane_split):
+    """lane_split folds r lane sub-tiles into tile/r bins (the big-block
+    VMEM enabler): results must stay exact vs the XLA oracle including
+    tie order, bucket-pad masking, and the duplicate-storm flag/repair
+    contract at the narrower bin width."""
+    from arrowspace_tpu.ops.pallas_bintopk import binned_lambda_topk
+    q, qlam, x, xlam = _bin_data(3000, 64, 6, seed=11)
+    s1, i1, fl = binned_lambda_topk(q, qlam, x, xlam, 0.9, k=9, tile=512,
+                                    interpret=True, block_b=6,
+                                    lane_split=lane_split)
+    s2, i2 = batched_lambda_aware_topk(q, qlam, x, xlam,
+                                       jnp.float32(0.9), k=9)
+    assert (np.asarray(fl) == 0).all()
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+    # duplicate storm: >depth copies of the top item in ONE bin must
+    # flag under lane_split too, and repair must restore exactness
+    from arrowspace_tpu.ops.search import pallas_binned_topk_with_repair
+    xs = np.asarray(x).copy()
+    bins = 512 // lane_split
+    top = xs[7] / np.linalg.norm(xs[7])
+    for j in range(6):           # 6 copies > depth 3, same bin (stride)
+        xs[7 + j * bins] = top * (1.0 + 1e-7)
+    xj = jnp.asarray(xs)
+    s, i, fl = binned_lambda_topk(q[:6], qlam[:6], xj, xlam, 1.0, k=9,
+                                  tile=512, interpret=True, block_b=6,
+                                  lane_split=lane_split)
+    rs, ri = pallas_binned_topk_with_repair(
+        q[:6], qlam[:6], xj, xlam, 1.0, k=9, tile=512, interpret=True,
+        block_b=6, lane_split=lane_split)
+    s2, i2 = batched_lambda_aware_topk(q[:6], qlam[:6], xj, xlam,
+                                       jnp.float32(1.0), k=9)
+    np.testing.assert_allclose(np.asarray(rs), np.asarray(s2), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(ri), np.asarray(i2))
