@@ -203,43 +203,30 @@ def binned_lambda_topk(
     if depth <= 0:
         depth = binned_topk_depth_for(k)
 
-    # Query-block size: auto-picked jointly with (tile, lane_split) from
-    # the 16 MB scoped-VMEM budget (measured model: double-buffered item
+    # Query-block size: auto-picked jointly with the tile from the
+    # 16 MB scoped-VMEM budget (measured model: double-buffered item
     # tile + (2D+1) state planes + ~3 intermediate score planes + query
     # block; an F=768 f32 B=256 kernel measured 18.2 MB against the
-    # 16 MB limit, so the estimate keeps 2 MB headroom).  Bigger blocks
-    # divide corpus HBM streams for a big batch — the measured bound on
-    # large corpora (10M x 128 f32 at block 256 sat exactly on the
-    # 8-stream HBM limit) — and lane_split r is what frees the VMEM for
-    # them (state lives at (block, tile/r)).  Bin width floors at 256
-    # lanes to keep the deep-collision flag rate negligible
-    # (P ~ C(k,D+1)/bins^D per query: ~2e-7 at bins=1024, ~1.2e-5 at
-    # 256 for k=10, D=3 — ~0.03 expected repair rows per 2048-batch).
+    # 16 MB limit, so the estimate keeps 2 MB headroom).  Block 256 is
+    # the measured optimum; lane_split (state at (block, tile/r), which
+    # frees VMEM for blocks past 256 at unchanged total fold work) is a
+    # measured NEGATIVE on v5e and stays manual-only: at 10M x 128 f32
+    # B=2048, block 256/r1 = 44.2 ms, 512/r2 = 57.0 ms, 1024/r4 =
+    # 71.3 ms — fewer corpus streams did NOT help because Mosaic already
+    # overlaps the tile DMA across sequential block calls (44 ms beats
+    # the naive 8-stream HBM bound of 52 ms), so the kernel is
+    # fold-compute-bound and wider per-tile state only slows it.
     elem = 2 if use_bf16 else 4
-    if block_b <= 0:
-        if lane_split <= 0:
-            # prefer the largest block the batch can use (fewest corpus
-            # streams), splitting lanes down to 256-wide bins; fall back
-            # to narrower blocks at wide F exactly as before
-            for cand_b, cand_r in ((1024, 4), (512, 2), (256, 1),
-                                   (128, 1), (64, 1)):
-                if cand_b <= max(bsz, 64) \
-                        and _fit_tile(cand_b, f, depth, elem,
-                                      lane_split=cand_r) > 0:
-                    block_b, lane_split = cand_b, cand_r
-                    break
-            else:
-                block_b, lane_split = 256, 1
-        else:
-            block_b = 256
-            if tile <= 0:
-                for cand_b in (256, 128, 64):
-                    if _fit_tile(cand_b, f, depth, elem,
-                                 lane_split=lane_split) > 0:
-                        block_b = cand_b
-                        break
-    elif lane_split <= 0:
+    if lane_split <= 0:
         lane_split = 1
+    if block_b <= 0:
+        block_b = 256
+        if tile <= 0:
+            for cand_b in (256, 128, 64):
+                if _fit_tile(cand_b, f, depth, elem,
+                             lane_split=lane_split) > 0:
+                    block_b = cand_b
+                    break
     max_b = block_b
 
     if bsz % max_b != 0:
