@@ -37,7 +37,20 @@ from .utils.log import get_logger
 
 logger = get_logger("arrowspace.precompile")
 
-__all__ = ["warm", "centroid_cap_buckets"]
+__all__ = ["warm", "warm_energy", "centroid_cap_buckets"]
+
+
+def _aot(timings: Dict[str, float], name: str, jitted, *args, **kwargs):
+    """Lower+compile one jitted program by shape, recording the compile
+    time (negative on failure — keep warming the rest)."""
+    t0 = time.perf_counter()
+    try:
+        jitted.lower(*args, **kwargs).compile()
+        timings[name] = time.perf_counter() - t0
+        logger.info("precompiled %s in %.2fs", name, timings[name])
+    except Exception as e:  # pragma: no cover — keep warming the rest
+        timings[name] = -1.0
+        logger.warning("precompile of %s failed: %r", name, e)
 
 
 def centroid_cap_buckets(n: int, f: int) -> list:
@@ -99,14 +112,7 @@ def warm(
     timings: Dict[str, float] = {}
 
     def aot(name, jitted, *args, **kwargs):
-        t0 = time.perf_counter()
-        try:
-            jitted.lower(*args, **kwargs).compile()
-            timings[name] = time.perf_counter() - t0
-            logger.info("precompiled %s in %.2fs", name, timings[name])
-        except Exception as e:  # pragma: no cover — keep warming the rest
-            timings[name] = -1.0
-            logger.warning("precompile of %s failed: %r", name, e)
+        _aot(timings, name, jitted, *args, **kwargs)
 
     S = jax.ShapeDtypeStruct
     corpus = S((n, f), dt)
@@ -183,6 +189,53 @@ def warm(
     return timings
 
 
+def warm_energy(
+    n_items: int,
+    z_width: int,
+    *,
+    batch_sizes: Iterable[int] = (256,),
+    k: int = 10,
+    dtype=None,
+    cache_path: Optional[str] = None,
+) -> Dict[str, float]:
+    """Compile the energy-serving programs
+    (energymaps.search_energy_batch past the in-memory ceiling) for a
+    corpus whose z-space plane is (n_items, z_width): the Mosaic
+    bin-accumulator kernel where the TPU gate admits it, plus the exact
+    chunked scorer (the large-corpus fallback and the flagged-row repair
+    path at full batch).  ``z_width`` is the signals-graph row count G
+    when signals are present (energymaps._energy_z_items), else the
+    projected feature width F'.  Reference serving semantics:
+    energymaps.rs:368-407."""
+    import jax
+    import jax.numpy as jnp
+
+    from .config import setup_cache
+    from .energymaps import _energy_score_topk_chunked, _use_binned_energy
+
+    if cache_path is not None:
+        setup_cache(cache_path)
+    elif jax.config.jax_compilation_cache_dir is None:
+        setup_cache()
+
+    dt = jnp.dtype(dtype) if dtype is not None else (
+        jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
+    n, g = int(n_items), int(z_width)
+    k_eff = min(int(k), n)
+    timings: Dict[str, float] = {}
+    S = jax.ShapeDtypeStruct
+    items, lam, w = S((n, g), dt), S((n,), dt), S((), dt)
+    for bsz in batch_sizes:
+        b = int(bsz)
+        if _use_binned_energy(n, k_eff, g):
+            from .ops.pallas_bintopk import binned_energy_topk
+            _aot(timings, f"energy_binned_b{b}", binned_energy_topk,
+                 S((b, g), dt), S((b,), dt), items, lam, w, w, k=k_eff)
+        _aot(timings, f"energy_chunked_b{b}", _energy_score_topk_chunked,
+             S((b, g), dt), S((b,), dt), items, lam, w, w, k=k_eff)
+    return timings
+
+
 def main(argv=None) -> None:
     import argparse
 
@@ -197,11 +250,18 @@ def main(argv=None) -> None:
     p.add_argument("--precision", nargs="*", default=["f32"],
                    choices=["f32", "bf16"],
                    help="serving session precisions to warm")
+    p.add_argument("--energy-g", type=int, default=None,
+                   help="also warm the energy-serving programs for this "
+                        "z-space width (signals rows G, or F' when no "
+                        "signals graph)")
     args = p.parse_args(argv)
 
     t0 = time.perf_counter()
     timings = warm(args.n, args.f, batch_sizes=args.batch, k=args.k,
                    precisions=tuple(args.precision))
+    if args.energy_g is not None:
+        timings.update(warm_energy(args.n, args.energy_g,
+                                   batch_sizes=tuple(args.batch), k=args.k))
     total = time.perf_counter() - t0
     for name, secs in timings.items():
         print(f"{name}: {'FAILED' if secs < 0 else f'{secs:.2f}s'}")

@@ -406,6 +406,64 @@ def big_corpus_suite(jax, jnp, rtt_s: float) -> None:
            stream_best_s=round(best_bf, 3), stream_worst_s=round(worst_bf, 3))
 
 
+def energy_suite(jax, jnp, rtt_s: float) -> None:
+    """1M x 64 energy serving (VERDICT r2 item 2): the Mosaic
+    bin-accumulator kernel (the production path past the in-memory
+    ceiling, energymaps.search_energy_batch) against the exact chunked
+    XLA scorer it repairs through, both amortised on-device.  The index
+    z-plane is constructed directly — the energy BUILD pipeline is
+    exercised in tests/test_energy.py and examples/03; this records the
+    serving rate."""
+    from arrowspace_tpu.energymaps import _energy_score_topk_chunked
+    from arrowspace_tpu.ops.pallas_bintopk import binned_energy_topk
+    from arrowspace_tpu.precompile import warm_energy
+
+    N, G, B, K = 1_000_000, 64, 256, 10
+    t0 = time.perf_counter()
+    warm_energy(N, G, batch_sizes=(B,), k=K, dtype=np.float32)
+    log(f"energy precompile (1M x 64): {time.perf_counter() - t0:.1f}s")
+
+    rng = np.random.default_rng(0)
+    z = jnp.asarray(rng.normal(size=(N, G)).astype(np.float32))
+    lam = jnp.asarray(rng.uniform(0, 1, N).astype(np.float32))
+    zq = jnp.asarray(rng.normal(size=(B, G)).astype(np.float32))
+    qlam = jnp.asarray(rng.uniform(0, 1, B).astype(np.float32))
+    wl = jnp.asarray(1.0, jnp.float32)
+    wd = jnp.asarray(0.5, jnp.float32)
+    t0 = time.perf_counter()
+    np.asarray(z[:1, :1])
+    log(f"energy z-plane upload (256 MB): {time.perf_counter() - t0:.1f}s "
+        f"— dev-tunnel artifact")
+
+    # FLOP model per (query, item): 2G (z-distance matmul expansion) +
+    # ~10 elementwise (norm-combine, sqrt, dirichlet squash, λ blend);
+    # one corpus stream for a <=block batch.
+    e_flops = 2.0 * B * N * G + 10.0 * B * N
+    e_bytes = float(N * G * 4)
+    for name, op in (
+        ("binned", lambda q, zz, il: binned_energy_topk(
+            q, qlam, zz, il, wl, wd, k=K)),
+        ("chunked", lambda q, zz, il: _energy_score_topk_chunked(
+            q, qlam, zz, il, wl, wd, k=K)),
+    ):
+        t_dev = amortised_device_time(jax, jnp, op, zq, (z, lam), repeats=8)
+        rf = roofline_fields(t_dev, e_flops, e_bytes)
+        extra = {}
+        if name == "binned":
+            _, _, fl = binned_energy_topk(zq, qlam, z, lam, wl, wd, k=K)
+            extra["collision_flags"] = int(np.asarray(fl).sum())
+            extra["kernel"] = "binned_energy_topk (pallas, amortised)"
+        else:
+            extra["kernel"] = "_energy_score_topk_chunked (XLA lax.scan)"
+        log(f"energy query 1M x 64 B={B} {name}: {t_dev * 1e3:.2f} ms "
+            f"= {B / t_dev:.0f} QPS device, {rf['tflops']} TFLOP/s "
+            f"({rf['roofline_pct']}% of {rf['roofline_bound']} roofline)"
+            + (f", flags {extra['collision_flags']}/{B}"
+               if name == "binned" else ""))
+        record(f"energy_query_1m_x64_{name}_b{B}", t_dev * 1e3, "ms",
+               qps_device=round(B / t_dev), **extra, **rf)
+
+
 def wide_f_suite(jax, jnp, rtt_s: float) -> None:
     """500k x 768 — the 100M x 768 target config's F, measured on the
     real chip (VERDICT r2 item 4): fused tau at wide F (sub-blocked
@@ -525,7 +583,9 @@ def main() -> None:
             log(f"tunnel RTT: {rtt_s * 1e3:.1f} ms")
             record("tunnel_rtt", rtt_s * 1e3, "ms")
             big_corpus_suite(jax, jnp, rtt_s)
-            emit()  # snapshot before the wide-F leg (its upload is slow)
+            emit()  # snapshot before each slow-upload leg
+            energy_suite(jax, jnp, rtt_s)
+            emit()
             wide_f_suite(jax, jnp, rtt_s)
     except Exception as e:  # pragma: no cover — keep the headline alive
         log(f"supplementary sweep failed: {e!r}")

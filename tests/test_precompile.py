@@ -115,6 +115,38 @@ def test_aot_matches_runtime_build_programs(cache_dir):
         f"runtime compiled programs the AOT warm missed: {after - before}")
 
 
+def test_warm_energy_matches_runtime_chunked(cache_dir):
+    """warm_energy() then the REAL chunked energy scorer at the same
+    shapes: no new cache entries => identical executable.  (The Mosaic
+    binned kernel is TPU-gated and skipped off-TPU, matching the
+    serving gate energymaps._use_binned_energy.)"""
+    from arrowspace_tpu.energymaps import _energy_score_topk_chunked
+    from arrowspace_tpu.precompile import warm_energy
+
+    n, g, b, k = 70_000, 16, 8, 3
+    t = warm_energy(n, g, batch_sizes=(b,), k=k, cache_path=cache_dir)
+    assert f"energy_chunked_b{b}" in t
+    assert f"energy_binned_b{b}" not in t  # TPU-gated off-CPU
+    assert all(v >= 0 for v in t.values()), f"precompile failures: {t}"
+    before = _entries(cache_dir, ("_energy_score_topk_chunked",))
+    assert before, "warm_energy() wrote no chunked-program cache entry"
+
+    import jax.numpy as jnp
+    rng = np.random.default_rng(0)
+    z = jnp.asarray(rng.normal(size=(n, g)))
+    lam = jnp.asarray(rng.uniform(0, 1, n))
+    zq = jnp.asarray(rng.normal(size=(b, g)))
+    qlam = jnp.asarray(rng.uniform(0, 1, b))
+    w = jnp.asarray(1.0, z.dtype)
+    s, i = _energy_score_topk_chunked(zq, qlam, z, lam, w, w, k=k)
+    assert np.asarray(s).shape == (b, k) and np.asarray(i).shape == (b, k)
+
+    after = _entries(cache_dir, ("_energy_score_topk_chunked",))
+    assert after == before, (
+        f"runtime compiled a chunked program the AOT warm missed: "
+        f"{after - before}")
+
+
 def test_aot_matches_runtime_session_step(cache_dir):
     """warm() then a real SearchSession.warmup() at the same shapes: the
     serving step program must already be cached."""
