@@ -32,7 +32,7 @@ from .utils.log import get_logger
 
 logger = get_logger("arrowspace.index")
 
-__all__ = ["ArrowIndex", "SearchSession"]
+__all__ = ["ArrowIndex", "SearchSession", "EnergySearchSession"]
 
 
 _SESSION_STEP = None
@@ -89,6 +89,73 @@ def _session_step_jit():
 
         _SESSION_STEP = step
     return _SESSION_STEP
+
+
+_ENERGY_STEP = None
+
+
+def _energy_step_jit():
+    """Module-level jitted ENERGY serving step (lazy) — the energy-index
+    counterpart of _session_step_jit: one program fuses query-λ
+    preparation (projection, τ selection, synthetic λ against the energy
+    laplacian) with the z-space projection and energy scoring + top-k
+    (search_energy semantics, energymaps.rs:368-407).
+
+    Returns (scores (B,k), ids_flags (B,k+1) int32, qlam (B,)) with the
+    same flag/repair contract as the cosine step: the last ids_flags
+    column is non-zero for queries the binned kernel may have
+    under-filled (deep bin collision) and all-zero for the chunked
+    kernel."""
+    global _ENERGY_STEP
+    if _ENERGY_STEP is None:
+        import functools
+        import jax
+        import jax.numpy as jnp
+
+        @functools.partial(
+            jax.jit, static_argnames=("taumode", "k", "kernel", "chunk",
+                                      "has_proj", "has_signals", "pad_tall"))
+        def step(q_raw, z_items, item_lambdas, lap, proj, signals, wl, wd,
+                 *, taumode, k, kernel, chunk, has_proj, has_signals,
+                 pad_tall):
+            from .energymaps import _energy_score_topk_chunked
+            from .taumode import select_tau_batch, synthetic_lambda_batch
+            dt = z_items.dtype
+            q_prep = q_raw if not has_proj else jnp.dot(
+                q_raw, proj, preferred_element_type=dt)
+            taus = select_tau_batch(q_prep, taumode)
+            qlam = synthetic_lambda_batch(q_prep, lap, taus,
+                                          pad_items=pad_tall)
+            z_q = jnp.dot(q_prep, signals.T, preferred_element_type=dt) \
+                if has_signals else q_prep
+            if kernel == "binned":
+                from .ops.pallas_bintopk import binned_energy_topk
+                s, i, fl = binned_energy_topk(
+                    z_q, qlam, z_items, item_lambdas, wl, wd, k=k)
+                return s, jnp.concatenate([i, fl[:, None]], axis=1), qlam
+            s, i = _energy_score_topk_chunked(
+                z_q, qlam, z_items, item_lambdas, wl, wd, k=k, chunk=chunk)
+            zero_fl = jnp.zeros((q_raw.shape[0], 1), dtype=jnp.int32)
+            return s, jnp.concatenate([i, zero_fl], axis=1), qlam
+
+        _ENERGY_STEP = step
+    return _ENERGY_STEP
+
+
+def energy_session_config(nitems: int, k: int, z_width: int
+                          ) -> Tuple[str, int]:
+    """(kernel, chunk) for the energy serving step (shared with
+    precompile so AOT keys match runtime keys): the Mosaic
+    bin-accumulator kernel where the TPU gate admits it, else the exact
+    chunked scorer with its scan chunk clamped to the corpus row bucket
+    (a small corpus must not pad its scan to the 65536 in-memory
+    ceiling)."""
+    from .config import bucket_rows
+    from .energymaps import ENERGY_CHUNK, _use_binned_energy
+    kernel = "binned" if _use_binned_energy(nitems, k, z_width) \
+        else "chunked"
+    chunk = min(ENERGY_CHUNK, max(bucket_rows(nitems), 8))
+    return kernel, chunk
 
 
 def session_kernel_kind(nitems: int, k: int, f: int = None) -> str:
@@ -271,6 +338,93 @@ class SearchSession:
                                                                  np.ndarray]]:
         """Yield (scores, ids) per input batch, keeping `depth` batches in
         flight — see stream_search (shared with the multi-chip session)."""
+        return stream_search(self._step, batches, self.batch_size,
+                             self.depth, self._dt, dim=self._dim,
+                             repair=self._repair)
+
+
+class EnergySearchSession:
+    """Compiled, pipelined streaming ENERGY search for serving.
+
+    The energy-index counterpart of SearchSession: one jitted program
+    fuses query-λ preparation with the z-space projection and energy
+    scoring + top-k (search_energy_batch semantics,
+    energymaps.rs:368-407), so a batch costs ONE dispatch; the shared
+    stream driver keeps `depth` batches in flight and repairs
+    deep-bin-collision flagged rows through the exact chunked scorer."""
+
+    def __init__(self, index: "ArrowIndex", batch_size: int, k: int = 10,
+                 w_lambda: float = 1.0, w_dirichlet: float = 0.5,
+                 depth: int = 2):
+        import jax.numpy as jnp
+
+        from .energymaps import (_energy_score_topk_chunked,
+                                 _energy_z_items)
+
+        self.batch_size = int(batch_size)
+        self.k = min(int(k), index.nitems)
+        self.depth = max(1, int(depth))
+        aspace, gl = index.aspace, index.gl
+
+        dt = aspace.data.dtype
+        self._dt = dt
+        self._dim = aspace.nfeatures
+        lap = jnp.asarray(gl.matrix, dtype=dt)
+        proj = None
+        if aspace.projection_matrix is not None:
+            proj = aspace.projection_matrix.matrix(dtype=dt)
+        has_proj = proj is not None
+        items_proj = aspace.projected_items()
+        use_signals = (aspace.signals is not None
+                       and np.shape(aspace.signals)[0] > 0
+                       and np.shape(aspace.signals)[1]
+                       == items_proj.shape[1])
+        signals = jnp.asarray(aspace.signals, dtype=dt) if use_signals \
+            else jnp.zeros((1, 1), dtype=dt)
+        z_items = _energy_z_items(aspace, items_proj, signals, use_signals)
+        lambdas = aspace.lambdas
+        taumode = aspace.taumode
+        pad_tall = aspace.pad_tall_graphs
+        k_eff = self.k
+        kernel, chunk = energy_session_config(index.nitems, k_eff,
+                                              z_items.shape[1])
+        wl = jnp.asarray(w_lambda, dtype=dt)
+        wd = jnp.asarray(w_dirichlet, dtype=dt)
+
+        # corpus arrays are ARGUMENTS, not closure captures (HLO-constant
+        # embedding blows the remote-compile request limit — see
+        # SearchSession)
+        jitted = _energy_step_jit()
+        dummy_proj = proj if has_proj else jnp.zeros((1, 1), dtype=dt)
+        self._step = lambda q: jitted(
+            q, z_items, lambdas, lap, dummy_proj, signals, wl, wd,
+            taumode=taumode, k=k_eff, kernel=kernel, chunk=chunk,
+            has_proj=has_proj, has_signals=use_signals, pad_tall=pad_tall)
+
+        def repair(q_block, qlam, rows):
+            # flagged rows re-run through the exact chunked scorer; z is
+            # recomputed from the raw block (rare path — see
+            # ops/pallas_bintopk.binned_energy_topk)
+            q = jnp.asarray(q_block[rows], dtype=dt)
+            q_prep = q if not has_proj else jnp.dot(
+                q, proj, preferred_element_type=dt)
+            z = jnp.dot(q_prep, signals.T, preferred_element_type=dt) \
+                if use_signals else q_prep
+            rs, ri = _energy_score_topk_chunked(
+                z, jnp.asarray(qlam[rows], dtype=dt), z_items, lambdas,
+                wl, wd, k=k_eff)
+            return np.asarray(rs), np.asarray(ri)
+
+        self._repair = repair if kernel == "binned" else None
+
+    def warmup(self) -> None:
+        """Compile the step program so serving latency is dispatch-only."""
+        warm_step(self._step, self.batch_size, self._dim, self._dt)
+
+    def search_stream(self, batches: Iterable) -> Iterable[Tuple[np.ndarray,
+                                                                 np.ndarray]]:
+        """Yield (scores, ids) per input batch, keeping `depth` batches in
+        flight — see stream_search (shared with SearchSession)."""
         return stream_search(self._step, batches, self.batch_size,
                              self.depth, self._dt, dim=self._dim,
                              repair=self._repair)
@@ -477,6 +631,17 @@ class ArrowIndex:
         F; top-k overlap 1.000 vs f32 on embedding data)."""
         return SearchSession(self, batch_size, k=k, alpha=alpha, depth=depth,
                              precision=precision)
+
+    def make_energy_session(self, batch_size: int, k: int = 10,
+                            w_lambda: float = 1.0, w_dirichlet: float = 0.5,
+                            depth: int = 2) -> EnergySearchSession:
+        """Compiled streaming ENERGY search for serving (indices built
+        with build_energy): one fused prep+z-project+score+top-k program
+        per batch, `depth` batches in flight, deep-collision rows
+        repaired exactly."""
+        return EnergySearchSession(self, batch_size, k=k,
+                                   w_lambda=w_lambda,
+                                   w_dirichlet=w_dirichlet, depth=depth)
 
     def warmup(self, batch_sizes=(1, 16, 256), k: int = 10,
                alpha: float = 0.9) -> None:

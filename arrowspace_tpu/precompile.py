@@ -196,32 +196,40 @@ def warm_energy(
     batch_sizes: Iterable[int] = (256,),
     k: int = 10,
     dtype=None,
+    taumode=None,
     cache_path: Optional[str] = None,
 ) -> Dict[str, float]:
     """Compile the energy-serving programs
     (energymaps.search_energy_batch past the in-memory ceiling) for a
     corpus whose z-space plane is (n_items, z_width): the Mosaic
-    bin-accumulator kernel where the TPU gate admits it, plus the exact
+    bin-accumulator kernel where the TPU gate admits it, the exact
     chunked scorer (the large-corpus fallback and the flagged-row repair
-    path at full batch).  ``z_width`` is the signals-graph row count G
-    when signals are present (energymaps._energy_z_items), else the
-    projected feature width F'.  Reference serving semantics:
+    path at full batch), and the fused EnergySearchSession step at the
+    no-projection/no-signals geometry (richer geometries compile via
+    EnergySearchSession.warmup).  ``z_width`` is the signals-graph row
+    count G when signals are present (energymaps._energy_z_items), else
+    the projected feature width F'.  Reference serving semantics:
     energymaps.rs:368-407."""
     import jax
     import jax.numpy as jnp
 
     from .config import setup_cache
     from .energymaps import _energy_score_topk_chunked, _use_binned_energy
+    from .index import _energy_step_jit, energy_session_config
+    from .taumode import TauMode
 
     if cache_path is not None:
         setup_cache(cache_path)
     elif jax.config.jax_compilation_cache_dir is None:
         setup_cache()
 
+    if taumode is None:
+        taumode = TauMode.median()
     dt = jnp.dtype(dtype) if dtype is not None else (
         jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
     n, g = int(n_items), int(z_width)
     k_eff = min(int(k), n)
+    kernel, chunk = energy_session_config(n, k_eff, g)
     timings: Dict[str, float] = {}
     S = jax.ShapeDtypeStruct
     items, lam, w = S((n, g), dt), S((n,), dt), S((), dt)
@@ -233,6 +241,11 @@ def warm_energy(
                  S((b, g), dt), S((b,), dt), items, lam, w, w, k=k_eff)
         _aot(timings, f"energy_chunked_b{b}", _energy_score_topk_chunked,
              S((b, g), dt), S((b,), dt), items, lam, w, w, k=k_eff)
+        _aot(timings, f"energy_session_b{b}", _energy_step_jit(),
+             S((b, g), dt), items, lam, S((g, g), dt),
+             S((1, 1), dt), S((1, 1), dt), w, w,
+             taumode=taumode, k=k_eff, kernel=kernel, chunk=chunk,
+             has_proj=False, has_signals=False, pad_tall=False)
     return timings
 
 

@@ -92,6 +92,32 @@ def main():
     assert (i64 == brute).all()
     print("f64_rescore matches the f64 brute-force ranking exactly: OK")
 
+    # energy indices serve through the same pipelined loop: one fused
+    # prep+z-project+score+top-k program per batch (bin-accumulator
+    # kernel past the in-memory ceiling, flagged rows repaired exactly)
+    from arrowspace_tpu.energymaps import EnergyParams
+    t0 = time.perf_counter()
+    # allow_tall_graphs: the diffusion split can mint more sub-centroids
+    # than F (here 135 > 128); the reference panics there — opting in
+    # pads query-λ preparation instead (energymaps.rs:193-214 quirk)
+    eidx = ArrowIndex.build_energy(rows[:20_000],
+                                   EnergyParams(allow_tall_graphs=True),
+                                   seed=11)
+    print(f"energy build 20000x{f}: {time.perf_counter() - t0:.2f}s")
+    esess = eidx.make_energy_session(batch_size=256, k=10,
+                                     w_lambda=1.0, w_dirichlet=0.5)
+    esess.warmup()
+    ebatches = batches[:8]
+    t0 = time.perf_counter()
+    eserved = sum(ids.shape[0] for _, ids in esess.search_stream(ebatches))
+    dt = time.perf_counter() - t0
+    s_e, i_e = next(iter(esess.search_stream(ebatches[:1])))
+    s_ref, i_ref = eidx.search_energy(ebatches[0], k=10)
+    assert (i_e[:, 0] == i_ref[:, 0]).all()
+    print(f"energy session: {eserved} queries in {dt:.2f}s "
+          f"({eserved / dt:.0f} QPS sustained); top-1 matches the "
+          f"one-shot energy API: OK")
+
 
 if __name__ == "__main__":
     main()

@@ -66,9 +66,13 @@ def test_serving_and_parallel_surface():
     from arrowspace_tpu.index import ArrowIndex, SearchSession
     for name in ("build", "build_energy", "save", "load", "search",
                  "search_one", "search_hybrid", "range", "search_energy",
-                 "make_search_session", "warmup", "stats"):
+                 "make_search_session", "make_energy_session", "warmup",
+                 "stats"):
         assert hasattr(ArrowIndex, name), name
     assert hasattr(SearchSession, "search_stream")
+    from arrowspace_tpu.index import EnergySearchSession
+    assert hasattr(EnergySearchSession, "search_stream")
+    from arrowspace_tpu.precompile import warm_energy
     from arrowspace_tpu.parallel import (
         make_mesh, make_mesh_2d, distributed_build_step,
         distributed_index_step, DistributedSearchSession,

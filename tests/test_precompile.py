@@ -127,6 +127,7 @@ def test_warm_energy_matches_runtime_chunked(cache_dir):
     t = warm_energy(n, g, batch_sizes=(b,), k=k, cache_path=cache_dir)
     assert f"energy_chunked_b{b}" in t
     assert f"energy_binned_b{b}" not in t  # TPU-gated off-CPU
+    assert f"energy_session_b{b}" in t  # fused EnergySearchSession step
     assert all(v >= 0 for v in t.values()), f"precompile failures: {t}"
     before = _entries(cache_dir, ("_energy_score_topk_chunked",))
     assert before, "warm_energy() wrote no chunked-program cache entry"
