@@ -121,7 +121,8 @@ def _init_bins(run_refs, depth: int):
 
 
 def _kernel(qhat_ref, qlam_ref, xhat_ref, xlam_ref, alpha_ref, n_ref,
-            *run_refs, tile: int, depth: int, lane_split: int = 1):
+            *run_refs, tile: int, depth: int, lane_split: int = 1,
+            pre_reduce: bool = False):
     """run_refs layout: [s_0..s_{D-1}, i_0..i_{D-1}, det] — these are the
     kernel's OUTPUTS with constant index maps, so they stay resident in
     VMEM across grid steps (doubling as the running state) and flush to
@@ -157,7 +158,8 @@ def _kernel(qhat_ref, qlam_ref, xhat_ref, xlam_ref, alpha_ref, n_ref,
         qlam = qlam_ref[:].reshape(-1, 1)
         local = jax.lax.broadcasted_iota(
             jnp.int32, (qhat.shape[0], bins), 1)
-        for j in range(lane_split):
+
+        def tile_scores(j):
             xhat = xhat_ref[j * bins:(j + 1) * bins, :]  # (bins, F)
             cos = jax.lax.dot_general(
                 qhat, xhat, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -166,15 +168,40 @@ def _kernel(qhat_ref, qlam_ref, xhat_ref, xlam_ref, alpha_ref, n_ref,
                          .reshape(1, -1))
             lam_sim = 1.0 - jnp.minimum(dl, 1.0)
             scores = alpha * cos + (1.0 - alpha) * lam_sim
-
             gidx = local + (base + j * bins)
-            scores = jnp.where(gidx < n, scores, NEG_INF)
-            _fold_tile(run_refs, scores, gidx, depth)
+            return jnp.where(gidx < n, scores, NEG_INF), gidx
+
+        if pre_reduce and lane_split > 1:
+            # Max-combine the r lane sub-tiles into ONE fold: fold work
+            # (the VPU bound at large batch) drops by r; the discarded
+            # pre-reduce losers' running max is folded into the miss
+            # detector so the flag contract stays exact (a dropped true
+            # top-k element is by definition a loser, so det >= its
+            # score >= kth fires the repair).  Strict > keeps the
+            # earlier sub-tile (lower global index) on ties, matching
+            # lax.top_k's tie order for the kept entry.
+            c, ci = tile_scores(0)
+            lmax = None
+            for j in range(1, lane_split):
+                sj, gj = tile_scores(j)
+                up = sj > c
+                loser = jnp.minimum(sj, c)
+                lmax = loser if lmax is None else jnp.maximum(lmax, loser)
+                c = jnp.where(up, sj, c)
+                ci = jnp.where(up, gj, ci)
+            _fold_tile(run_refs, c, ci, depth)
+            det = run_refs[2 * depth]
+            det[:] = jnp.maximum(det[:], lmax)
+        else:
+            for j in range(lane_split):
+                scores, gidx = tile_scores(j)
+                _fold_tile(run_refs, scores, gidx, depth)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "depth", "tile", "interpret",
-                                    "use_bf16", "block_b", "lane_split"))
+                                    "use_bf16", "block_b", "lane_split",
+                                    "pre_reduce"))
 def binned_lambda_topk(
     queries: jax.Array,        # (B, F) — raw, normalised inside
     query_lambdas: jax.Array,  # (B,)
@@ -189,6 +216,7 @@ def binned_lambda_topk(
     use_bf16: bool = False,    # bf16 matmul inputs, f32 accumulation
     block_b: int = 0,          # 0 = auto from the VMEM budget
     lane_split: int = 0,       # 0 = auto; r folds tile into tile/r bins
+    pre_reduce: bool = False,  # max-combine the r sub-tiles pre-fold
 ):
     """Returns (scores (B, k), indices (B, k), flags (B,) int32).
 
@@ -219,11 +247,14 @@ def binned_lambda_topk(
     elem = 2 if use_bf16 else 4
     if lane_split <= 0:
         lane_split = 1
+    # pre_reduce keeps the running (c, ci, lmax) combine planes live at
+    # bins width next to the current sub-tile's ~3 score intermediates.
+    fit_planes = 6 if (pre_reduce and lane_split > 1) else 3
     if block_b <= 0:
         block_b = 256
         if tile <= 0:
             for cand_b in (256, 128, 64):
-                if _fit_tile(cand_b, f, depth, elem,
+                if _fit_tile(cand_b, f, depth, elem, planes=fit_planes,
                              lane_split=lane_split) > 0:
                     block_b = cand_b
                     break
@@ -236,12 +267,12 @@ def binned_lambda_topk(
         s, i, fl = binned_lambda_topk(
             qp, qlp, items, item_lambdas, alpha, k=k, depth=depth,
             tile=tile, interpret=interpret, use_bf16=use_bf16,
-            block_b=block_b, lane_split=lane_split)
+            block_b=block_b, lane_split=lane_split, pre_reduce=pre_reduce)
         return s[:bsz], i[:bsz], fl[:bsz]
 
     if tile <= 0:
         tile = _fit_tile(min(bsz, max_b), f, depth, elem,
-                         lane_split=lane_split)
+                         planes=fit_planes, lane_split=lane_split)
         # Floor 1024 (Mosaic crashes on smaller tiles) even when the
         # estimate says nothing fits — F beyond ~1500 f32 should route
         # to the merge/XLA paths (session_kernel_kind's f gate).
@@ -253,7 +284,8 @@ def binned_lambda_topk(
                                    items, item_lambdas, alpha,
                                    k=k, depth=depth, tile=tile,
                                    interpret=interpret, use_bf16=use_bf16,
-                                   block_b=block_b, lane_split=lane_split)
+                                   block_b=block_b, lane_split=lane_split,
+                                   pre_reduce=pre_reduce)
                 for i in range(0, bsz, max_b)]
         return (jnp.concatenate([o[0] for o in outs], axis=0),
                 jnp.concatenate([o[1] for o in outs], axis=0),
@@ -314,7 +346,8 @@ def binned_lambda_topk(
     )
 
     kernel = functools.partial(_kernel, tile=tile, depth=depth,
-                               lane_split=lane_split)
+                               lane_split=lane_split,
+                               pre_reduce=pre_reduce)
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

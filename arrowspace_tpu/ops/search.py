@@ -24,7 +24,8 @@ __all__ = ["cosine_scores", "lambda_aware_scores",
 def pallas_binned_topk_with_repair(q, qlam, items, item_lambdas, alpha,
                                    k: int, use_bf16: bool = False,
                                    tile: int = 0, interpret: bool = False,
-                                   block_b: int = 0, lane_split: int = 0):
+                                   block_b: int = 0, lane_split: int = 0,
+                                   pre_reduce: bool = False):
     """Bin-accumulator streaming top-k + exact repair of flagged rows.
 
     The binned kernel (ops/pallas_bintopk.py) is exact except when more
@@ -40,7 +41,8 @@ def pallas_binned_topk_with_repair(q, qlam, items, item_lambdas, alpha,
     s, i, fl = binned_lambda_topk(q, qlam, items, item_lambdas, alpha,
                                   k=k, use_bf16=use_bf16, tile=tile,
                                   interpret=interpret, block_b=block_b,
-                                  lane_split=lane_split)
+                                  lane_split=lane_split,
+                                  pre_reduce=pre_reduce)
     flags = np.asarray(fl)
     if flags.any():
         from .pallas_topk import fused_lambda_topk

@@ -509,3 +509,48 @@ def test_binned_topk_lane_split_matches_xla(lane_split):
                                        jnp.float32(1.0), k=9)
     np.testing.assert_allclose(np.asarray(rs), np.asarray(s2), atol=1e-5)
     np.testing.assert_array_equal(np.asarray(ri), np.asarray(i2))
+
+
+@pytest.mark.parametrize("lane_split", [2, 4, 8])
+def test_binned_topk_pre_reduce_matches_xla(lane_split):
+    """pre_reduce max-combines the r lane sub-tiles into ONE depth-D
+    fold (the VPU fold-work reducer): unflagged results must stay exact
+    vs the XLA oracle, and the loser-max detector must flag any query
+    whose true top-k lost a pre-reduce max (the repair then restores
+    exactness) — including under a same-group duplicate storm."""
+    from arrowspace_tpu.ops.pallas_bintopk import binned_lambda_topk
+    from arrowspace_tpu.ops.search import pallas_binned_topk_with_repair
+    q, qlam, x, xlam = _bin_data(3000, 64, 6, seed=13)
+    s1, i1, fl = binned_lambda_topk(q, qlam, x, xlam, 0.9, k=9, tile=512,
+                                    interpret=True, block_b=6,
+                                    lane_split=lane_split, pre_reduce=True)
+    s2, i2 = batched_lambda_aware_topk(q, qlam, x, xlam,
+                                       jnp.float32(0.9), k=9)
+    ok = np.asarray(fl) == 0
+    np.testing.assert_allclose(np.asarray(s1)[ok], np.asarray(s2)[ok],
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i1)[ok], np.asarray(i2)[ok])
+
+    # two TRUE-top items in the SAME pre-reduce group (lane l, sub-tiles
+    # j and j+1): the loser is dropped by the combine, so the loser-max
+    # detector MUST flag, and repair must restore the exact result.
+    # Queries are made parallel to the crafted vector so the colliding
+    # pair is unambiguously the true top-2 (cos == 1 > every other row).
+    bins = 512 // lane_split
+    xs = np.asarray(x).copy()
+    top = xs[7] / np.linalg.norm(xs[7])
+    xs[7] = top * 2.0
+    xs[7 + bins] = top * 3.0            # same lane, next sub-tile
+    xj = jnp.asarray(xs)
+    qt = jnp.asarray(np.tile(top, (6, 1)).astype(np.float32))
+    s, i, fl = binned_lambda_topk(qt, qlam[:6], xj, xlam, 1.0, k=9,
+                                  tile=512, interpret=True, block_b=6,
+                                  lane_split=lane_split, pre_reduce=True)
+    assert (np.asarray(fl) == 1).all()
+    rs, ri = pallas_binned_topk_with_repair(
+        qt, qlam[:6], xj, xlam, 1.0, k=9, tile=512, interpret=True,
+        block_b=6, lane_split=lane_split, pre_reduce=True)
+    s2, i2 = batched_lambda_aware_topk(qt, qlam[:6], xj, xlam,
+                                       jnp.float32(1.0), k=9)
+    np.testing.assert_allclose(np.asarray(rs), np.asarray(s2), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(ri), np.asarray(i2))
