@@ -92,6 +92,33 @@ def _fit_tile(block: int, f: int, depth: int, elem: int,
     return 0
 
 
+def _auto_fold(n: int, f: int, depth: int, use_bf16: bool, pre_reduce,
+               planes: int = 6):
+    """Auto (lane_split, pre_reduce) for the binned kernel: the
+    pre-reduce fold (max-combine r lane sub-tiles into ONE fold — r×
+    less VPU fold work) is the measured production winner on v5e
+    (benchmarks/prereduce_ab.py, 1M×128 B=2048 amortised: f32 r=2
+    6.46 ms = 1.11×, bf16 r=8 5.73 ms = 1.20× vs plain; plain sub-folds
+    without the pre-combine are a measured negative).  Gated at
+    n >= 65536 — the serving dispatch gate — because the loser-max
+    detector's flag rate scales ~C(k,2)·tiles·(k/n)² per bin:
+    negligible at serving scale (0/2048 flags measured at 1M random
+    data), but O(1%) per query on tiny corpora, where the kernel only
+    runs in tests anyway.  Falls back to the plain fold when the
+    combine/intermediate planes fit no (block, tile) under the
+    scoped-VMEM budget (wide F).  `planes` is the pre-reduce plane
+    count: the plain intermediates plus the running (c, ci, lmax)
+    combine planes — 6 for the cosine kernel, 7 for the energy one."""
+    r_auto = 8 if use_bf16 else 2
+    elem = 2 if use_bf16 else 4
+    if pre_reduce is not False and n >= 65536 and any(
+            _fit_tile(cb, f, depth, elem, planes=planes,
+                      lane_split=r_auto) > 0
+            for cb in (256, 128, 64)):
+        return r_auto, True
+    return 1, bool(pre_reduce)
+
+
 def _fold_tile(run_refs, scores, gidx, depth: int):
     """Depth-D insertion of a (B, T) score/index tile into the running
     per-(query, bin) state: the candidate sinks through the levels,
@@ -216,7 +243,7 @@ def binned_lambda_topk(
     use_bf16: bool = False,    # bf16 matmul inputs, f32 accumulation
     block_b: int = 0,          # 0 = auto from the VMEM budget
     lane_split: int = 0,       # 0 = auto; r folds tile into tile/r bins
-    pre_reduce: bool = False,  # max-combine the r sub-tiles pre-fold
+    pre_reduce=None,           # None = auto; max-combine sub-tiles pre-fold
 ):
     """Returns (scores (B, k), indices (B, k), flags (B,) int32).
 
@@ -236,20 +263,23 @@ def binned_lambda_topk(
     # tile + (2D+1) state planes + ~3 intermediate score planes + query
     # block; an F=768 f32 B=256 kernel measured 18.2 MB against the
     # 16 MB limit, so the estimate keeps 2 MB headroom).  Block 256 is
-    # the measured optimum; lane_split (state at (block, tile/r), which
-    # frees VMEM for blocks past 256 at unchanged total fold work) is a
-    # measured NEGATIVE on v5e and stays manual-only: at 10M x 128 f32
-    # B=2048, block 256/r1 = 44.2 ms, 512/r2 = 57.0 ms, 1024/r4 =
-    # 71.3 ms — fewer corpus streams did NOT help because Mosaic already
-    # overlaps the tile DMA across sequential block calls (44 ms beats
-    # the naive 8-stream HBM bound of 52 ms), so the kernel is
-    # fold-compute-bound and wider per-tile state only slows it.
+    # the measured optimum; lane_split WITHOUT pre_reduce (state at
+    # (block, tile/r), same total fold work) is a measured NEGATIVE on
+    # v5e and stays manual-only: at 10M x 128 f32 B=2048, block 256/r1
+    # = 44.2 ms, 512/r2 = 57.0 ms, 1024/r4 = 71.3 ms — fewer corpus
+    # streams did NOT help because Mosaic already overlaps the tile DMA
+    # across sequential block calls (44 ms beats the naive 8-stream HBM
+    # bound of 52 ms): the kernel is fold-compute-bound, which is
+    # exactly what lane_split WITH pre_reduce attacks (auto default
+    # above — r× less fold work, measured 1.11×/1.20× f32/bf16).
     elem = 2 if use_bf16 else 4
     if lane_split <= 0:
-        lane_split = 1
+        lane_split, pre_reduce = _auto_fold(n, f, depth, use_bf16,
+                                            pre_reduce)
+    pre_reduce = bool(pre_reduce) and lane_split > 1
     # pre_reduce keeps the running (c, ci, lmax) combine planes live at
     # bins width next to the current sub-tile's ~3 score intermediates.
-    fit_planes = 6 if (pre_reduce and lane_split > 1) else 3
+    fit_planes = 6 if pre_reduce else 3
     if block_b <= 0:
         block_b = 256
         if tile <= 0:
@@ -370,8 +400,10 @@ def binned_lambda_topk(
 
 
 def _energy_kernel(zq_ref, qn_ref, qlam_ref, zx_ref, xn_ref, xlam_ref,
-                   wl_ref, wd_ref, n_ref, *run_refs, tile: int, depth: int):
-    """Energy-score variant of _kernel (same bins/fold/flush contract).
+                   wl_ref, wd_ref, n_ref, *run_refs, tile: int, depth: int,
+                   lane_split: int = 1, pre_reduce: bool = False):
+    """Energy-score variant of _kernel (same bins/fold/flush contract,
+    same lane_split/pre_reduce fold variants).
 
     Score per (query, item) mirrors energymaps._energy_score_topk_chunked
     exactly (reference: energymaps.rs:368-407, 849-896): the projected
@@ -382,6 +414,7 @@ def _energy_kernel(zq_ref, qn_ref, qlam_ref, zx_ref, xn_ref, xlam_ref,
         score = -(wλ·|λ_q - λ_x| + w_D·min(√d²/(1+√d²), 1))
     """
     t = pl.program_id(0)
+    bins = tile // lane_split
 
     @pl.when(t == 0)
     def _init():
@@ -395,29 +428,53 @@ def _energy_kernel(zq_ref, qn_ref, qlam_ref, zx_ref, xn_ref, xlam_ref,
         wl = wl_ref[0, 0]
         wd = wd_ref[0, 0]
         zq = zq_ref[:]                           # (B, G)
-        zx = zx_ref[:]                           # (T, G) current tile
-        dot = jax.lax.dot_general(
-            zq, zx, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)  # (B, T)
-        # identical expression order to the XLA chunked path:
-        # (qn - 2·dot) + xn, then sqrt(max(.,0)), then num/(1+num)
-        d2 = (qn_ref[:].reshape(-1, 1) - 2.0 * dot) \
-            + xn_ref[:].reshape(1, -1)
-        num = jnp.sqrt(jnp.maximum(d2, 0.0))
-        d_dir = jnp.minimum(num / (1.0 + num), 1.0)
-        d_lam = jnp.abs(qlam_ref[:].reshape(-1, 1)
-                        - xlam_ref[:].reshape(1, -1))
-        scores = -(wl * d_lam + wd * d_dir)
+        qn = qn_ref[:].reshape(-1, 1)
+        qlam = qlam_ref[:].reshape(-1, 1)
+        local = jax.lax.broadcasted_iota(
+            jnp.int32, (zq.shape[0], bins), 1)
 
-        local = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-        gidx = local + base
-        scores = jnp.where(gidx < n, scores, NEG_INF)
-        _fold_tile(run_refs, scores, gidx, depth)
+        def tile_scores(j):
+            zx = zx_ref[j * bins:(j + 1) * bins, :]  # (bins, G)
+            dot = jax.lax.dot_general(
+                zq, zx, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (B, bins)
+            # identical expression order to the XLA chunked path:
+            # (qn - 2·dot) + xn, then sqrt(max(.,0)), then num/(1+num)
+            d2 = (qn - 2.0 * dot) \
+                + xn_ref[j * bins:(j + 1) * bins].reshape(1, -1)
+            num = jnp.sqrt(jnp.maximum(d2, 0.0))
+            d_dir = jnp.minimum(num / (1.0 + num), 1.0)
+            d_lam = jnp.abs(qlam - xlam_ref[j * bins:(j + 1) * bins]
+                            .reshape(1, -1))
+            scores = -(wl * d_lam + wd * d_dir)
+            gidx = local + (base + j * bins)
+            return jnp.where(gidx < n, scores, NEG_INF), gidx
+
+        if pre_reduce and lane_split > 1:
+            # same loser-max detector contract as _kernel: a dropped
+            # true top-k element is a pre-reduce loser, det >= its score
+            # fires the flag, the caller repairs exactly.
+            c, ci = tile_scores(0)
+            lmax = None
+            for j in range(1, lane_split):
+                sj, gj = tile_scores(j)
+                up = sj > c
+                loser = jnp.minimum(sj, c)
+                lmax = loser if lmax is None else jnp.maximum(lmax, loser)
+                c = jnp.where(up, sj, c)
+                ci = jnp.where(up, gj, ci)
+            _fold_tile(run_refs, c, ci, depth)
+            det = run_refs[2 * depth]
+            det[:] = jnp.maximum(det[:], lmax)
+        else:
+            for j in range(lane_split):
+                scores, gidx = tile_scores(j)
+                _fold_tile(run_refs, scores, gidx, depth)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "depth", "tile", "interpret",
-                                    "block_b"))
+                                    "block_b", "lane_split", "pre_reduce"))
 def binned_energy_topk(
     z_q: jax.Array,            # (B, G) — queries already in z-space
     query_lambdas: jax.Array,  # (B,)
@@ -431,6 +488,8 @@ def binned_energy_topk(
     tile: int = 0,             # 0 = auto from the VMEM budget
     interpret: bool = False,
     block_b: int = 0,          # 0 = auto from the VMEM budget
+    lane_split: int = 0,       # 0 = auto; r folds tile into tile/r bins
+    pre_reduce=None,           # None = auto; max-combine sub-tiles pre-fold
 ):
     """Bin-accumulator streaming top-k for the ENERGY score
     (search_energy semantics, energymaps.rs:368-407) — the serving-rate
@@ -457,12 +516,18 @@ def binned_energy_topk(
 
     # Auto block/tile from the scoped-VMEM budget; the energy score keeps
     # one more live intermediate plane than the cosine kernel (d², num,
-    # d_dir, d_lam), hence planes=4.
+    # d_dir, d_lam), hence planes=4 plain / 7 pre-reduce.
+    if lane_split <= 0:
+        lane_split, pre_reduce = _auto_fold(n, g, depth, False, pre_reduce,
+                                            planes=7)
+    pre_reduce = bool(pre_reduce) and lane_split > 1
+    fit_planes = 7 if pre_reduce else 4
     if block_b <= 0:
         block_b = 256
         if tile <= 0:
             for cand_b in (256, 128, 64):
-                if _fit_tile(cand_b, g, depth, 4, planes=4) > 0:
+                if _fit_tile(cand_b, g, depth, 4, planes=fit_planes,
+                             lane_split=lane_split) > 0:
                     block_b = cand_b
                     break
     max_b = block_b
@@ -473,11 +538,13 @@ def binned_energy_topk(
         qlp = jnp.pad(query_lambdas, (0, pad_b))
         s, i, fl = binned_energy_topk(
             qp, qlp, z_items, item_lambdas, w_lambda, w_dirichlet, k=k,
-            depth=depth, tile=tile, interpret=interpret, block_b=block_b)
+            depth=depth, tile=tile, interpret=interpret, block_b=block_b,
+            lane_split=lane_split, pre_reduce=pre_reduce)
         return s[:bsz], i[:bsz], fl[:bsz]
 
     if tile <= 0:
-        tile = _fit_tile(min(bsz, max_b), g, depth, 4, planes=4)
+        tile = _fit_tile(min(bsz, max_b), g, depth, 4, planes=fit_planes,
+                         lane_split=lane_split)
         if tile <= 0:
             tile = 1024                  # Mosaic floor; G past ~1500
     if bsz > max_b:
@@ -486,7 +553,9 @@ def binned_energy_topk(
                                    z_items, item_lambdas,
                                    w_lambda, w_dirichlet,
                                    k=k, depth=depth, tile=tile,
-                                   interpret=interpret, block_b=block_b)
+                                   interpret=interpret, block_b=block_b,
+                                   lane_split=lane_split,
+                                   pre_reduce=pre_reduce)
                 for i in range(0, bsz, max_b)]
         return (jnp.concatenate([o[0] for o in outs], axis=0),
                 jnp.concatenate([o[1] for o in outs], axis=0),
@@ -505,8 +574,10 @@ def binned_energy_topk(
     qn = jnp.sum(zq * zq, axis=1)
     xn = jnp.sum(zx * zx, axis=1)
     n_tiles = n_pad // tile
+    bins = tile // lane_split
+    assert k <= depth * bins, (k, depth, bins)
 
-    pool_spec = pl.BlockSpec((bsz, tile), lambda t: (0, 0),
+    pool_spec = pl.BlockSpec((bsz, bins), lambda t: (0, 0),
                              memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -534,19 +605,21 @@ def binned_energy_topk(
         out_specs=tuple([pool_spec] * (2 * depth + 1)),
     )
 
-    kernel = functools.partial(_energy_kernel, tile=tile, depth=depth)
+    kernel = functools.partial(_energy_kernel, tile=tile, depth=depth,
+                               lane_split=lane_split,
+                               pre_reduce=pre_reduce)
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=tuple(
-            [jax.ShapeDtypeStruct((bsz, tile), dt)] * depth
-            + [jax.ShapeDtypeStruct((bsz, tile), jnp.int32)] * depth
-            + [jax.ShapeDtypeStruct((bsz, tile), dt)]),
+            [jax.ShapeDtypeStruct((bsz, bins), dt)] * depth
+            + [jax.ShapeDtypeStruct((bsz, bins), jnp.int32)] * depth
+            + [jax.ShapeDtypeStruct((bsz, bins), dt)]),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * bsz * n_pad * g,
             bytes_accessed=n_pad * (g + 2) * 4 + bsz * (g + 2) * 4
-            + bsz * tile * (2 * depth + 1) * 4,
+            + bsz * bins * (2 * depth + 1) * 4,
             transcendentals=n_pad * bsz,         # the per-pair sqrt
         ),
     )(zq, qn, qlam, zx, xn, xlam,

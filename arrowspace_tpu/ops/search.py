@@ -25,7 +25,7 @@ def pallas_binned_topk_with_repair(q, qlam, items, item_lambdas, alpha,
                                    k: int, use_bf16: bool = False,
                                    tile: int = 0, interpret: bool = False,
                                    block_b: int = 0, lane_split: int = 0,
-                                   pre_reduce: bool = False):
+                                   pre_reduce=None):
     """Bin-accumulator streaming top-k + exact repair of flagged rows.
 
     The binned kernel (ops/pallas_bintopk.py) is exact except when more

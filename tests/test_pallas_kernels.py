@@ -554,3 +554,84 @@ def test_binned_topk_pre_reduce_matches_xla(lane_split):
                                        jnp.float32(1.0), k=9)
     np.testing.assert_allclose(np.asarray(rs), np.asarray(s2), atol=1e-5)
     np.testing.assert_array_equal(np.asarray(ri), np.asarray(i2))
+
+def test_binned_topk_auto_fold_decision():
+    """The auto (lane_split, pre_reduce) default: pre-reduce folds are
+    production at serving scale (measured 1.11x f32 / 1.20x bf16 on
+    v5e), gated OFF below the 65536-row serving dispatch threshold
+    (loser-max flag rate ~(k/n)^2 is only negligible at scale) and OFF
+    when the 6 combine planes fit no (block, tile) VMEM budget."""
+    from arrowspace_tpu.ops.pallas_bintopk import _auto_fold
+    assert _auto_fold(1_000_000, 128, 3, False, None) == (2, True)
+    assert _auto_fold(1_000_000, 128, 3, True, None) == (8, True)
+    assert _auto_fold(65536, 128, 3, False, None) == (2, True)
+    # below the serving gate: plain fold
+    assert _auto_fold(65535, 128, 3, False, None) == (1, False)
+    assert _auto_fold(3000, 64, 3, False, None) == (1, False)
+    # explicit opt-out wins at any scale
+    assert _auto_fold(1_000_000, 128, 3, False, False) == (1, False)
+    # the gate's widest F still fits (block 64, tile 1024, r2)
+    assert _auto_fold(1_000_000, 1536, 3, False, None) == (2, True)
+    assert _auto_fold(500_000, 768, 3, False, None) == (2, True)
+    # past any (block, tile) fit: plain fold
+    assert _auto_fold(1_000_000, 4096, 3, False, None) == (1, False)
+
+
+def test_binned_topk_auto_pre_reduce_exact_at_gate():
+    """End-to-end: at n >= 65536 the default dispatch takes the
+    pre-reduce fold and unflagged rows stay bitwise-exact vs the XLA
+    oracle; flagged rows (if any) repair to exactness."""
+    from arrowspace_tpu.ops.pallas_bintopk import binned_lambda_topk
+    from arrowspace_tpu.ops.search import pallas_binned_topk_with_repair
+    rng = np.random.default_rng(29)
+    n, f, b = 65536, 8, 4
+    x = jnp.asarray(rng.uniform(0.1, 1.0, (n, f)).astype(np.float32))
+    xlam = jnp.asarray(rng.uniform(0, 1, (n,)).astype(np.float32))
+    q = jnp.asarray(rng.uniform(0.1, 1.0, (b, f)).astype(np.float32))
+    qlam = jnp.asarray(rng.uniform(0, 1, (b,)).astype(np.float32))
+    s1, i1, fl = binned_lambda_topk(q, qlam, x, xlam, 0.9, k=5,
+                                    interpret=True, block_b=b)
+    s2, i2 = batched_lambda_aware_topk(q, qlam, x, xlam,
+                                       jnp.float32(0.9), k=5)
+    ok = np.asarray(fl) == 0
+    np.testing.assert_array_equal(np.asarray(i1)[ok], np.asarray(i2)[ok])
+    np.testing.assert_array_equal(np.asarray(s1)[ok], np.asarray(s2)[ok])
+    rs, ri = pallas_binned_topk_with_repair(q, qlam, x, xlam, 0.9, k=5,
+                                            interpret=True, block_b=b)
+    np.testing.assert_array_equal(np.asarray(ri), np.asarray(i2))
+
+@pytest.mark.parametrize("lane_split", [2, 4])
+def test_binned_energy_pre_reduce_matches_chunked(lane_split):
+    """Energy-kernel pre-reduce fold: unflagged rows exact vs the chunked
+    oracle; a same-group duplicate pair (the pre-reduce loser is a true
+    top-k element) must flag and repair through the exact path."""
+    from arrowspace_tpu.ops.pallas_bintopk import binned_energy_topk
+    zq, qlam, z, xlam = _energy_data(2048, 32, 5, seed=23)
+    s1, i1, fl = binned_energy_topk(zq, qlam, z, xlam, 1.0, 0.5, k=9,
+                                    tile=512, interpret=True, block_b=5,
+                                    lane_split=lane_split, pre_reduce=True)
+    s2, i2 = _energy_oracle(zq, qlam, z, xlam, 1.0, 0.5, 9)
+    ok = np.asarray(fl) == 0
+    np.testing.assert_array_equal(np.asarray(i1)[ok], np.asarray(i2)[ok])
+    np.testing.assert_allclose(np.asarray(s1)[ok], np.asarray(s2)[ok],
+                               atol=1e-6)
+
+    # two best rows in the SAME pre-reduce group (lane l, sub-tiles j,
+    # j+1): the combine drops one, so the loser-max detector MUST flag.
+    # Duplicate BOTH the z row and its λ so the pair truly ties at the
+    # top score (z alone leaves the λ term arbitrary).
+    bins = 512 // lane_split
+    zs = np.asarray(z).copy()
+    zs[7 + bins] = zs[7]                 # same lane, next sub-tile
+    ls = np.asarray(xlam).copy()
+    ls[7 + bins] = ls[7]
+    zj = jnp.asarray(zs)
+    lj = jnp.asarray(ls)
+    zq1 = jnp.asarray(zs[7][None, :], jnp.float32)
+    ql1 = jnp.asarray([float(ls[7])], jnp.float32)
+    s, i, fl = binned_energy_topk(zq1, ql1, zj, lj, 1.0, 0.5, k=9,
+                                  tile=512, interpret=True, block_b=1,
+                                  lane_split=lane_split, pre_reduce=True)
+    assert np.asarray(fl)[0] == 1
+    s2, i2 = _energy_oracle(zq1, ql1, zj, lj, 1.0, 0.5, 9)
+    assert list(np.asarray(i2)[0][:2]) == [7, 7 + bins]
