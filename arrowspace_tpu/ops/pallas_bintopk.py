@@ -93,13 +93,20 @@ def _fit_tile(block: int, f: int, depth: int, elem: int,
 
 
 def _auto_fold(n: int, f: int, depth: int, use_bf16: bool, pre_reduce,
-               planes: int = 6):
+               planes: int = 6, r_auto: int = 0):
     """Auto (lane_split, pre_reduce) for the binned kernel: the
     pre-reduce fold (max-combine r lane sub-tiles into ONE fold — r×
     less VPU fold work) is the measured production winner on v5e
-    (benchmarks/prereduce_ab.py, 1M×128 B=2048 amortised: f32 r=2
-    6.46 ms = 1.11×, bf16 r=8 5.73 ms = 1.20× vs plain; plain sub-folds
-    without the pre-combine are a measured negative).  Gated at
+    (benchmarks/prereduce_ab.py + fold_tune_ab.py, 1M×128 B=2048
+    amortised, same-session vs plain: f32 r=2 6.83 ms = 1.07×, bf16 r=8
+    5.97 ms = 1.36×; plain sub-folds without the pre-combine are a
+    measured negative).  Deeper bf16 splits are raw-faster (r32 5.60 ms)
+    but start flagging on random 1M data (1-2/2048) — every flagged
+    batch pays a full-corpus exact-repair rescan, so the deepest
+    0-flag split wins end-to-end.  The energy kernel (caller passes
+    r_auto=4) measured plain 8.82/9.02 ms vs r4 7.73/7.99 at
+    B=256/2048 — deeper splits pay off more because its fold competes
+    with 4 live score intermediates for VPU slots.  Gated at
     n >= 65536 — the serving dispatch gate — because the loser-max
     detector's flag rate scales ~C(k,2)·tiles·(k/n)² per bin:
     negligible at serving scale (0/2048 flags measured at 1M random
@@ -109,7 +116,8 @@ def _auto_fold(n: int, f: int, depth: int, use_bf16: bool, pre_reduce,
     scoped-VMEM budget (wide F).  `planes` is the pre-reduce plane
     count: the plain intermediates plus the running (c, ci, lmax)
     combine planes — 6 for the cosine kernel, 7 for the energy one."""
-    r_auto = 8 if use_bf16 else 2
+    if r_auto <= 0:
+        r_auto = 8 if use_bf16 else 2
     elem = 2 if use_bf16 else 4
     if pre_reduce is not False and n >= 65536 and any(
             _fit_tile(cb, f, depth, elem, planes=planes,
@@ -519,7 +527,7 @@ def binned_energy_topk(
     # d_dir, d_lam), hence planes=4 plain / 7 pre-reduce.
     if lane_split <= 0:
         lane_split, pre_reduce = _auto_fold(n, g, depth, False, pre_reduce,
-                                            planes=7)
+                                            planes=7, r_auto=4)
     pre_reduce = bool(pre_reduce) and lane_split > 1
     fit_planes = 7 if pre_reduce else 4
     if block_b <= 0:

@@ -575,6 +575,12 @@ def test_binned_topk_auto_fold_decision():
     assert _auto_fold(500_000, 768, 3, False, None) == (2, True)
     # past any (block, tile) fit: plain fold
     assert _auto_fold(1_000_000, 4096, 3, False, None) == (1, False)
+    # energy kernel's variant: r4, 7 planes (fold_tune_ab: r4 best at
+    # B=256, near-best at B=2048, 0 flags)
+    assert _auto_fold(1_000_000, 64, 3, False, None,
+                      planes=7, r_auto=4) == (4, True)
+    assert _auto_fold(65535, 64, 3, False, None,
+                      planes=7, r_auto=4) == (1, False)
 
 
 def test_binned_topk_auto_pre_reduce_exact_at_gate():
