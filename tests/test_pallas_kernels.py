@@ -288,9 +288,12 @@ def test_fused_select_tau_wide_f_subblocked():
 
 
 def test_binned_topk_fuzz_shapes_and_k():
-    """Randomised sweep of (n, f, b, k, alpha, tile, block) against the
-    XLA oracle: unflagged rows must match exactly; flagged rows (rare)
-    are excluded here (their repair path is pinned elsewhere)."""
+    """Randomised sweep of (n, f, b, k, alpha, tile, block, fold
+    variant) against the XLA oracle: unflagged rows must match exactly;
+    flagged rows (rare) are excluded here (their repair path is pinned
+    elsewhere).  The fold variants (lane_split with/without pre_reduce
+    — the production auto defaults at serving scale) are sampled so the
+    pre-reduce combine and its loser-max detector get fuzzed too."""
     from arrowspace_tpu.ops.pallas_bintopk import binned_lambda_topk
 
     rng = np.random.default_rng(99)
@@ -302,10 +305,14 @@ def test_binned_topk_fuzz_shapes_and_k():
         alpha = float(rng.uniform(0.0, 1.0))
         tile = int(rng.choice([256, 512]))
         block = int(rng.choice([2, 4, 8]))
+        lane_split = int(rng.choice([1, 2, 4]))
+        pre_reduce = bool(rng.random() < 0.5) and lane_split > 1
         q, qlam, x, xlam = _data(n, f, b, seed=trial)
         s1, i1, fl = binned_lambda_topk(q, qlam, x, xlam, alpha,
                                         k=min(k, n), tile=tile,
-                                        interpret=True, block_b=block)
+                                        interpret=True, block_b=block,
+                                        lane_split=lane_split,
+                                        pre_reduce=pre_reduce)
         s2, i2 = batched_lambda_aware_topk(q, qlam, x, xlam,
                                            jnp.float32(alpha), k=min(k, n))
         ok = np.asarray(fl) == 0
@@ -313,7 +320,8 @@ def test_binned_topk_fuzz_shapes_and_k():
                                       np.asarray(i2)[ok],
                                       err_msg=f"trial {trial} "
                                       f"(n={n} f={f} b={b} k={k} "
-                                      f"a={alpha:.2f} tile={tile})")
+                                      f"a={alpha:.2f} tile={tile} "
+                                      f"r={lane_split} pre={pre_reduce})")
         np.testing.assert_allclose(np.asarray(s1)[ok],
                                    np.asarray(s2)[ok], atol=2e-5)
 
@@ -418,8 +426,10 @@ def test_binned_energy_flags_deep_collision():
 
 
 def test_binned_energy_fuzz_shapes_and_k():
-    """Randomised sweep of (n, g, b, k, weights, tile, block) against the
-    chunked oracle; unflagged rows must match exactly."""
+    """Randomised sweep of (n, g, b, k, weights, tile, block, fold
+    variant) against the chunked oracle; unflagged rows must match
+    exactly.  lane_split/pre_reduce sampled as in the cosine fuzz (the
+    energy production default is r4 pre-reduce at serving scale)."""
     from arrowspace_tpu.ops.pallas_bintopk import binned_energy_topk
     rng = np.random.default_rng(17)
     for trial in range(8):
@@ -431,17 +441,22 @@ def test_binned_energy_fuzz_shapes_and_k():
         wd = float(rng.uniform(0.0, 2.0))
         tile = int(rng.choice([256, 512]))
         block = int(rng.choice([2, 4, 8]))
+        lane_split = int(rng.choice([1, 2, 4]))
+        pre_reduce = bool(rng.random() < 0.5) and lane_split > 1
         zq, qlam, z, xlam = _energy_data(n, g, b, seed=100 + trial)
         kk = min(k, n)
         s1, i1, fl = binned_energy_topk(zq, qlam, z, xlam, wl, wd, k=kk,
                                         tile=tile, interpret=True,
-                                        block_b=block)
+                                        block_b=block,
+                                        lane_split=lane_split,
+                                        pre_reduce=pre_reduce)
         s2, i2 = _energy_oracle(zq, qlam, z, xlam, wl, wd, kk)
         ok = np.asarray(fl) == 0
         np.testing.assert_array_equal(
             np.asarray(i1)[ok], np.asarray(i2)[ok],
             err_msg=f"trial {trial} (n={n} g={g} b={b} k={kk} "
-            f"wl={wl:.2f} wd={wd:.2f} tile={tile})")
+            f"wl={wl:.2f} wd={wd:.2f} tile={tile} "
+            f"r={lane_split} pre={pre_reduce})")
         np.testing.assert_allclose(np.asarray(s1)[ok],
                                    np.asarray(s2)[ok], atol=2e-5)
 
