@@ -98,14 +98,19 @@ def amortised_device_time(jax, jnp, op, first, big_args, repeats=8,
     """Per-iteration device time of `op(first, *big_args)` with the
     tunnel RTT amortised: one dispatch runs the op `repeats` times via
     lax.scan on perturbed inputs (benchmarks/device_time.py
-    methodology — single-dispatch wall−RTT carries ±6 ms of noise)."""
+    methodology — single-dispatch wall−RTT carries ±6 ms of noise).
+
+    DCE-immune by construction: the carry consumes one scalar from
+    EVERY output row, so when a B>block batch lowers to ceil(B/block)
+    concatenated pallas_calls no call's outputs are dead and XLA cannot
+    elide any of them (benchmarks/dce_audit.py validates this on chip)."""
     @jax.jit
     def looped(q, *big):
         def body(carry, i):
             qi = q * (1.0 + carry * 0.0) + i.astype(q.dtype) * 1e-7
             out = op(qi, *big)
-            s = jnp.sum((out[0] if isinstance(out, tuple)
-                         else out).reshape(-1)[:1])
+            first = out[0] if isinstance(out, tuple) else out
+            s = jnp.sum(first.reshape(first.shape[0], -1)[:, :1])
             return carry + s * 1e-20, ()
         c, _ = jax.lax.scan(body, jnp.zeros((), q.dtype),
                             jnp.arange(repeats))

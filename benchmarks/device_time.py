@@ -84,14 +84,18 @@ def main() -> None:
         iterations cannot be elided.  Per-iteration time = wall /
         repeats with the RTT amortised to noise.  Large arrays (the
         corpus) MUST come through big_args — a closure capture would
-        embed them as HLO constants and blow the remote-compile limit."""
+        embed them as HLO constants and blow the remote-compile limit.
+
+        The carry consumes one scalar from EVERY output row so that a
+        B>block batch (ceil(B/block) concatenated pallas_calls) leaves
+        no call dead — DCE-immune (benchmarks/dce_audit.py)."""
         @jax.jit
         def looped(q, *big):
             def body(carry, i):
                 qi = q * (1.0 + carry * 0.0) + i.astype(q.dtype) * 1e-7
                 out = op(qi, *big)
-                s = jnp.sum(out[0][:1] if isinstance(out, tuple)
-                            else out[:1])
+                first = out[0] if isinstance(out, tuple) else out
+                s = jnp.sum(first.reshape(first.shape[0], -1)[:, :1])
                 return carry + s * 1e-20, ()
             c, _ = jax.lax.scan(body, jnp.zeros((), q.dtype),
                                 jnp.arange(repeats))
