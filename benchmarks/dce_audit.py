@@ -58,19 +58,22 @@ def main() -> None:
     np.asarray(X[:1, :1])
     print("corpus uploaded", flush=True)
 
-    def amortised(make_body, q, repeats=8, outer=5):
+    def amortised(make_body, q, big, repeats=8, outer=5):
+        # big arrays MUST be jit ARGUMENTS: a closure capture embeds
+        # them as HLO constants and blows the remote-compile 413 limit.
         @jax.jit
-        def looped(qq):
+        def looped(qq, *bb):
             def body(carry, i):
-                return carry + make_body(qq + i.astype(qq.dtype) * 1e-7), ()
+                return carry + make_body(qq + i.astype(qq.dtype) * 1e-7,
+                                         *bb), ()
             c, _ = jax.lax.scan(body, jnp.zeros(()), jnp.arange(repeats))
             return c
 
-        np.asarray(looped(q))
+        np.asarray(looped(q, *big))
         ts = []
         for _ in range(outer):
             t0 = time.perf_counter()
-            np.asarray(looped(q))
+            np.asarray(looped(q, *big))
             ts.append(time.perf_counter() - t0)
         return float(np.median(ts)) / repeats
 
@@ -78,17 +81,17 @@ def main() -> None:
     Q = jnp.asarray(rng.uniform(0.1, 1.0, (2048, F)).astype(np.float32))
     qlam = jnp.asarray(rng.uniform(0, 1, (2048,)).astype(np.float32))
 
-    def one(q):
-        s, i, fl = binned_lambda_topk(q, qlam, X, ilam, 0.9, k=K)
+    def one(q, x, il):
+        s, i, fl = binned_lambda_topk(q, qlam, x, il, 0.9, k=K)
         return jnp.sum(s[:1, :1]) * 1e-20
 
-    def all_(q):
-        s, i, fl = binned_lambda_topk(q, qlam, X, ilam, 0.9, k=K)
+    def all_(q, x, il):
+        s, i, fl = binned_lambda_topk(q, qlam, x, il, 0.9, k=K)
         # one scalar per 256-block: no block's output is dead
         return jnp.sum(s[::256, :1]) * 1e-20
 
-    t_one = amortised(one, Q)
-    t_all = amortised(all_, Q)
+    t_one = amortised(one, Q, (X, ilam))
+    t_all = amortised(all_, Q, (X, ilam))
     print(f"A cos B=2048 consume-one {t_one * 1e3:8.2f} ms/iter | "
           f"consume-all {t_all * 1e3:8.2f} ms/iter | ratio "
           f"{t_all / t_one:.2f}x", flush=True)
@@ -132,13 +135,13 @@ def main() -> None:
 
     for tile in (0, 1024, 2048, 4096):
         for r in (1, 4):
-            def ebody(q, tile=tile, r=r):
+            def ebody(q, z, zl, tile=tile, r=r):
                 s, i, fl = binned_energy_topk(
-                    q, zql, Z, zlam, 1.0, 0.5, k=K, tile=tile,
+                    q, zql, z, zl, 1.0, 0.5, k=K, tile=tile,
                     lane_split=r, pre_reduce=(r > 1))
                 return jnp.sum(s[:1, :1]) * 1e-20
             try:
-                per = amortised(ebody, ZQ)
+                per = amortised(ebody, ZQ, (Z, zlam))
                 print(f"C energy B=256 tile={tile or 'auto':>5} r={r} "
                       f"{per * 1e3:8.2f} ms/iter", flush=True)
             except Exception as e:  # noqa: BLE001
@@ -149,16 +152,16 @@ def main() -> None:
     ZQ8 = jnp.asarray(rng.normal(size=(2048, G)).astype(np.float32))
     zql8 = jnp.asarray(rng.uniform(0, 1, (2048,)).astype(np.float32))
 
-    def eone(q):
-        s, i, fl = binned_energy_topk(q, zql8, Z, zlam, 1.0, 0.5, k=K)
+    def eone(q, z, zl):
+        s, i, fl = binned_energy_topk(q, zql8, z, zl, 1.0, 0.5, k=K)
         return jnp.sum(s[:1, :1]) * 1e-20
 
-    def eall(q):
-        s, i, fl = binned_energy_topk(q, zql8, Z, zlam, 1.0, 0.5, k=K)
+    def eall(q, z, zl):
+        s, i, fl = binned_energy_topk(q, zql8, z, zl, 1.0, 0.5, k=K)
         return jnp.sum(s[::256, :1]) * 1e-20
 
-    t_eone = amortised(eone, ZQ8)
-    t_eall = amortised(eall, ZQ8)
+    t_eone = amortised(eone, ZQ8, (Z, zlam))
+    t_eall = amortised(eall, ZQ8, (Z, zlam))
     print(f"A energy B=2048 consume-one {t_eone * 1e3:8.2f} ms/iter | "
           f"consume-all {t_eall * 1e3:8.2f} ms/iter | ratio "
           f"{t_eall / t_eone:.2f}x", flush=True)
