@@ -326,6 +326,44 @@ def test_binned_topk_fuzz_shapes_and_k():
                                    np.asarray(s2)[ok], atol=2e-5)
 
 
+def test_binned_topk_deep_split_deep_depth_fuzz():
+    """The serving-scale resident-block configs (benchmarks/
+    honest_sweep.py): deep pre-reduce splits (r = 8/16) with depth 4 —
+    narrow bins raise the >D-collision rate, depth 4 restores it; the
+    fold/detector algebra must stay exact at every (r, depth).  Unflagged
+    rows must match the XLA oracle exactly.  (No no-flag assertion: at
+    tile 256 / r 16 there are only 16 bins, where >D collisions on
+    random data are genuinely likely — the flag firing IS the contract;
+    production bins are >= 64.)"""
+    from arrowspace_tpu.ops.pallas_bintopk import binned_lambda_topk
+
+    rng = np.random.default_rng(7)
+    for trial in range(6):
+        n = int(rng.integers(600, 5000))
+        f = int(rng.choice([16, 64, 128]))
+        b = int(rng.choice([4, 8]))
+        k = int(rng.choice([3, 10, 11]))
+        alpha = float(rng.uniform(0.0, 1.0))
+        tile = int(rng.choice([256, 512]))
+        r = int(rng.choice([8, 16]))
+        depth = int(rng.choice([3, 4]))
+        assert k <= depth * (tile // r)
+        q, qlam, x, xlam = _bin_data(n, f, b, seed=100 + trial)
+        s1, i1, fl = binned_lambda_topk(q, qlam, x, xlam, alpha, k=k,
+                                        tile=tile, interpret=True,
+                                        block_b=b, lane_split=r,
+                                        pre_reduce=True, depth=depth)
+        s2, i2 = batched_lambda_aware_topk(q, qlam, x, xlam,
+                                           jnp.float32(alpha), k=k)
+        ok = np.asarray(fl) == 0
+        np.testing.assert_array_equal(
+            np.asarray(i1)[ok], np.asarray(i2)[ok],
+            err_msg=f"trial {trial} (n={n} f={f} b={b} k={k} "
+                    f"a={alpha:.2f} tile={tile} r={r} d={depth})")
+        np.testing.assert_allclose(np.asarray(s1)[ok], np.asarray(s2)[ok],
+                                   atol=2e-5)
+
+
 # ---------------------------------------------------------------------------
 # Energy bin-accumulator kernel (ops/pallas_bintopk.binned_energy_topk)
 # ---------------------------------------------------------------------------
