@@ -61,70 +61,142 @@ def binned_topk_depth_for(k: int) -> int:
     return 3
 
 
+_VMEM_BUDGET = int(14.5 * 1024 * 1024)
+
+
+def _layout_fits(block: int, tile: int, f: int, depth: int, elem: int,
+                 planes: int, lane_split: int) -> bool:
+    """Scoped-VMEM estimate for one (block, tile, lane_split) layout.
+    Model: double-buffered item tile + (2D+1) state planes + `planes`
+    intermediate score planes (3 for the cosine kernel, 4 for the energy
+    kernel's extra d²/√ stage; pre-reduce adds its (c, ci, lmax) combine
+    planes) + the query block, against a 14.5 MB target (~1.5 MB
+    headroom under the 16 MB Mosaic scoped limit; the model reads
+    ~0.6 MB low vs a measured F=768 f32 lowering, so the headroom
+    absorbs it — calibration points: f32/768/B256 est 17.6 vs measured
+    18.2 OOM, bf16/768/B256 est 14.4 vs measured ~15.1 compiles)."""
+    bins = tile // lane_split
+    est = (2 * tile * f * elem                # xhat tile, double-buffered
+           + (2 * depth + 1) * block * bins * 4   # run_s/run_i/det
+           + planes * block * bins * 4           # score intermediates
+           + block * f * 4)                      # qhat
+    return est <= _VMEM_BUDGET
+
+
 def _fit_tile(block: int, f: int, depth: int, elem: int,
               planes: int = 3, lane_split: int = 1) -> int:
     """Largest tile in {4096, 2048, 1024} whose VMEM estimate fits the
-    scoped budget for a given query block, or 0 if none does.  Model:
-    double-buffered item tile + (2D+1) state planes + `planes`
-    intermediate score planes (3 for the cosine kernel, 4 for the energy
-    kernel's extra d²/√ stage) + the query block, against a 14.5 MB
-    target (~1.5 MB headroom under the 16 MB Mosaic scoped limit; the
-    model reads ~0.6 MB low vs a measured F=768 f32 lowering, so the
-    headroom absorbs it — calibration points: f32/768/B256 est 17.6 vs
-    measured 18.2 OOM, bf16/768/B256 est 14.4 vs measured ~15.1
-    compiles).
+    scoped budget for a given query block, or 0 if none does.
 
     lane_split r folds r lane sub-tiles into tile/r bins: state AND
     score intermediates shrink by r (they live at (block, tile/r)),
     which is what lets the query block grow past 256 — every doubling
-    of the block halves corpus HBM streams for a big batch, the
-    measured bound at 10M rows.  Total fold work per query is
-    unchanged (r sub-folds of 1/r the width)."""
-    budget = int(14.5 * 1024 * 1024)
+    of the block halves corpus HBM streams for a big batch.  Total fold
+    work per query is unchanged (r sub-folds of 1/r the width)."""
     for t in (4096, 2048, 1024):
-        bins = t // lane_split
-        est = (2 * t * f * elem               # xhat tile, double-buffered
-               + (2 * depth + 1) * block * bins * 4  # run_s/run_i/det
-               + planes * block * bins * 4          # score intermediates
-               + block * f * 4)                     # qhat
-        if est <= budget:
+        if _layout_fits(block, t, f, depth, elem, planes, lane_split):
             return t
     return 0
 
 
-def _auto_fold(n: int, f: int, depth: int, use_bf16: bool, pre_reduce,
-               planes: int = 6, r_auto: int = 0):
-    """Auto (lane_split, pre_reduce) for the binned kernel: the
-    pre-reduce fold (max-combine r lane sub-tiles into ONE fold — r×
-    less VPU fold work) is the measured production winner on v5e
-    (benchmarks/prereduce_ab.py + fold_tune_ab.py, 1M×128 B=2048
-    amortised, same-session vs plain: f32 r=2 6.83 ms = 1.07×, bf16 r=8
-    5.97 ms = 1.36×; plain sub-folds without the pre-combine are a
-    measured negative).  Deeper bf16 splits are raw-faster (r32 5.60 ms)
-    but start flagging on random 1M data (1-2/2048) — every flagged
-    batch pays a full-corpus exact-repair rescan, so the deepest
-    0-flag split wins end-to-end.  The energy kernel (caller passes
-    r_auto=4) measured plain 8.82/9.02 ms vs r4 7.73/7.99 at
-    B=256/2048 — deeper splits pay off more because its fold competes
-    with 4 live score intermediates for VPU slots.  Gated at
-    n >= 65536 — the serving dispatch gate — because the loser-max
-    detector's flag rate scales ~C(k,2)·tiles·(k/n)² per bin:
-    negligible at serving scale (0/2048 flags measured at 1M random
-    data), but O(1%) per query on tiny corpora, where the kernel only
-    runs in tests anyway.  Falls back to the plain fold when the
-    combine/intermediate planes fit no (block, tile) under the
-    scoped-VMEM budget (wide F).  `planes` is the pre-reduce plane
-    count: the plain intermediates plus the running (c, ci, lmax)
-    combine planes — 6 for the cosine kernel, 7 for the energy one."""
-    if r_auto <= 0:
-        r_auto = 8 if use_bf16 else 2
+def _bins_target(k: int) -> int:
+    """Running-state width (bins) per query.  128 = one full vreg lane
+    row — the honest sweep's winner (benchmarks/honest_sweep2.py: bins
+    64 ran at half-lane VPU occupancy and regressed ~1.5x; bins 256/512
+    pay 2-4x the fold work).  The >D-collision flag rate grows as
+    C(k, D+1)/bins^D per query, so wider pools back off as k grows:
+    k=16 at bins 128 expects ~1.8 flags per 2048-batch, k=42
+    (f64_rescore pools) at bins 512 stays ~1e-4."""
+    if k <= 16:
+        return 128
+    if k <= 32:
+        return 256
+    return 512
+
+
+def _auto_layout(bsz: int, n: int, f: int, k: int, depth: int,
+                 use_bf16: bool, planes_plain: int, planes_pre: int):
+    """Joint (block_b, tile, lane_split, pre_reduce) for the binned
+    kernels, from the honest resident-block sweep (benchmarks/
+    honest_sweep.py + honest_sweep2.py, 1M x 128 B=2048, DCE-immune
+    consume-all harness, real v5e):
+
+      f32 default (b256 r2)   15.52 ms     b1024 r8  t1024  10.88 ms
+      b512  r4                12.51 ms     b1024 r16 t2048  10.68 ms
+      bf16 default (b256 r8)  13.41 ms     bf16 b1024 r16 t2048 9.99 ms
+
+    Three effects, in order of measured size: (1) bins = tile/r pinned
+    to _bins_target — 128 is one full vreg lane row, and the fold +
+    combine VPU work per item scales with bins; (2) a large resident
+    query block cuts corpus HBM streams (8 -> 2 at B=2048); (3) a
+    larger tile halves grid steps.  r is capped at 16: r32 measured
+    faster still (10.39 ms) but its pre-reduce loser-max detector
+    starts firing (2/2048 flags — every flag pays an exact-repair
+    rescan), and deeper combines are how the false-fire rate grows.
+
+    Gated at n >= 65536 (the serving dispatch gate): on tiny corpora
+    the flag rate is O(1%) per query and the kernel only runs in tests
+    — those keep the plain full-width fold."""
     elem = 2 if use_bf16 else 4
-    if pre_reduce is not False and n >= 65536 and any(
-            _fit_tile(cb, f, depth, elem, planes=planes,
-                      lane_split=r_auto) > 0
-            for cb in (256, 128, 64)):
-        return r_auto, True
-    return 1, bool(pre_reduce)
+    if n >= 65536:
+        bins = _bins_target(k)
+        for block in (1024, 512, 256, 128, 64):
+            if block > max(bsz, 256):
+                continue          # sub-256 batches pad up to one block
+            for tile in (2048, 1024):
+                r = tile // bins
+                if not 1 <= r <= 16:
+                    continue
+                planes = planes_pre if r > 1 else planes_plain
+                if _layout_fits(block, tile, f, depth, elem, planes, r):
+                    return block, tile, r, r > 1
+    # Tiny-corpus / nothing-fits fallback: legacy plain layout.
+    for block in (256, 128, 64):
+        t = _fit_tile(block, f, depth, elem, planes=planes_plain,
+                      lane_split=1)
+        if t > 0:
+            return block, t, 1, False
+    return 256, 1024, 1, False        # Mosaic floor; F>~1500 routes away
+
+
+def _resolve_layout(bsz, n, f, k, depth, use_bf16, block_b, lane_split,
+                    tile, pre_reduce, planes_plain, planes_pre):
+    """Dispatch-time (block_b, tile, lane_split, pre_reduce) resolution
+    shared by both binned kernels: fully-auto calls get the sweep-tuned
+    _auto_layout; any manually pinned dimension keeps legacy semantics
+    (manual lane_split with auto block/tile resolves block by the VMEM
+    cascade, exactly the pre-sweep behavior the tests and the 10M
+    scripts pin)."""
+    if (block_b <= 0 and lane_split <= 0 and tile <= 0
+            and pre_reduce is not False):
+        # (an explicit pre_reduce=False opt-out takes the legacy plain
+        # path below — the resident-block layout sized for a folded
+        # state would put a full-width one far past the VMEM budget)
+        ab, at, ar, apre = _auto_layout(bsz, n, f, k, depth, use_bf16,
+                                        planes_plain, planes_pre)
+        return ab, at, ar, apre
+    if lane_split <= 0:
+        lane_split = 1
+    pre_reduce = bool(pre_reduce) and lane_split > 1
+    planes = planes_pre if pre_reduce else planes_plain
+    elem = 2 if use_bf16 else 4
+    if block_b <= 0:
+        block_b = 256
+        if tile <= 0:
+            for cand_b in (256, 128, 64):
+                if _fit_tile(cand_b, f, depth, elem, planes=planes,
+                             lane_split=lane_split) > 0:
+                    block_b = cand_b
+                    break
+    if tile <= 0:
+        tile = _fit_tile(min(bsz, block_b), f, depth, elem, planes=planes,
+                         lane_split=lane_split)
+        # Floor 1024 (Mosaic crashes on smaller tiles) even when the
+        # estimate says nothing fits — F beyond ~1500 f32 should route
+        # to the merge/XLA paths (session_kernel_kind's f gate).
+        if tile <= 0:
+            tile = 1024
+    return block_b, tile, lane_split, pre_reduce
 
 
 def _fold_tile(run_refs, scores, gidx, depth: int):
@@ -266,36 +338,16 @@ def binned_lambda_topk(
     if depth <= 0:
         depth = binned_topk_depth_for(k)
 
-    # Query-block size: auto-picked jointly with the tile from the
-    # 16 MB scoped-VMEM budget (measured model: double-buffered item
-    # tile + (2D+1) state planes + ~3 intermediate score planes + query
-    # block; an F=768 f32 B=256 kernel measured 18.2 MB against the
-    # 16 MB limit, so the estimate keeps 2 MB headroom).  Block 256 is
-    # the measured optimum; lane_split WITHOUT pre_reduce (state at
-    # (block, tile/r), same total fold work) is a measured NEGATIVE on
-    # v5e and stays manual-only: at 10M x 128 f32 B=2048, block 256/r1
-    # = 44.2 ms, 512/r2 = 57.0 ms, 1024/r4 = 71.3 ms — fewer corpus
-    # streams did NOT help because Mosaic already overlaps the tile DMA
-    # across sequential block calls (44 ms beats the naive 8-stream HBM
-    # bound of 52 ms): the kernel is fold-compute-bound, which is
-    # exactly what lane_split WITH pre_reduce attacks (auto default
-    # above — r× less fold work, measured 1.11×/1.20× f32/bf16).
-    elem = 2 if use_bf16 else 4
-    if lane_split <= 0:
-        lane_split, pre_reduce = _auto_fold(n, f, depth, use_bf16,
-                                            pre_reduce)
-    pre_reduce = bool(pre_reduce) and lane_split > 1
-    # pre_reduce keeps the running (c, ci, lmax) combine planes live at
-    # bins width next to the current sub-tile's ~3 score intermediates.
-    fit_planes = 6 if pre_reduce else 3
-    if block_b <= 0:
-        block_b = 256
-        if tile <= 0:
-            for cand_b in (256, 128, 64):
-                if _fit_tile(cand_b, f, depth, elem, planes=fit_planes,
-                             lane_split=lane_split) > 0:
-                    block_b = cand_b
-                    break
+    # (block_b, tile, lane_split, pre_reduce) resolution: fully-auto
+    # calls get the sweep-tuned resident-block layout (_auto_layout —
+    # block 1024 / tile 2048 / r16 / bins 128 at F=128, honest 10.68 ms
+    # f32 / 9.99 ms bf16 per 2048-batch at 1M vs 15.52/13.41 for the
+    # old b256 defaults); manual dims keep legacy semantics.  planes:
+    # ~3 score intermediates for the plain fold; pre_reduce keeps the
+    # running (c, ci, lmax) combine planes live next to them (6).
+    block_b, tile, lane_split, pre_reduce = _resolve_layout(
+        bsz, n, f, k, depth, use_bf16, block_b, lane_split, tile,
+        pre_reduce, planes_plain=3, planes_pre=6)
     max_b = block_b
 
     if bsz % max_b != 0:
@@ -308,14 +360,6 @@ def binned_lambda_topk(
             block_b=block_b, lane_split=lane_split, pre_reduce=pre_reduce)
         return s[:bsz], i[:bsz], fl[:bsz]
 
-    if tile <= 0:
-        tile = _fit_tile(min(bsz, max_b), f, depth, elem,
-                         planes=fit_planes, lane_split=lane_split)
-        # Floor 1024 (Mosaic crashes on smaller tiles) even when the
-        # estimate says nothing fits — F beyond ~1500 f32 should route
-        # to the merge/XLA paths (session_kernel_kind's f gate).
-        if tile <= 0:
-            tile = 1024
     if bsz > max_b:
         outs = [binned_lambda_topk(queries[i:i + max_b],
                                    query_lambdas[i:i + max_b],
@@ -522,22 +566,15 @@ def binned_energy_topk(
     if depth <= 0:
         depth = binned_topk_depth_for(k)
 
-    # Auto block/tile from the scoped-VMEM budget; the energy score keeps
-    # one more live intermediate plane than the cosine kernel (d², num,
-    # d_dir, d_lam), hence planes=4 plain / 7 pre-reduce.
-    if lane_split <= 0:
-        lane_split, pre_reduce = _auto_fold(n, g, depth, False, pre_reduce,
-                                            planes=7, r_auto=4)
-    pre_reduce = bool(pre_reduce) and lane_split > 1
-    fit_planes = 7 if pre_reduce else 4
-    if block_b <= 0:
-        block_b = 256
-        if tile <= 0:
-            for cand_b in (256, 128, 64):
-                if _fit_tile(cand_b, g, depth, 4, planes=fit_planes,
-                             lane_split=lane_split) > 0:
-                    block_b = cand_b
-                    break
+    # Layout resolution shared with the cosine kernel; the energy score
+    # keeps one more live intermediate plane (d², num, d_dir, d_lam),
+    # hence planes 4 plain / 7 pre-reduce.  The honest sweep moved its
+    # defaults much less than the cosine kernel's (24.35 -> 22.8 ms per
+    # 2048-batch at 1M x 64): the energy kernel is per-pair-op bound
+    # (the √/÷ stage), not fold/stream bound.
+    block_b, tile, lane_split, pre_reduce = _resolve_layout(
+        bsz, n, g, k, depth, False, block_b, lane_split, tile,
+        pre_reduce, planes_plain=4, planes_pre=7)
     max_b = block_b
 
     if bsz % max_b != 0:
@@ -550,11 +587,6 @@ def binned_energy_topk(
             lane_split=lane_split, pre_reduce=pre_reduce)
         return s[:bsz], i[:bsz], fl[:bsz]
 
-    if tile <= 0:
-        tile = _fit_tile(min(bsz, max_b), g, depth, 4, planes=fit_planes,
-                         lane_split=lane_split)
-        if tile <= 0:
-            tile = 1024                  # Mosaic floor; G past ~1500
     if bsz > max_b:
         outs = [binned_energy_topk(z_q[i:i + max_b],
                                    query_lambdas[i:i + max_b],

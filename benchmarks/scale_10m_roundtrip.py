@@ -84,15 +84,23 @@ def main() -> None:
     Q = jnp.asarray(rows[rng.integers(0, n, B)] * 1.01)
     qlam = jnp.asarray(rng.uniform(0, 1, B).astype(np.float32))
 
-    for label, blk, r in (("b256/r1 (8 streams)", 256, 1),
-                          ("b512/r2 (4 streams)", 512, 2),
-                          ("b1024/r4 (2 streams)", 1024, 4)):
+    # Consume one scalar from EVERY row: the original [:1, :1] consume
+    # let XLA eliminate the unconsumed query-block pallas_calls
+    # (benchmarks/dce_audit.py), which invalidated this sweep's first
+    # committed numbers — different (block, r) elide different
+    # fractions, so they weren't even comparable.
+    for label, blk, r in (("auto (new layout)", 0, 0),
+                          ("b256/r1 (8 streams)", 256, 1),
+                          ("b1024/r8 t1024", 1024, 8),
+                          ("b1024/r16 t2048", 1024, 16)):
         def looped(q, x, il, _b=blk, _r=r):
             def body(carry, i):
                 qi = q * (1.0 + carry * 0.0) + i.astype(q.dtype) * 1e-7
-                s, _, _ = binned_lambda_topk(qi, qlam, x, il, 0.9, k=K,
-                                             block_b=_b, lane_split=_r)
-                return carry + jnp.sum(s[:1, :1]) * 1e-20, ()
+                s, _, _ = binned_lambda_topk(
+                    qi, qlam, x, il, 0.9, k=K, block_b=_b, lane_split=_r,
+                    pre_reduce=(True if _r > 1 else None),
+                    tile=(2048 if _r == 16 else 0))
+                return carry + jnp.sum(s[:, :1]) * 1e-20, ()
             c, _ = jax.lax.scan(body, jnp.zeros((), q.dtype),
                                 jnp.arange(4))
             return c
@@ -109,7 +117,9 @@ def main() -> None:
             ts.append(time.perf_counter() - t0)
         per = float(np.median(ts)) / 4
         _, _, fl = binned_lambda_topk(Q, qlam, aspace.data, aspace.lambdas,
-                                      0.9, k=K, block_b=blk, lane_split=r)
+                                      0.9, k=K, block_b=blk, lane_split=r,
+                                      pre_reduce=(True if r > 1 else None),
+                                      tile=(2048 if r == 16 else 0))
         print(f"query {label}: {per*1e3:.2f} ms/batch = {B/per:.0f} QPS "
               f"device, flags {int(np.asarray(fl).sum())}/{B}", flush=True)
 

@@ -608,32 +608,40 @@ def test_binned_topk_pre_reduce_matches_xla(lane_split):
     np.testing.assert_allclose(np.asarray(rs), np.asarray(s2), atol=1e-5)
     np.testing.assert_array_equal(np.asarray(ri), np.asarray(i2))
 
-def test_binned_topk_auto_fold_decision():
-    """The auto (lane_split, pre_reduce) default: pre-reduce folds are
-    production at serving scale (measured 1.11x f32 / 1.20x bf16 on
-    v5e), gated OFF below the 65536-row serving dispatch threshold
-    (loser-max flag rate ~(k/n)^2 is only negligible at scale) and OFF
-    when the 6 combine planes fit no (block, tile) VMEM budget."""
-    from arrowspace_tpu.ops.pallas_bintopk import _auto_fold
-    assert _auto_fold(1_000_000, 128, 3, False, None) == (2, True)
-    assert _auto_fold(1_000_000, 128, 3, True, None) == (8, True)
-    assert _auto_fold(65536, 128, 3, False, None) == (2, True)
+def test_binned_topk_auto_layout_decision():
+    """The sweep-tuned auto layout (benchmarks/honest_sweep2.py): at
+    serving scale the resident-block pre-reduce layout pins bins =
+    tile/lane_split to the k-dependent target (128 up to k=16 — one
+    full vreg lane row), grows the query block to 1024, and prefers
+    tile 2048; below the 65536-row serving gate and when nothing fits
+    VMEM it falls back to the plain full-width fold."""
+    from arrowspace_tpu.ops.pallas_bintopk import _auto_layout
+
+    # serving headline config: 1M x 128, B=2048, k=10
+    assert _auto_layout(2048, 1_000_000, 128, 10, 3, False, 3, 6) == \
+        (1024, 2048, 16, True)
+    assert _auto_layout(2048, 1_000_000, 128, 10, 3, True, 3, 6) == \
+        (1024, 2048, 16, True)
+    # latency config: block capped by the batch
+    assert _auto_layout(256, 1_000_000, 128, 10, 3, False, 3, 6) == \
+        (256, 2048, 16, True)
+    # sub-256 batches pad up to one 256 block
+    assert _auto_layout(100, 1_000_000, 128, 10, 3, False, 3, 6)[0] == 256
+    # wider pools as k grows (flag rate ~ C(k, D+1)/bins^D)
+    b, t, r, pre = _auto_layout(2048, 1_000_000, 128, 42, 3, False, 3, 6)
+    assert (t // r) == 512 and pre
+    # wide F: block backs off before the layout stops fitting
+    b, t, r, pre = _auto_layout(2048, 500_000, 768, 10, 3, False, 3, 6)
+    assert (t // r) == 128 and pre and b >= 256
     # below the serving gate: plain fold
-    assert _auto_fold(65535, 128, 3, False, None) == (1, False)
-    assert _auto_fold(3000, 64, 3, False, None) == (1, False)
-    # explicit opt-out wins at any scale
-    assert _auto_fold(1_000_000, 128, 3, False, False) == (1, False)
-    # the gate's widest F still fits (block 64, tile 1024, r2)
-    assert _auto_fold(1_000_000, 1536, 3, False, None) == (2, True)
-    assert _auto_fold(500_000, 768, 3, False, None) == (2, True)
-    # past any (block, tile) fit: plain fold
-    assert _auto_fold(1_000_000, 4096, 3, False, None) == (1, False)
-    # energy kernel's variant: r4, 7 planes (fold_tune_ab: r4 best at
-    # B=256, near-best at B=2048, 0 flags)
-    assert _auto_fold(1_000_000, 64, 3, False, None,
-                      planes=7, r_auto=4) == (4, True)
-    assert _auto_fold(65535, 64, 3, False, None,
-                      planes=7, r_auto=4) == (1, False)
+    assert _auto_layout(2048, 65535, 128, 10, 3, False, 3, 6)[2:] == \
+        (1, False)
+    # past any (block, tile) fit: plain-fold fallback, Mosaic floor
+    assert _auto_layout(2048, 1_000_000, 4096, 10, 3, False, 3, 6)[2:] == \
+        (1, False)
+    # energy-kernel plane counts still land the resident layout
+    assert _auto_layout(2048, 1_000_000, 64, 10, 3, False, 4, 7) == \
+        (1024, 2048, 16, True)
 
 
 def test_binned_topk_auto_pre_reduce_exact_at_gate():
