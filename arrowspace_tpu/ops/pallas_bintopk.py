@@ -21,10 +21,15 @@ Exactness (the reference's scan is exact, so this must be too): a true
 top-k element can only be missing from the pool if more than D elements
 of its bin score >= the true kth score.  The (D+1)-th running score
 detects exactly that: flag[b] = any_bin(det >= kth_of_pool).  Flagged
-queries (P ~ C(k, D+1)/L^D per query — ~2e-7 at k=10, D=3, L=1024) are
-re-run through the exact merge kernel by the caller; un-flagged results
-are bit-identical to lax.top_k (lowest-global-index tie order, proven
-in tests/test_pallas_kernels.py against forced collisions).
+queries (P ~ C(k, D+1)/bins^D per query — ~1e-4 at k=10, D=3, the
+production bins=128; the pre-reduce loser-max detector adds a small
+conservative false-fire rate on near-ties) are re-run through the
+exact merge kernel by the caller; un-flagged results are bit-identical
+to lax.top_k (lowest-global-index tie order, proven in
+tests/test_pallas_kernels.py against forced collisions).  Production
+layouts come from _auto_layout — sweep-tuned on the DCE-immune harness
+(benchmarks/honest_sweep*.py) after benchmarks/dce_audit.py showed the
+earlier consume-one harness had let XLA elide most query blocks.
 
 This is the "two-phase threshold-then-gather" restructure of VERDICT r2
 item 1 collapsed into ONE pass: the bins are the per-region maxima of

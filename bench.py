@@ -381,7 +381,11 @@ def big_corpus_suite(jax, jnp, rtt_s: float) -> None:
         n_flags = int(np.asarray(fl).sum())
         elem = 2 if bf16 else 4
         q_flops = 2 * 2048 * n_big * f_big
-        q_bytes = (2048 // 256) * n_big * f_big * elem
+        from arrowspace_tpu.ops.pallas_bintopk import (_auto_layout,
+                                                       binned_topk_depth_for)
+        blk = _auto_layout(2048, n_big, f_big, 10,
+                           binned_topk_depth_for(10), bf16, 3, 6)[0]
+        q_bytes = -(-2048 // blk) * n_big * f_big * elem   # corpus streams
         rf = roofline_fields(t_dev, q_flops, q_bytes,
                              peak_flops=PEAK_MXU_BF16 if bf16
                              else PEAK_MXU_F32)
@@ -522,9 +526,12 @@ def wide_f_suite(jax, jnp, rtt_s: float) -> None:
                                                 k=k_w, use_bf16=bf16),
             Q, (X, ilam), repeats=4)
         elem = 2 if bf16 else 4
+        from arrowspace_tpu.ops.pallas_bintopk import (_auto_layout,
+                                                       binned_topk_depth_for)
+        blk = _auto_layout(B, n_w, f_w, k_w, binned_topk_depth_for(k_w),
+                           bf16, 3, 6)[0]
         rf = roofline_fields(t_dev, 2 * B * n_w * f_w,
-                             (B // (128 if not bf16 else 256))
-                             * n_w * f_w * elem,
+                             -(-B // blk) * n_w * f_w * elem,
                              peak_flops=PEAK_MXU_BF16 if bf16
                              else PEAK_MXU_F32)
         _, _, fl = binned_lambda_topk(Q, qlam, X, ilam, 0.9, k=k_w,
