@@ -4,8 +4,11 @@ One process, one upload (device-lease discipline).  Measures:
 - unseeded chunked scan with the at-cap tail (phase logs from
   clustering's INFO timers: pre-cap vs tail)
 - eigenmaps + λτ (sublane τ layout at the 10M bucket)
-- binned query kernel at B=2048 for (block, lane_split) in
-  {(256,1), (512,2), (1024,4)} f32 — corpus streams 8/4/2
+- binned query kernel at B=2048, DCE-immune consume-all harness (the
+  first committed sweep here consumed one row and its numbers were
+  partially elided — see benchmarks/dce_audit.py): auto layout
+  (resident-block b1024/t2048/r16), b256/r1 (8 streams), b1024/r8,
+  b1024/r16 — with flag counts from a real dispatch
 
 Usage: python benchmarks/scale_10m_roundtrip.py [N]
 """
