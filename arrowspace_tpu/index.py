@@ -59,12 +59,18 @@ def _session_step_jit():
 
         @functools.partial(
             jax.jit, static_argnames=("taumode", "alpha", "k", "kernel",
-                                      "has_proj", "pad_tall", "use_bf16"))
+                                      "has_proj", "pad_tall", "use_bf16",
+                                      "n_items"))
         def step(q_raw, data, lambdas, lap, proj, *, taumode, alpha, k,
-                 kernel, has_proj, pad_tall, use_bf16=False):
+                 kernel, has_proj, pad_tall, use_bf16=False, n_items=0):
+            # For kernel=="binned" with n_items > 0, `data`/`lambdas` are
+            # the PREPARED corpus (prepare_binned_corpus): normalised,
+            # bucket-padded, mm_dt-cast once at session construction —
+            # the per-dispatch normalise+pad producer is a full corpus
+            # read+write otherwise.  dt therefore comes from the query.
             from .ops.search import batched_lambda_aware_topk
             from .taumode import select_tau_batch, synthetic_lambda_batch
-            dt = data.dtype
+            dt = q_raw.dtype
             q_prep = q_raw if not has_proj else jnp.dot(
                 q_raw, proj, preferred_element_type=dt)
             taus = select_tau_batch(q_prep, taumode)
@@ -74,7 +80,8 @@ def _session_step_jit():
                 from .ops.pallas_bintopk import binned_lambda_topk
                 s, i, fl = binned_lambda_topk(
                     q_raw, qlam, data, lambdas, alpha, k=k,
-                    use_bf16=use_bf16)
+                    use_bf16=use_bf16, prepared=n_items > 0,
+                    n_items=n_items)
                 return s, jnp.concatenate([i, fl[:, None]], axis=1), qlam
             zero_fl = jnp.zeros((q_raw.shape[0], 1), dtype=jnp.int32)
             if kernel == "merge":
@@ -312,10 +319,23 @@ class SearchSession:
         use_bf16 = precision == "bf16" and kernel != "xla"
         jitted = _session_step_jit()
         dummy_proj = proj if has_proj else jnp.zeros((1, 1), dtype=dt)
+        n_items = 0
+        step_data, step_lambdas = data, lambdas
+        if kernel == "binned" and dt == jnp.float32:
+            # One-time corpus preparation (normalise + bucket-pad +
+            # mm_dt cast) hoisted out of the per-dispatch program; the
+            # raw arrays stay owned by the index (repair + the other
+            # search APIs use them).
+            from .ops.pallas_bintopk import prepare_binned_corpus
+            step_data, step_lambdas = prepare_binned_corpus(
+                data, lambdas, bsz=self.batch_size, k=k_eff,
+                use_bf16=use_bf16)
+            n_items = index.nitems
         self._step = lambda q: jitted(
-            q, data, lambdas, lap, dummy_proj, taumode=taumode,
+            q, step_data, step_lambdas, lap, dummy_proj, taumode=taumode,
             alpha=float(alpha), k=k_eff, kernel=kernel,
-            has_proj=has_proj, pad_tall=pad_tall, use_bf16=use_bf16)
+            has_proj=has_proj, pad_tall=pad_tall, use_bf16=use_bf16,
+            n_items=n_items)
         self._dim = aspace.nfeatures
 
         def repair(q_block, qlam, rows):

@@ -50,7 +50,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["binned_lambda_topk", "binned_energy_topk",
-           "binned_topk_depth_for"]
+           "binned_topk_depth_for", "binned_layout",
+           "prepare_binned_corpus"]
 
 NEG_INF = float(np.finfo(np.float32).min)
 INT_MAX = np.iinfo(np.int32).max
@@ -204,6 +205,65 @@ def _resolve_layout(bsz, n, f, k, depth, use_bf16, block_b, lane_split,
     return block_b, tile, lane_split, pre_reduce
 
 
+def _padded_rows(n: int, tile: int) -> int:
+    """Bucket-padded corpus rows for a tile: one compiled kernel serves
+    a range of n (config.bucket_rows), rounded up to whole tiles."""
+    from ..config import bucket_rows
+    n_bucket = max(bucket_rows(n), tile)
+    return ((n_bucket + tile - 1) // tile) * tile
+
+
+def _unit_padded(rows, pad_rows: int, mm_dt):
+    """Normalise AND bucket-pad in one fused producer: a separate
+    unit() copy followed by jnp.pad made the unpadded-normalised and
+    padded arrays co-live — at 10M x 128 that transient measured
+    17 GB against 15.75 GB of HBM.  The pad fuses into the divide,
+    so only the final (n_pad, F) array materialises.  Arithmetic is
+    ops/search._safe_unit's exactly (same where/divide/where), so
+    scores stay bit-identical to the XLA oracle path."""
+    nrm = jnp.sqrt(jnp.sum(rows * rows, axis=-1, keepdims=True))
+    nrm_p = jnp.pad(nrm, ((0, pad_rows), (0, 0)), constant_values=1.0)
+    ok = nrm_p > 0.0
+    rows_p = jnp.pad(rows, ((0, pad_rows), (0, 0)))
+    return jnp.where(ok, rows_p / jnp.where(ok, nrm_p, 1.0),
+                     0.0).astype(mm_dt)
+
+
+def binned_layout(bsz: int, n: int, f: int, k: int,
+                  use_bf16: bool = False, depth: int = 0):
+    """The (block_b, tile, lane_split, pre_reduce, n_pad) a fully-auto
+    binned_lambda_topk call resolves for this geometry — shared by
+    prepare_binned_corpus, the serving session and precompile so the
+    one-time prepared corpus always matches the runtime program."""
+    if depth <= 0:
+        depth = binned_topk_depth_for(k)
+    block_b, tile, lane_split, pre_reduce = _resolve_layout(
+        bsz, n, f, k, depth, use_bf16, 0, 0, 0, None,
+        planes_plain=3, planes_pre=6)
+    return block_b, tile, lane_split, pre_reduce, _padded_rows(n, tile)
+
+
+def prepare_binned_corpus(items, item_lambdas, *, bsz: int, k: int,
+                          use_bf16: bool = False, depth: int = 0):
+    """One-time corpus preparation for serving: the normalise+bucket-pad
+    producer is a full corpus read+write per dispatch when the kernel
+    gets raw rows — loop-invariant across serving calls, so sessions
+    hoist it here and call binned_lambda_topk(..., prepared=True,
+    n_items=n).  Returns (xhat (n_pad, F) mm_dt, xlam (n_pad,) f32)."""
+    n = items.shape[0]
+    _, tile, _, _, n_pad = binned_layout(bsz, n, items.shape[1], k,
+                                         use_bf16, depth)
+    return _prepare_jit(jnp.asarray(items), jnp.asarray(item_lambdas),
+                        pad_rows=n_pad - n, use_bf16=use_bf16)
+
+
+@functools.partial(jax.jit, static_argnames=("pad_rows", "use_bf16"))
+def _prepare_jit(items, item_lambdas, *, pad_rows: int, use_bf16: bool):
+    mm_dt = jnp.bfloat16 if use_bf16 else jnp.float32
+    return (_unit_padded(items, pad_rows, mm_dt),
+            jnp.pad(item_lambdas.astype(jnp.float32), (0, pad_rows)))
+
+
 def _fold_tile(run_refs, scores, gidx, depth: int):
     """Depth-D insertion of a (B, T) score/index tile into the running
     per-(query, bin) state: the candidate sinks through the levels,
@@ -263,8 +323,11 @@ def _kernel(qhat_ref, qlam_ref, xhat_ref, xlam_ref, alpha_ref, n_ref,
 
     # Tiles fully inside the bucket's padding region contribute nothing;
     # skip their entire body (bucket padding can be up to 25% of rows).
-    @pl.when(base < n)
-    def _body():
+    # Interior tiles (base + tile <= n, i.e. every tile but at most one
+    # boundary tile) skip the per-element padding mask — a cmp+select on
+    # every score plane, ~14% of the per-item VPU budget — via a second
+    # predication level; only the boundary tile pays it.
+    def _body_for(masked: bool):
         alpha = alpha_ref[0, 0]
         qhat = qhat_ref[:]                       # (B, F)
         qlam = qlam_ref[:].reshape(-1, 1)
@@ -281,44 +344,61 @@ def _kernel(qhat_ref, qlam_ref, xhat_ref, xlam_ref, alpha_ref, n_ref,
             lam_sim = 1.0 - jnp.minimum(dl, 1.0)
             scores = alpha * cos + (1.0 - alpha) * lam_sim
             gidx = local + (base + j * bins)
-            return jnp.where(gidx < n, scores, NEG_INF), gidx
+            if masked:
+                scores = jnp.where(gidx < n, scores, NEG_INF)
+            return scores, gidx
 
-        if pre_reduce and lane_split > 1:
-            # Max-combine the r lane sub-tiles into ONE fold: fold work
-            # (the VPU bound at large batch) drops by r; the discarded
-            # pre-reduce losers' running max is folded into the miss
-            # detector so the flag contract stays exact (a dropped true
-            # top-k element is by definition a loser, so det >= its
-            # score >= kth fires the repair).  Strict > keeps the
-            # earlier sub-tile (lower global index) on ties, matching
-            # lax.top_k's tie order for the kept entry.
-            c, ci = tile_scores(0)
-            lmax = None
-            for j in range(1, lane_split):
-                sj, gj = tile_scores(j)
-                up = sj > c
-                loser = jnp.minimum(sj, c)
-                lmax = loser if lmax is None else jnp.maximum(lmax, loser)
-                c = jnp.where(up, sj, c)
-                ci = jnp.where(up, gj, ci)
-            _fold_tile(run_refs, c, ci, depth)
-            det = run_refs[2 * depth]
-            det[:] = jnp.maximum(det[:], lmax)
-        else:
-            for j in range(lane_split):
-                scores, gidx = tile_scores(j)
-                _fold_tile(run_refs, scores, gidx, depth)
+        _fold_subtiles(run_refs, tile_scores, depth, lane_split,
+                       pre_reduce)
+
+    @pl.when(base + tile <= n)
+    def _interior():
+        _body_for(masked=False)
+
+    @pl.when((base < n) & (base + tile > n))
+    def _boundary():
+        _body_for(masked=True)
+
+
+def _fold_subtiles(run_refs, tile_scores, depth, lane_split, pre_reduce):
+    """Shared sub-tile fold driver for both kernels (see _kernel for the
+    pre-reduce contract)."""
+    if pre_reduce and lane_split > 1:
+        # Max-combine the r lane sub-tiles into ONE fold: fold work
+        # (the VPU bound at large batch) drops by r; the discarded
+        # pre-reduce losers' running max is folded into the miss
+        # detector so the flag contract stays exact (a dropped true
+        # top-k element is by definition a loser, so det >= its
+        # score >= kth fires the repair).  Strict > keeps the
+        # earlier sub-tile (lower global index) on ties, matching
+        # lax.top_k's tie order for the kept entry.
+        c, ci = tile_scores(0)
+        lmax = None
+        for j in range(1, lane_split):
+            sj, gj = tile_scores(j)
+            up = sj > c
+            loser = jnp.minimum(sj, c)
+            lmax = loser if lmax is None else jnp.maximum(lmax, loser)
+            c = jnp.where(up, sj, c)
+            ci = jnp.where(up, gj, ci)
+        _fold_tile(run_refs, c, ci, depth)
+        det = run_refs[2 * depth]
+        det[:] = jnp.maximum(det[:], lmax)
+    else:
+        for j in range(lane_split):
+            scores, gidx = tile_scores(j)
+            _fold_tile(run_refs, scores, gidx, depth)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "depth", "tile", "interpret",
                                     "use_bf16", "block_b", "lane_split",
-                                    "pre_reduce"))
+                                    "pre_reduce", "prepared", "n_items"))
 def binned_lambda_topk(
     queries: jax.Array,        # (B, F) — raw, normalised inside
     query_lambdas: jax.Array,  # (B,)
-    items: jax.Array,          # (N, F) — raw
-    item_lambdas: jax.Array,   # (N,)
+    items: jax.Array,          # (N, F) raw — or prepared (n_pad, F)
+    item_lambdas: jax.Array,   # (N,) — or prepared (n_pad,)
     alpha,
     *,
     k: int,
@@ -329,6 +409,8 @@ def binned_lambda_topk(
     block_b: int = 0,          # 0 = auto from the VMEM budget
     lane_split: int = 0,       # 0 = auto; r folds tile into tile/r bins
     pre_reduce=None,           # None = auto; max-combine sub-tiles pre-fold
+    prepared: bool = False,    # items/lambdas from prepare_binned_corpus
+    n_items: int = 0,          # true N (required when prepared)
 ):
     """Returns (scores (B, k), indices (B, k), flags (B,) int32).
 
@@ -338,7 +420,11 @@ def binned_lambda_topk(
     the XLA top_k); un-flagged rows are exact.  See module docstring.
     """
     bsz, f = queries.shape
-    n = items.shape[0]
+    if prepared:
+        assert n_items > 0, "prepared=True requires n_items"
+        n = n_items
+    else:
+        n = items.shape[0]
     dt = jnp.float32
     if depth <= 0:
         depth = binned_topk_depth_for(k)
@@ -362,7 +448,8 @@ def binned_lambda_topk(
         s, i, fl = binned_lambda_topk(
             qp, qlp, items, item_lambdas, alpha, k=k, depth=depth,
             tile=tile, interpret=interpret, use_bf16=use_bf16,
-            block_b=block_b, lane_split=lane_split, pre_reduce=pre_reduce)
+            block_b=block_b, lane_split=lane_split, pre_reduce=pre_reduce,
+            prepared=prepared, n_items=n_items)
         return s[:bsz], i[:bsz], fl[:bsz]
 
     if bsz > max_b:
@@ -372,7 +459,8 @@ def binned_lambda_topk(
                                    k=k, depth=depth, tile=tile,
                                    interpret=interpret, use_bf16=use_bf16,
                                    block_b=block_b, lane_split=lane_split,
-                                   pre_reduce=pre_reduce)
+                                   pre_reduce=pre_reduce,
+                                   prepared=prepared, n_items=n_items)
                 for i in range(0, bsz, max_b)]
         return (jnp.concatenate([o[0] for o in outs], axis=0),
                 jnp.concatenate([o[1] for o in outs], axis=0),
@@ -382,29 +470,27 @@ def binned_lambda_topk(
     bins = tile // lane_split
     assert k <= depth * bins, (k, depth, bins)
 
-    from ..config import bucket_rows
-    n_bucket = max(bucket_rows(n), tile)
-    n_pad = ((n_bucket + tile - 1) // tile) * tile
+    if prepared:
+        # items/item_lambdas are the one-time prepare_binned_corpus
+        # outputs: already normalised, bucket-padded and mm_dt-cast.
+        # Per-dispatch this saves a full corpus read+write (~1.3 ms at
+        # 1M x 128 f32) the amortised harness can't see (XLA hoists the
+        # loop-invariant producer out of the measurement scan, so only
+        # real single dispatches pay it).
+        n_pad = _padded_rows(n, tile)
+        assert items.shape[0] == n_pad and items.dtype == mm_dt, (
+            "prepared corpus does not match this call's layout — "
+            "prepare_binned_corpus must see the same (bsz, k, use_bf16)",
+            items.shape, n_pad, items.dtype, mm_dt)
+        xhat = items
+        xlam = item_lambdas
+    else:
+        n_pad = _padded_rows(n, tile)
+        xhat = _unit_padded(items, n_pad - n, mm_dt)
+        xlam = jnp.pad(item_lambdas.astype(dt), (0, n_pad - n))
 
-    def unit_padded(rows, pad_rows):
-        """Normalise AND bucket-pad in one fused producer: a separate
-        unit() copy followed by jnp.pad made the unpadded-normalised and
-        padded arrays co-live — at 10M x 128 that transient measured
-        17 GB against 15.75 GB of HBM.  The pad fuses into the divide,
-        so only the final (n_pad, F) array materialises.  Arithmetic is
-        ops/search._safe_unit's exactly (same where/divide/where), so
-        scores stay bit-identical to the XLA oracle path."""
-        nrm = jnp.sqrt(jnp.sum(rows * rows, axis=-1, keepdims=True))
-        nrm_p = jnp.pad(nrm, ((0, pad_rows), (0, 0)), constant_values=1.0)
-        ok = nrm_p > 0.0
-        rows_p = jnp.pad(rows, ((0, pad_rows), (0, 0)))
-        return jnp.where(ok, rows_p / jnp.where(ok, nrm_p, 1.0),
-                         0.0).astype(mm_dt)
-
-    qhat = unit_padded(queries, 0)
-    xhat = unit_padded(items, n_pad - n)
+    qhat = _unit_padded(queries, 0, mm_dt)
     qlam = query_lambdas.astype(dt)
-    xlam = jnp.pad(item_lambdas.astype(dt), (0, n_pad - n))
     n_tiles = n_pad // tile
 
     # The running bins ARE the outputs (constant index maps keep them
@@ -480,8 +566,7 @@ def _energy_kernel(zq_ref, qn_ref, qlam_ref, zx_ref, xn_ref, xlam_ref,
     base = t * tile
     n = n_ref[0, 0]
 
-    @pl.when(base < n)
-    def _body():
+    def _body_for(masked: bool):
         wl = wl_ref[0, 0]
         wd = wd_ref[0, 0]
         zq = zq_ref[:]                           # (B, G)
@@ -505,28 +590,23 @@ def _energy_kernel(zq_ref, qn_ref, qlam_ref, zx_ref, xn_ref, xlam_ref,
                             .reshape(1, -1))
             scores = -(wl * d_lam + wd * d_dir)
             gidx = local + (base + j * bins)
-            return jnp.where(gidx < n, scores, NEG_INF), gidx
+            if masked:
+                scores = jnp.where(gidx < n, scores, NEG_INF)
+            return scores, gidx
 
-        if pre_reduce and lane_split > 1:
-            # same loser-max detector contract as _kernel: a dropped
-            # true top-k element is a pre-reduce loser, det >= its score
-            # fires the flag, the caller repairs exactly.
-            c, ci = tile_scores(0)
-            lmax = None
-            for j in range(1, lane_split):
-                sj, gj = tile_scores(j)
-                up = sj > c
-                loser = jnp.minimum(sj, c)
-                lmax = loser if lmax is None else jnp.maximum(lmax, loser)
-                c = jnp.where(up, sj, c)
-                ci = jnp.where(up, gj, ci)
-            _fold_tile(run_refs, c, ci, depth)
-            det = run_refs[2 * depth]
-            det[:] = jnp.maximum(det[:], lmax)
-        else:
-            for j in range(lane_split):
-                scores, gidx = tile_scores(j)
-                _fold_tile(run_refs, scores, gidx, depth)
+        # same loser-max detector contract as _kernel: a dropped true
+        # top-k element is a pre-reduce loser, det >= its score fires
+        # the flag, the caller repairs exactly.
+        _fold_subtiles(run_refs, tile_scores, depth, lane_split,
+                       pre_reduce)
+
+    @pl.when(base + tile <= n)
+    def _interior():
+        _body_for(masked=False)
+
+    @pl.when((base < n) & (base + tile > n))
+    def _boundary():
+        _body_for(masked=True)
 
 
 @functools.partial(jax.jit,

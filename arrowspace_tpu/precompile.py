@@ -168,12 +168,25 @@ def warm(
             use_bf16 = prec == "bf16" and kernel != "xla"
             if prec == "bf16" and kernel == "xla":
                 continue  # bf16 is a Pallas-kernel feature
+            if kernel == "binned" and dt == jnp.float32:
+                # sessions hoist the corpus preparation, so the runtime
+                # step sees the prepared (n_pad, F) mm_dt corpus — the
+                # AOT shapes must match or the cache keys diverge
+                from .ops.pallas_bintopk import binned_layout
+                n_pad = binned_layout(int(bsz), n, f, k_eff,
+                                      use_bf16)[4]
+                mm_dt = jnp.bfloat16 if use_bf16 else dt
+                step_corpus = S((n_pad, f), mm_dt)
+                step_lam = S((n_pad,), dt)
+                n_items = n
+            else:
+                step_corpus, step_lam, n_items = corpus, S((n,), dt), 0
             aot(f"session_step_b{bsz}_{prec}", _session_step_jit(),
-                S((int(bsz), f), dt), corpus, S((n,), dt),
+                S((int(bsz), f), dt), step_corpus, step_lam,
                 S((n_graph, n_graph), dt), S((1, 1), dt),
                 taumode=taumode, alpha=float(alpha), k=k_eff,
                 kernel=kernel, has_proj=False, pad_tall=False,
-                use_bf16=use_bf16)
+                use_bf16=use_bf16, n_items=n_items)
 
     # --- serving: the binned kernel's exact-repair path (rare deep-bin
     # collisions re-run flagged rows through the merge kernel at its

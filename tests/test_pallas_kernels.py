@@ -364,6 +364,26 @@ def test_binned_topk_deep_split_deep_depth_fuzz():
                                    atol=2e-5)
 
 
+def test_binned_topk_prepared_corpus_matches_raw():
+    """prepare_binned_corpus + prepared=True must be bitwise-identical
+    to the raw-items path (the session hoists the normalise+bucket-pad
+    producer out of the per-dispatch program): same scores, indices AND
+    flags, at more than one batch geometry (block padding included)."""
+    from arrowspace_tpu.ops.pallas_bintopk import (binned_lambda_topk,
+                                                   prepare_binned_corpus)
+    for n, f, b, k in ((3000, 32, 4, 7), (900, 16, 5, 3)):
+        q, qlam, x, xlam = _bin_data(n, f, b, seed=n)
+        s1, i1, f1 = binned_lambda_topk(q, qlam, x, xlam, 0.9, k=k,
+                                        interpret=True)
+        xh, xl = prepare_binned_corpus(x, xlam, bsz=b, k=k)
+        s2, i2, f2 = binned_lambda_topk(q, qlam, xh, xl, 0.9, k=k,
+                                        interpret=True, prepared=True,
+                                        n_items=n)
+        np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+
+
 # ---------------------------------------------------------------------------
 # Energy bin-accumulator kernel (ops/pallas_bintopk.binned_energy_topk)
 # ---------------------------------------------------------------------------
