@@ -121,13 +121,17 @@ def _energy_step_jit():
 
         @functools.partial(
             jax.jit, static_argnames=("taumode", "k", "kernel", "chunk",
-                                      "has_proj", "has_signals", "pad_tall"))
+                                      "has_proj", "has_signals", "pad_tall",
+                                      "n_items"))
         def step(q_raw, z_items, item_lambdas, lap, proj, signals, wl, wd,
-                 *, taumode, k, kernel, chunk, has_proj, has_signals,
-                 pad_tall):
+                 z_norms, *, taumode, k, kernel, chunk, has_proj,
+                 has_signals, pad_tall, n_items=0):
+            # n_items > 0 (binned only): z_items/item_lambdas/z_norms are
+            # the prepared (padded, norms precomputed) corpus — see
+            # prepare_binned_energy_corpus.
             from .energymaps import _energy_score_topk_chunked
             from .taumode import select_tau_batch, synthetic_lambda_batch
-            dt = z_items.dtype
+            dt = q_raw.dtype
             q_prep = q_raw if not has_proj else jnp.dot(
                 q_raw, proj, preferred_element_type=dt)
             taus = select_tau_batch(q_prep, taumode)
@@ -138,7 +142,9 @@ def _energy_step_jit():
             if kernel == "binned":
                 from .ops.pallas_bintopk import binned_energy_topk
                 s, i, fl = binned_energy_topk(
-                    z_q, qlam, z_items, item_lambdas, wl, wd, k=k)
+                    z_q, qlam, z_items, item_lambdas, wl, wd, k=k,
+                    prepared=n_items > 0, n_items=n_items,
+                    z_norms=(z_norms if n_items > 0 else None))
                 return s, jnp.concatenate([i, fl[:, None]], axis=1), qlam
             s, i = _energy_score_topk_chunked(
                 z_q, qlam, z_items, item_lambdas, wl, wd, k=k, chunk=chunk)
@@ -416,10 +422,21 @@ class EnergySearchSession:
         # SearchSession)
         jitted = _energy_step_jit()
         dummy_proj = proj if has_proj else jnp.zeros((1, 1), dtype=dt)
+        n_items = 0
+        step_z, step_lam = z_items, lambdas
+        z_norms = jnp.zeros((1,), dtype=dt)
+        if kernel == "binned" and dt == jnp.float32:
+            # one-time pad + norm hoist (see SearchSession / the cosine
+            # prepare_binned_corpus); raw z_items stay for repair
+            from .ops.pallas_bintopk import prepare_binned_energy_corpus
+            step_z, step_lam, z_norms = prepare_binned_energy_corpus(
+                z_items, lambdas, bsz=self.batch_size, k=k_eff)
+            n_items = index.nitems
         self._step = lambda q: jitted(
-            q, z_items, lambdas, lap, dummy_proj, signals, wl, wd,
-            taumode=taumode, k=k_eff, kernel=kernel, chunk=chunk,
-            has_proj=has_proj, has_signals=use_signals, pad_tall=pad_tall)
+            q, step_z, step_lam, lap, dummy_proj, signals, wl, wd,
+            z_norms, taumode=taumode, k=k_eff, kernel=kernel, chunk=chunk,
+            has_proj=has_proj, has_signals=use_signals, pad_tall=pad_tall,
+            n_items=n_items)
 
         def repair(q_block, qlam, rows):
             # flagged rows re-run through the exact chunked scorer; z is

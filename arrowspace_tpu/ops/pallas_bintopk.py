@@ -264,6 +264,42 @@ def _prepare_jit(items, item_lambdas, *, pad_rows: int, use_bf16: bool):
             jnp.pad(item_lambdas.astype(jnp.float32), (0, pad_rows)))
 
 
+def binned_energy_layout(bsz: int, n: int, g: int, k: int,
+                         depth: int = 0):
+    """Energy-kernel analogue of binned_layout (planes 4/7)."""
+    if depth <= 0:
+        depth = binned_topk_depth_for(k)
+    block_b, tile, lane_split, pre_reduce = _resolve_layout(
+        bsz, n, g, k, depth, False, 0, 0, 0, None,
+        planes_plain=4, planes_pre=7)
+    return block_b, tile, lane_split, pre_reduce, _padded_rows(n, tile)
+
+
+def prepare_binned_energy_corpus(z_items, item_lambdas, *, bsz: int,
+                                 k: int, depth: int = 0):
+    """One-time z-plane preparation for energy serving: pad + per-row
+    norms hoisted out of the per-dispatch program (see
+    prepare_binned_corpus).  Returns (zx (n_pad, G) f32, xlam (n_pad,)
+    f32, xn (n_pad,) f32) for binned_energy_topk(..., prepared=True,
+    n_items=n, z_norms=xn)."""
+    n = z_items.shape[0]
+    _, tile, _, _, n_pad = binned_energy_layout(bsz, n, z_items.shape[1],
+                                                k, depth)
+    return _prepare_energy_jit(jnp.asarray(z_items),
+                               jnp.asarray(item_lambdas),
+                               pad_rows=n_pad - n)
+
+
+@functools.partial(jax.jit, static_argnames=("pad_rows",))
+def _prepare_energy_jit(z_items, item_lambdas, *, pad_rows: int):
+    dt = jnp.float32
+    zx = jnp.pad(z_items.astype(dt), ((0, pad_rows), (0, 0)))
+    xlam = jnp.pad(item_lambdas.astype(dt), (0, pad_rows))
+    # same reduce the chunked path uses, so d² matches it bitwise
+    xn = jnp.sum(zx * zx, axis=1)
+    return zx, xlam, xn
+
+
 def _fold_tile(run_refs, scores, gidx, depth: int):
     """Depth-D insertion of a (B, T) score/index tile into the running
     per-(query, bin) state: the candidate sinks through the levels,
@@ -611,7 +647,8 @@ def _energy_kernel(zq_ref, qn_ref, qlam_ref, zx_ref, xn_ref, xlam_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "depth", "tile", "interpret",
-                                    "block_b", "lane_split", "pre_reduce"))
+                                    "block_b", "lane_split", "pre_reduce",
+                                    "prepared", "n_items"))
 def binned_energy_topk(
     z_q: jax.Array,            # (B, G) — queries already in z-space
     query_lambdas: jax.Array,  # (B,)
@@ -627,6 +664,9 @@ def binned_energy_topk(
     block_b: int = 0,          # 0 = auto from the VMEM budget
     lane_split: int = 0,       # 0 = auto; r folds tile into tile/r bins
     pre_reduce=None,           # None = auto; max-combine sub-tiles pre-fold
+    prepared: bool = False,    # operands from prepare_binned_energy_corpus
+    n_items: int = 0,          # true N (required when prepared)
+    z_norms=None,              # prepared per-row ||z||² (n_pad,)
 ):
     """Bin-accumulator streaming top-k for the ENERGY score
     (search_energy semantics, energymaps.rs:368-407) — the serving-rate
@@ -646,7 +686,12 @@ def binned_energy_topk(
     z-distances are all the kernel needs.
     """
     bsz, g = z_q.shape
-    n = z_items.shape[0]
+    if prepared:
+        assert n_items > 0 and z_norms is not None, \
+            "prepared=True requires n_items and z_norms"
+        n = n_items
+    else:
+        n = z_items.shape[0]
     dt = jnp.float32
     if depth <= 0:
         depth = binned_topk_depth_for(k)
@@ -669,7 +714,8 @@ def binned_energy_topk(
         s, i, fl = binned_energy_topk(
             qp, qlp, z_items, item_lambdas, w_lambda, w_dirichlet, k=k,
             depth=depth, tile=tile, interpret=interpret, block_b=block_b,
-            lane_split=lane_split, pre_reduce=pre_reduce)
+            lane_split=lane_split, pre_reduce=pre_reduce,
+            prepared=prepared, n_items=n_items, z_norms=z_norms)
         return s[:bsz], i[:bsz], fl[:bsz]
 
     if bsz > max_b:
@@ -680,24 +726,32 @@ def binned_energy_topk(
                                    k=k, depth=depth, tile=tile,
                                    interpret=interpret, block_b=block_b,
                                    lane_split=lane_split,
-                                   pre_reduce=pre_reduce)
+                                   pre_reduce=pre_reduce,
+                                   prepared=prepared, n_items=n_items,
+                                   z_norms=z_norms)
                 for i in range(0, bsz, max_b)]
         return (jnp.concatenate([o[0] for o in outs], axis=0),
                 jnp.concatenate([o[1] for o in outs], axis=0),
                 jnp.concatenate([o[2] for o in outs], axis=0))
 
-    from ..config import bucket_rows
-    n_bucket = max(bucket_rows(n), tile)
-    n_pad = ((n_bucket + tile - 1) // tile) * tile
-
+    n_pad = _padded_rows(n, tile)
     zq = z_q.astype(dt)
-    zx = jnp.pad(z_items.astype(dt), ((0, n_pad - n), (0, 0)))
     qlam = query_lambdas.astype(dt)
-    xlam = jnp.pad(item_lambdas.astype(dt), (0, n_pad - n))
-    # Norms in XLA with the same reduce the chunked path uses, so d²
-    # matches it bitwise; padded rows are zero → norm 0, masked anyway.
     qn = jnp.sum(zq * zq, axis=1)
-    xn = jnp.sum(zx * zx, axis=1)
+    if prepared:
+        # z_items/item_lambdas/z_norms are prepare_binned_energy_corpus
+        # outputs (padded + norms precomputed): per-dispatch this saves
+        # the full z-plane pad copy + norm reduce, which only real
+        # dispatches pay (the amortised harness hoists it).
+        assert z_items.shape[0] == n_pad, (z_items.shape, n_pad)
+        zx, xlam, xn = z_items, item_lambdas, z_norms
+    else:
+        zx = jnp.pad(z_items.astype(dt), ((0, n_pad - n), (0, 0)))
+        xlam = jnp.pad(item_lambdas.astype(dt), (0, n_pad - n))
+        # Norms in XLA with the same reduce the chunked path uses, so d²
+        # matches it bitwise; padded rows are zero → norm 0, masked
+        # anyway.
+        xn = jnp.sum(zx * zx, axis=1)
     n_tiles = n_pad // tile
     bins = tile // lane_split
     assert k <= depth * bins, (k, depth, bins)

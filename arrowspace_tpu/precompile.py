@@ -254,11 +254,21 @@ def warm_energy(
                  S((b, g), dt), S((b,), dt), items, lam, w, w, k=k_eff)
         _aot(timings, f"energy_chunked_b{b}", _energy_score_topk_chunked,
              S((b, g), dt), S((b,), dt), items, lam, w, w, k=k_eff)
+        if kernel == "binned" and dt == jnp.float32:
+            # sessions hoist the z-plane pad + norms, so the runtime
+            # step sees prepared (n_pad,) shapes — AOT must match
+            from .ops.pallas_bintopk import binned_energy_layout
+            n_pad = binned_energy_layout(b, n, g, k_eff)[4]
+            sz, sl = S((n_pad, g), dt), S((n_pad,), dt)
+            zn, n_it = S((n_pad,), dt), n
+        else:
+            sz, sl, zn, n_it = items, lam, S((1,), dt), 0
         _aot(timings, f"energy_session_b{b}", _energy_step_jit(),
-             S((b, g), dt), items, lam, S((g, g), dt),
-             S((1, 1), dt), S((1, 1), dt), w, w,
+             S((b, g), dt), sz, sl, S((g, g), dt),
+             S((1, 1), dt), S((1, 1), dt), w, w, zn,
              taumode=taumode, k=k_eff, kernel=kernel, chunk=chunk,
-             has_proj=False, has_signals=False, pad_tall=False)
+             has_proj=False, has_signals=False, pad_tall=False,
+             n_items=n_it)
     return timings
 
 

@@ -430,6 +430,25 @@ def test_binned_energy_block_padding_and_chunking():
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-6)
 
 
+def test_binned_energy_prepared_corpus_matches_raw():
+    """prepare_binned_energy_corpus + prepared=True must be bitwise-
+    identical to the raw path (the energy session hoists the z-plane
+    pad + norm reduce out of the per-dispatch program)."""
+    from arrowspace_tpu.ops.pallas_bintopk import (
+        binned_energy_topk, prepare_binned_energy_corpus)
+    for n, g, b, k in ((2048, 48, 4, 8), (900, 32, 5, 6)):
+        zq, qlam, z, xlam = _energy_data(n, g, b, seed=n)
+        s1, i1, f1 = binned_energy_topk(zq, qlam, z, xlam, 1.0, 0.5, k=k,
+                                        interpret=True)
+        zx, xl, xn = prepare_binned_energy_corpus(z, xlam, bsz=b, k=k)
+        s2, i2, f2 = binned_energy_topk(zq, qlam, zx, xl, 1.0, 0.5, k=k,
+                                        interpret=True, prepared=True,
+                                        n_items=n, z_norms=xn)
+        np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+
+
 def test_binned_energy_duplicate_tie_order():
     """Exact duplicate z-rows in the SAME bin (stride = tile) and in
     different bins: tie order must match lax.top_k (lowest index)."""
