@@ -399,6 +399,37 @@ def big_corpus_suite(jax, jnp, rtt_s: float) -> None:
                kernel="binned_lambda_topk (pallas, amortised lax.scan x8)",
                collision_flags=n_flags, **rf)
 
+    # ---- prepared-corpus single-dispatch wall (the REAL serving cost:
+    # sessions hoist the normalise+pad producer, which the amortised
+    # harness cannot see because XLA hoists it out of the scan) --------
+    from arrowspace_tpu.ops.pallas_bintopk import prepare_binned_corpus
+    xh, xl = prepare_binned_corpus(aspace.data, lam_dev, bsz=2048, k=10)
+    np.asarray(xh[:1, :1])
+    for label, fn in (
+        ("raw", lambda r: binned_lambda_topk(
+            q2048 + np.float32(r) * 1e-7, ql2048, aspace.data, lam_dev,
+            0.9, k=10)),
+        ("prepared", lambda r: binned_lambda_topk(
+            q2048 + np.float32(r) * 1e-7, ql2048, xh, xl, 0.9, k=10,
+            prepared=True, n_items=n_big)),
+    ):
+        fn(0)
+        ts = []
+        for rep in range(7):
+            t0 = time.perf_counter()
+            jax.device_get(fn(rep))
+            ts.append(time.perf_counter() - t0)
+        w = float(np.median(ts))
+        dev = max(w - rtt_s, 1e-6)
+        log(f"query full-dispatch wall B=2048 f32 ({label}): "
+            f"{w * 1e3:.2f} ms (wall-RTT {dev * 1e3:.2f} ms = "
+            f"{2048 / dev:.0f} QPS device)")
+        record(f"query_dispatch_wall_b2048_f32_{label}", dev * 1e3, "ms",
+               qps_device=round(2048 / dev), wall_ms=round(w * 1e3, 2),
+               note="median of 7 real dispatches, full result fetch, "
+                    "RTT subtracted")
+    del xh, xl
+
     qps_256 = results[(256, "f32")][0]
     qps_tp, t_single_tp, t_batch_tp, best_tp, worst_tp = results[(2048, "f32")]
     record("query_1m_x128_sustained_throughput", qps_tp, "QPS",
