@@ -1,5 +1,10 @@
 """A/B: merge-kernel vs bin-accumulator streaming top-k on the real TPU.
 
+HARNESS FIXED POST-AUDIT: earlier revisions consumed out[0][:1],
+which let XLA eliminate the unconsumed query-block pallas_calls at
+B=2048 (benchmarks/dce_audit.py) — numbers recorded from those
+revisions are elided and superseded by honest_sweep*.py.
+
 One process, amortised lax.scan timings (see device_time.py's
 methodology note — single-dispatch RTT subtraction is too noisy for
 kernel A/Bs).  Also checks on-device exactness of the binned kernel
@@ -66,7 +71,7 @@ def main() -> None:
             def body(carry, i):
                 qi = q * (1.0 + carry * 0.0) + i.astype(q.dtype) * 1e-7
                 out = op(qi, x, il)
-                s = jnp.sum(out[0][:1])
+                s = jnp.sum(out[0][:, :1])
                 return carry + s * 1e-20, ()
             c, _ = jax.lax.scan(body, jnp.zeros((), q.dtype),
                                 jnp.arange(repeats))

@@ -1,5 +1,10 @@
 """One-process TPU tuning run for the pre-reduce fold defaults.
 
+HARNESS FIXED POST-AUDIT: earlier revisions consumed out[0][:1],
+which let XLA eliminate the unconsumed query-block pallas_calls at
+B=2048 (benchmarks/dce_audit.py) — numbers recorded from those
+revisions are elided and superseded by honest_sweep*.py.
+
 Covers, in one device lease (cross-process A/B is unreliable while
 cycling — CLAUDE.md):
   1. the SERVING-STEP amortised rate at 1M x 128 with the new auto
@@ -83,7 +88,7 @@ def main() -> None:
         def step(i, q, x, il, kw=kw):
             out = binned_lambda_topk(q + i.astype(q.dtype) * 1e-7, qlam,
                                      x, il, 0.9, k=K, **kw)
-            return out[0][:1]
+            return out[0][:, :1]
         try:
             per = amortised(step, Q, X, ilam)
             # flag sanity on one real dispatch
@@ -115,7 +120,7 @@ def main() -> None:
             def estep(i, zq, z, il, zql=zql, kw=kw):
                 out = binned_energy_topk(zq + i.astype(zq.dtype) * 1e-7,
                                          zql, z, il, 1.0, 0.5, k=K, **kw)
-                return out[0][:1]
+                return out[0][:, :1]
             try:
                 per = amortised(estep, ZQ, Z, zlam)
                 _, _, fl = jax.device_get(binned_energy_topk(

@@ -1,5 +1,10 @@
 """A/B: pre-reduce fold variants of the binned top-k kernel on the TPU.
 
+HARNESS FIXED POST-AUDIT: earlier revisions consumed out[0][:1],
+which let XLA eliminate the unconsumed query-block pallas_calls at
+B=2048 (benchmarks/dce_audit.py) — numbers recorded from those
+revisions are elided and superseded by honest_sweep*.py.
+
 The binned kernel at large batch is fold-compute-bound on the VPU
 (~25 elementwise ops per corpus element; lane_split's sequential
 sub-folds keep total fold work unchanged, measured negative).  The
@@ -89,7 +94,7 @@ def main() -> None:
             def body(carry, i):
                 qi = q + i.astype(q.dtype) * 1e-7
                 out = binned_lambda_topk(qi, qlam, x, il, 0.9, k=K, **kw)
-                return carry + jnp.sum(out[0][:1]) * 1e-20, ()
+                return carry + jnp.sum(out[0][:, :1]) * 1e-20, ()
             c, _ = jax.lax.scan(body, jnp.zeros((), q.dtype),
                                 jnp.arange(repeats))
             return c
