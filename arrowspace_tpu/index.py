@@ -291,7 +291,15 @@ class SearchSession:
 
     def __init__(self, index: "ArrowIndex", batch_size: int, k: int = 10,
                  alpha: float = 0.9, depth: int = 2,
-                 precision: str = "f32"):
+                 precision: str = "f32", prepare_corpus: bool = True):
+        """prepare_corpus=True (default) hoists the per-dispatch
+        normalise+bucket-pad producer to construction (measured 10.06 ->
+        7.30 ms per real 2048-batch dispatch at 1M x 128 f32) at the
+        cost of keeping a SECOND corpus-sized array resident for the
+        session's lifetime (~+n_pad*F*4 bytes f32, half that bf16 — at
+        10M x 128 that is ~5.2 GB of the 15.75 GB HBM next to the raw
+        corpus the index owns).  Pass False to trade the dispatch time
+        back for the memory (e.g. to co-host two 10M sessions)."""
         import jax.numpy as jnp
 
         if precision not in ("f32", "bf16"):
@@ -327,7 +335,7 @@ class SearchSession:
         dummy_proj = proj if has_proj else jnp.zeros((1, 1), dtype=dt)
         n_items = 0
         step_data, step_lambdas = data, lambdas
-        if kernel == "binned" and dt == jnp.float32:
+        if kernel == "binned" and dt == jnp.float32 and prepare_corpus:
             # One-time corpus preparation (normalise + bucket-pad +
             # mm_dt cast) hoisted out of the per-dispatch program; the
             # raw arrays stay owned by the index (repair + the other
@@ -381,7 +389,10 @@ class EnergySearchSession:
 
     def __init__(self, index: "ArrowIndex", batch_size: int, k: int = 10,
                  w_lambda: float = 1.0, w_dirichlet: float = 0.5,
-                 depth: int = 2):
+                 depth: int = 2, prepare_corpus: bool = True):
+        # prepare_corpus: see SearchSession — hoists the z-plane pad +
+        # norm reduce to construction at the cost of a second z-plane-
+        # sized resident array.
         import jax.numpy as jnp
 
         from .energymaps import (_energy_score_topk_chunked,
@@ -425,7 +436,7 @@ class EnergySearchSession:
         n_items = 0
         step_z, step_lam = z_items, lambdas
         z_norms = jnp.zeros((1,), dtype=dt)
-        if kernel == "binned" and dt == jnp.float32:
+        if kernel == "binned" and dt == jnp.float32 and prepare_corpus:
             # one-time pad + norm hoist (see SearchSession / the cosine
             # prepare_binned_corpus); raw z_items stay for repair
             from .ops.pallas_bintopk import prepare_binned_energy_corpus

@@ -51,7 +51,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["binned_lambda_topk", "binned_energy_topk",
            "binned_topk_depth_for", "binned_layout",
-           "prepare_binned_corpus"]
+           "prepare_binned_corpus", "binned_energy_layout",
+           "prepare_binned_energy_corpus"]
 
 NEG_INF = float(np.finfo(np.float32).min)
 INT_MAX = np.iinfo(np.int32).max
@@ -109,11 +110,17 @@ def _bins_target(k: int) -> int:
     """Running-state width (bins) per query.  128 = one full vreg lane
     row — the honest sweep's winner (benchmarks/honest_sweep2.py: bins
     64 ran at half-lane VPU occupancy and regressed ~1.5x; bins 256/512
-    pay 2-4x the fold work).  The >D-collision flag rate grows as
-    C(k, D+1)/bins^D per query, so wider pools back off as k grows:
-    k=16 at bins 128 expects ~1.8 flags per 2048-batch, k=42
-    (f64_rescore pools) at bins 512 stays ~1e-4."""
-    if k <= 16:
+    pay 1.6-4 ms more fold work per 2048-batch).  The flag rate grows
+    ~C(k, D+1)/bins^D per query (measured on chip: k=10/bins 128 -> 0-1
+    flags per 2048-batch; k=32/bins 256 -> 6; k=42/bins 512 -> 5; a
+    flagged batch pays a ~4.4 ms exact repair), so the backoff points
+    sit where the expected repair cost overtakes the wider pool's fold
+    cost: k<=12 at bins 128 expects <=0.5 flags/2048 (C(12,4)/128^3);
+    past that the two costs stay within ~1.5 ms of each other either
+    way (k=32: bins 256 = 11.5 ms + ~4.4 repair vs bins 512 ~ 14 ms +
+    ~1.8 expected repair), so the backoff keeps the cheaper fold and
+    accepts the repair."""
+    if k <= 12:
         return 128
     if k <= 32:
         return 256
@@ -181,11 +188,22 @@ def _resolve_layout(bsz, n, f, k, depth, use_bf16, block_b, lane_split,
         ab, at, ar, apre = _auto_layout(bsz, n, f, k, depth, use_bf16,
                                         planes_plain, planes_pre)
         return ab, at, ar, apre
+    elem = 2 if use_bf16 else 4
     if lane_split <= 0:
-        lane_split = 1
+        # Partially pinned call (a tile or block override) with auto
+        # fold: keep the pre-sweep auto pre-reduce — r 2 (f32) / 8
+        # (bf16), gated at the 65536-row serving threshold and on the
+        # combine planes fitting some layout.
+        r_auto = 8 if use_bf16 else 2
+        if (pre_reduce is not False and n >= 65536
+                and any(_fit_tile(cb, f, depth, elem, planes=planes_pre,
+                                  lane_split=r_auto) > 0
+                        for cb in (256, 128, 64))):
+            lane_split, pre_reduce = r_auto, True
+        else:
+            lane_split = 1
     pre_reduce = bool(pre_reduce) and lane_split > 1
     planes = planes_pre if pre_reduce else planes_plain
-    elem = 2 if use_bf16 else 4
     if block_b <= 0:
         block_b = 256
         if tile <= 0:
@@ -195,7 +213,11 @@ def _resolve_layout(bsz, n, f, k, depth, use_bf16, block_b, lane_split,
                     block_b = cand_b
                     break
     if tile <= 0:
-        tile = _fit_tile(min(bsz, block_b), f, depth, elem, planes=planes,
+        # Fit against block_b, NOT min(bsz, block_b): a batch smaller
+        # than the block is padded UP to block_b before the kernel runs,
+        # so a tile sized for the smaller bsz would blow the scoped-VMEM
+        # budget after padding.
+        tile = _fit_tile(block_b, f, depth, elem, planes=planes,
                          lane_split=lane_split)
         # Floor 1024 (Mosaic crashes on smaller tiles) even when the
         # estimate says nothing fits — F beyond ~1500 f32 should route

@@ -507,7 +507,7 @@ class DistributedSearchSession:
                  batch_size: int, k: int = 10, alpha: float = 0.9,
                  taumode: TauMode = None, depth: int = 2,
                  projection=None, pad_tall: bool = False,
-                 kernel: str = None):
+                 kernel: str = None, prepare_corpus: bool = True):
         from ..index import session_kernel_kind
         self.batch_size = int(batch_size)
         self.depth = max(1, int(depth))
@@ -548,6 +548,29 @@ class DistributedSearchSession:
                 f"energy graph needs pad_tall=True")
         shard_n = n // n_dev
 
+        # One-time per-shard corpus preparation for the binned kernel
+        # (see index.SearchSession / ops.pallas_bintopk.prepare_binned_
+        # corpus): the normalise+bucket-pad producer is a full shard
+        # read+write per dispatch on EVERY chip otherwise.  The raw
+        # sharded arrays stay for the repair path; the prepared copy
+        # costs ~+shard bytes per chip (prepare_corpus=False opts out).
+        prepped = knl == "binned" and prepare_corpus
+        step_items, step_xlam = items, item_lambdas
+        if prepped:
+            from ..ops.pallas_bintopk import (_unit_padded, binned_layout)
+            n_pad_l = binned_layout(self.batch_size, shard_n,
+                                    items.shape[1], k_local)[4]
+            pad_l = n_pad_l - shard_n
+            prep = shard_map(
+                lambda x, xl: (
+                    _unit_padded(x, pad_l, jnp.float32),
+                    jnp.pad(xl.astype(jnp.float32), (0, pad_l))),
+                mesh=mesh,
+                in_specs=(P(ITEMS_AXIS, None), P(ITEMS_AXIS)),
+                out_specs=(P(ITEMS_AXIS, None), P(ITEMS_AXIS)),
+                check_vma=False)
+            step_items, step_xlam = jax.jit(prep)(items, item_lambdas)
+
         def _shard_fn(q, x, xlam, lap, pr):
             # dims-reduced index: the projected query prepares λ, the RAW
             # query scores against the raw items (ArrowIndex.search
@@ -562,7 +585,9 @@ class DistributedSearchSession:
                 from ..ops.pallas_bintopk import binned_lambda_topk
                 ls, li, fl = binned_lambda_topk(
                     q, qlam, x, xlam, a, k=k_local,
-                    interpret=jax.default_backend() != "tpu")
+                    interpret=jax.default_backend() != "tpu",
+                    prepared=prepped,
+                    n_items=shard_n if prepped else 0)
                 ls = ls.astype(dt)
                 fl = jax.lax.pmax(fl, ITEMS_AXIS)
             elif knl == "merge":
@@ -593,7 +618,7 @@ class DistributedSearchSession:
                                  P(), P()),
                        out_specs=(P(), P(), P()), check_vma=False)
         jitted = jax.jit(fn)
-        self._step = lambda q: jitted(q, items, item_lambdas, laplacian,
+        self._step = lambda q: jitted(q, step_items, step_xlam, laplacian,
                                       proj)
 
         def repair(q_block, qlam_np, rows):

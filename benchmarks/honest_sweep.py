@@ -54,22 +54,7 @@ def main() -> None:
     np.asarray(X[:1, :1])
     print("corpus uploaded", flush=True)
 
-    def amortised(make_body, q, big, repeats=8, outer=5):
-        @jax.jit
-        def looped(qq, *bb):
-            def body(carry, i):
-                return carry + make_body(qq + i.astype(qq.dtype) * 1e-7,
-                                         *bb), ()
-            c, _ = jax.lax.scan(body, jnp.zeros(()), jnp.arange(repeats))
-            return c
-
-        np.asarray(looped(q, *big))
-        ts = []
-        for _ in range(outer):
-            t0 = time.perf_counter()
-            np.asarray(looped(q, *big))
-            ts.append(time.perf_counter() - t0)
-        return float(np.median(ts)) / repeats
+    from benchmarks._harness import amortised  # shared, DCE-immune
 
     # (label, use_bf16, block_b, lane_split, pre_reduce, depth)
     configs = [

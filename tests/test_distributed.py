@@ -461,3 +461,30 @@ def test_distributed_session_binned_parity_and_repair_wiring(mesh):
     (s_out, i_out), = out
     s_ref, i_ref = next(iter(ref.search_stream(batches[:1])))
     np.testing.assert_array_equal(i_out, i_ref)
+
+
+def test_distributed_session_prepared_corpus_matches_raw(mesh):
+    """The per-shard prepared corpus (normalise + bucket-pad hoisted to
+    session construction, the multi-chip analogue of
+    prepare_binned_corpus) must be bitwise-identical to the raw per-
+    dispatch path."""
+    from arrowspace_tpu.parallel.distributed import (
+        DistributedSearchSession)
+
+    rng = np.random.default_rng(13)
+    n, f, b = 8 * 1024, 16, 4
+    items = jnp.asarray(rng.uniform(0.1, 1.0, (n, f)))
+    lambdas = jnp.asarray(rng.uniform(0, 1, n))
+    _, lap = _setup(64, f, seed=5)
+    lap = jnp.asarray(np.asarray(lap)[:f, :f])
+    batches = [np.asarray(rng.uniform(0.1, 1.0, (b, f)))
+               for _ in range(2)]
+
+    prep = DistributedSearchSession(items, lambdas, lap, mesh, b, k=5,
+                                    kernel="binned")
+    raw = DistributedSearchSession(items, lambdas, lap, mesh, b, k=5,
+                                   kernel="binned", prepare_corpus=False)
+    for (s_p, i_p), (s_r, i_r) in zip(prep.search_stream(batches),
+                                      raw.search_stream(batches)):
+        np.testing.assert_array_equal(i_p, i_r)
+        np.testing.assert_array_equal(s_p, s_r)

@@ -364,6 +364,42 @@ def test_binned_topk_deep_split_deep_depth_fuzz():
                                    atol=2e-5)
 
 
+def test_resolve_layout_fits_padded_block():
+    """bsz < block_b: the kernel pads queries UP to block_b before the
+    pallas_call, so the auto tile must fit the PADDED block.  A prior
+    revision fitted min(bsz, block_b) and picked a tile whose footprint
+    blew the scoped-VMEM budget after padding (review finding)."""
+    from arrowspace_tpu.ops.pallas_bintopk import (_layout_fits,
+                                                   _resolve_layout)
+    # the reviewer's crash shape: 64-query batch, 1M corpus, plain fold
+    b, t, r, pre = _resolve_layout(64, 1_000_000, 128, 10, 3, False,
+                                   0, 0, 0, False, 3, 6)
+    assert _layout_fits(b, t, 128, 3, 4, 6 if pre else 3, r), (b, t, r)
+    # manual block_b larger than the batch: same invariant
+    b2, t2, r2, pre2 = _resolve_layout(64, 1_000_000, 128, 10, 3, False,
+                                       256, 0, 0, False, 3, 6)
+    assert b2 == 256
+    assert _layout_fits(b2, t2, 128, 3, 4, 6 if pre2 else 3, r2), (t2, r2)
+
+
+def test_resolve_layout_partial_pin_keeps_auto_pre_reduce():
+    """Pinning only block_b (or tile) must keep the pre-sweep auto
+    pre-reduce fold at serving scale (r 2 f32 / 8 bf16) — a prior
+    revision silently degraded any partial pin to the plain fold
+    (review finding)."""
+    from arrowspace_tpu.ops.pallas_bintopk import _resolve_layout
+    b, t, r, pre = _resolve_layout(2048, 1_000_000, 128, 10, 3, False,
+                                   256, 0, 0, None, 3, 6)
+    assert (r, pre) == (2, True)
+    b, t, r, pre = _resolve_layout(2048, 1_000_000, 128, 10, 3, True,
+                                   256, 0, 0, None, 3, 6)
+    assert (r, pre) == (8, True)
+    # below the serving gate the partial pin stays plain
+    b, t, r, pre = _resolve_layout(2048, 65_535, 128, 10, 3, False,
+                                   256, 0, 0, None, 3, 6)
+    assert (r, pre) == (1, False)
+
+
 def test_binned_topk_prepared_corpus_matches_raw():
     """prepare_binned_corpus + prepared=True must be bitwise-identical
     to the raw-items path (the session hoists the normalise+bucket-pad
