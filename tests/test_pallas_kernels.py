@@ -702,7 +702,10 @@ def test_binned_topk_auto_layout_decision():
         (256, 2048, 16, True)
     # sub-256 batches pad up to one 256 block
     assert _auto_layout(100, 1_000_000, 128, 10, 3, False, 3, 6)[0] == 256
-    # wider pools as k grows (flag rate ~ C(k, D+1)/bins^D)
+    # wider pools as k grows (flag rate ~ C(k, D+1)/bins^D; thresholds
+    # re-derived from measured chip flag counts — see _bins_target)
+    b, t, r, pre = _auto_layout(2048, 1_000_000, 128, 13, 3, False, 3, 6)
+    assert (t // r) == 256 and pre
     b, t, r, pre = _auto_layout(2048, 1_000_000, 128, 42, 3, False, 3, 6)
     assert (t // r) == 512 and pre
     # wide F: block backs off before the layout stops fitting
