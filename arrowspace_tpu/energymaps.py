@@ -536,18 +536,37 @@ def search_energy_batch(aspace: ArrowSpace, queries, gl_energy: GraphLaplacian,
             # exact repair of flagged deep-collision rows; one tuple
             # fetch = one tunnel round trip.
             from .ops.pallas_bintopk import binned_energy_topk
-            s, i, fl = binned_energy_topk(
-                z_q, qlam_d, z_items, xlam_d, wl_d, wd_d, k=k_eff)
+            s, i, fl, det = binned_energy_topk(
+                z_q, qlam_d, z_items, xlam_d, wl_d, wd_d, k=k_eff,
+                return_det=True)
             s, i, flags = jax.device_get((s, i, fl))
             if flags.any():
+                # strided-bin exact repair (ops/bin_repair): rescoring
+                # only the fired bins' rows + the current top-k; rows
+                # whose fired-bin count overflows fall back to the
+                # exact chunked scorer.
+                from .ops.bin_repair import strided_energy_repair
                 rows = np.nonzero(flags)[0]
-                rs, ri = _energy_score_topk_chunked(
-                    z_q[rows], qlam_d[rows], z_items, xlam_d,
-                    wl_d, wd_d, k=k_eff)
+
+                def _full_chunked(rel_rows):
+                    rr = rows[rel_rows]
+                    rs, ri = _energy_score_topk_chunked(
+                        z_q[rr], qlam_d[rr], z_items, xlam_d,
+                        wl_d, wd_d, k=k_eff)
+                    return np.asarray(rs), np.asarray(ri)
+
+                det_rows, zq_rows, ql_rows = jax.device_get(
+                    (det[rows], z_q[rows], qlam_d[rows]))
                 s = s.copy()
                 i = i.copy()
-                s[rows] = np.asarray(rs)
-                i[rows] = np.asarray(ri)
+                rs, ri = strided_energy_repair(
+                    zq_rows, ql_rows, det_rows, s[rows, k_eff - 1],
+                    i[rows], z_items, xlam_d, None,
+                    float(w_lambda), float(w_dirichlet), k=k_eff,
+                    n=aspace.nitems, prepared=False,
+                    fallback=_full_chunked)
+                s[rows] = rs
+                i[rows] = ri
             return np.asarray(s), np.asarray(i)
         top_scores, top_idx = _energy_score_topk_chunked(
             z_q, qlam_d, z_items, xlam_d, wl_d, wd_d, k=k_eff)

@@ -50,7 +50,11 @@ def _session_step_jit():
     all-zero for the merge/XLA kernels.  Ids and flags share one array
     so the driver pays TWO device fetches per batch, not three — each
     fetch is a full tunnel round trip.  qlam rides along as a device
-    array; the driver only fetches it on the rare repair path."""
+    array; the driver only fetches it on the rare repair path.  The
+    binned kernel additionally returns its miss-detector plane det
+    (B, bins) as a FOURTH element — also a device array the driver only
+    touches on the repair path, where it identifies the fired bins for
+    the cheap strided-bin exact repair (ops/bin_repair)."""
     global _SESSION_STEP
     if _SESSION_STEP is None:
         import functools
@@ -78,11 +82,12 @@ def _session_step_jit():
                                           pad_items=pad_tall)
             if kernel == "binned":
                 from .ops.pallas_bintopk import binned_lambda_topk
-                s, i, fl = binned_lambda_topk(
+                s, i, fl, det = binned_lambda_topk(
                     q_raw, qlam, data, lambdas, alpha, k=k,
                     use_bf16=use_bf16, prepared=n_items > 0,
-                    n_items=n_items)
-                return s, jnp.concatenate([i, fl[:, None]], axis=1), qlam
+                    n_items=n_items, return_det=True)
+                return (s, jnp.concatenate([i, fl[:, None]], axis=1),
+                        qlam, det)
             zero_fl = jnp.zeros((q_raw.shape[0], 1), dtype=jnp.int32)
             if kernel == "merge":
                 from .ops.pallas_topk import fused_lambda_topk
@@ -141,11 +146,13 @@ def _energy_step_jit():
                 if has_signals else q_prep
             if kernel == "binned":
                 from .ops.pallas_bintopk import binned_energy_topk
-                s, i, fl = binned_energy_topk(
+                s, i, fl, det = binned_energy_topk(
                     z_q, qlam, z_items, item_lambdas, wl, wd, k=k,
                     prepared=n_items > 0, n_items=n_items,
-                    z_norms=(z_norms if n_items > 0 else None))
-                return s, jnp.concatenate([i, fl[:, None]], axis=1), qlam
+                    z_norms=(z_norms if n_items > 0 else None),
+                    return_det=True)
+                return (s, jnp.concatenate([i, fl[:, None]], axis=1),
+                        qlam, det)
             s, i = _energy_score_topk_chunked(
                 z_q, qlam, z_items, item_lambdas, wl, wd, k=k, chunk=chunk)
             zero_fl = jnp.zeros((q_raw.shape[0], 1), dtype=jnp.int32)
@@ -204,11 +211,18 @@ def stream_search(step, batches, batch_size: int, depth: int, dt,
 
     Steps may return (scores, ids) or (scores, ids_flags (B, k+1), qlam)
     — the session-step shape, where the last ids_flags column marks rows
-    the binned kernel may have under-filled.  Flagged rows are re-run
-    through `repair(q_block, qlam, rows) -> (scores, ids)` at yield time
-    (the binned kernel's rare deep-collision fallback — the flag arrives
-    with the ids fetch, after `depth` further batches are already in
-    flight, so the check costs no extra round trip).
+    the binned kernel may have under-filled — or (scores, ids_flags,
+    qlam, det) with the binned kernel's miss-detector plane riding along
+    as a device array.  Flagged rows are re-run through
+    `repair(q_block, qlam, rows) -> (scores, ids)` at yield time (the
+    binned kernel's rare deep-collision fallback — the flag arrives with
+    the ids fetch, after `depth` further batches are already in flight,
+    so the check costs no extra round trip).  When det is present the
+    driver fetches only the flagged rows' det slice (one batched
+    round trip with qlam) and hands `repair` the keyword operands
+    (scores=, ids=, det_rows=) the strided-bin exact repair needs
+    (ops/bin_repair) — ~0.3 ms of gather+matmul instead of a
+    full-corpus exact pass.
 
     async_fetch moves the device_get (a full interconnect round trip
     per batch — ~25 ms on this tunnel) onto a fetch thread, so the main
@@ -224,7 +238,8 @@ def stream_search(step, batches, batch_size: int, depth: int, dt,
             s, i = out
             s, i = jax.device_get((s[:m], i[:m]))
             return s, i
-        s, ii, qlam = out
+        s, ii, qlam = out[:3]
+        det = out[3] if len(out) > 3 else None
         # ONE device_get for both arrays: the tunnel batches a tuple
         # fetch into a single round trip (measured 24.8 vs 49.7 ms for
         # two sequential np.asarray fetches)
@@ -232,8 +247,15 @@ def stream_search(step, batches, batch_size: int, depth: int, dt,
         i, flags = ii[:, :-1], ii[:, -1]
         if flags.any() and repair is not None:
             rows = np.nonzero(flags)[0]
-            rs, ri = repair(qb, np.asarray(qlam), rows)
             s, i = s.copy(), i.copy()  # np.asarray views are read-only
+            if det is not None:
+                # one batched round trip for the repair operands; det is
+                # fetched only for the flagged rows
+                qlam_h, det_rows = jax.device_get((qlam, det[rows]))
+                rs, ri = repair(qb, qlam_h, rows, scores=s, ids=i,
+                                det_rows=det_rows)
+            else:
+                rs, ri = repair(qb, np.asarray(qlam), rows)
             s[rows], i[rows] = rs, ri
         return s, i
 
@@ -352,16 +374,39 @@ class SearchSession:
             n_items=n_items)
         self._dim = aspace.nfeatures
 
-        def repair(q_block, qlam, rows):
-            # Deep-bin-collision fallback (see ops/pallas_bintopk.py):
-            # exact streaming-merge kernel over just the flagged rows.
+        def repair(q_block, qlam, rows, scores=None, ids=None,
+                   det_rows=None):
+            # Deep-bin-collision fallback (see ops/pallas_bintopk.py).
+            # With the det plane (the driver fetches it for flagged rows
+            # only) the strided-bin exact repair rescores just the fired
+            # bins' rows + the current top-k (~0.3 ms of gather+matmul
+            # at 1M×128); rows whose fired-bin count overflows — and
+            # legacy callers without a det plane — take the full
+            # exact streaming-merge kernel over the raw corpus.
             from .ops.pallas_topk import fused_lambda_topk
-            rs, ri = fused_lambda_topk(
-                jnp.asarray(q_block[rows], dtype=dt),
-                jnp.asarray(qlam[rows], dtype=dt),
-                data, lambdas, float(alpha), k=k_eff, use_bf16=use_bf16)
-            return np.asarray(rs), np.asarray(ri)
 
+            def full_merge(rel_rows):
+                rr = rows[rel_rows]
+                rs, ri = fused_lambda_topk(
+                    jnp.asarray(q_block[rr], dtype=dt),
+                    jnp.asarray(qlam[rr], dtype=dt),
+                    data, lambdas, float(alpha), k=k_eff,
+                    use_bf16=use_bf16)
+                return np.asarray(rs), np.asarray(ri)
+
+            if det_rows is None:
+                return full_merge(np.arange(len(rows)))
+            from .ops.bin_repair import strided_lambda_repair
+            return strided_lambda_repair(
+                np.asarray(q_block[rows], dtype=dt), qlam[rows],
+                det_rows, scores[rows, k_eff - 1], ids[rows],
+                step_data if n_items > 0 else data,
+                step_lambdas if n_items > 0 else lambdas,
+                float(alpha), k=k_eff, n=self._n_items_true,
+                prepared=n_items > 0, use_bf16=use_bf16,
+                fallback=full_merge)
+
+        self._n_items_true = index.nitems
         self._repair = repair if kernel == "binned" else None
 
     def warmup(self) -> None:
@@ -449,20 +494,40 @@ class EnergySearchSession:
             has_proj=has_proj, has_signals=use_signals, pad_tall=pad_tall,
             n_items=n_items)
 
-        def repair(q_block, qlam, rows):
-            # flagged rows re-run through the exact chunked scorer; z is
-            # recomputed from the raw block (rare path — see
-            # ops/pallas_bintopk.binned_energy_topk)
+        def repair(q_block, qlam, rows, scores=None, ids=None,
+                   det_rows=None):
+            # flagged rows' z is recomputed from the raw block (rare
+            # path — see ops/pallas_bintopk.binned_energy_topk).  With
+            # the det plane the strided-bin exact repair rescores just
+            # the fired bins' rows + the current top-k; overflow rows
+            # (and legacy callers) take the exact chunked scorer.
             q = jnp.asarray(q_block[rows], dtype=dt)
             q_prep = q if not has_proj else jnp.dot(
                 q, proj, preferred_element_type=dt)
             z = jnp.dot(q_prep, signals.T, preferred_element_type=dt) \
                 if use_signals else q_prep
-            rs, ri = _energy_score_topk_chunked(
-                z, jnp.asarray(qlam[rows], dtype=dt), z_items, lambdas,
-                wl, wd, k=k_eff)
-            return np.asarray(rs), np.asarray(ri)
 
+            def full_chunked(rel_rows):
+                rs, ri = _energy_score_topk_chunked(
+                    z[jnp.asarray(rel_rows)],
+                    jnp.asarray(qlam[rows[rel_rows]], dtype=dt),
+                    z_items, lambdas, wl, wd, k=k_eff)
+                return np.asarray(rs), np.asarray(ri)
+
+            if det_rows is None:
+                return full_chunked(np.arange(len(rows)))
+            from .ops.bin_repair import strided_energy_repair
+            return strided_energy_repair(
+                np.asarray(z), qlam[rows], det_rows,
+                scores[rows, k_eff - 1], ids[rows],
+                step_z if n_items > 0 else z_items,
+                step_lam if n_items > 0 else lambdas,
+                z_norms if n_items > 0 else None,
+                float(w_lambda), float(w_dirichlet), k=k_eff,
+                n=self._n_items_true, prepared=n_items > 0,
+                fallback=full_chunked)
+
+        self._n_items_true = index.nitems
         self._repair = repair if kernel == "binned" else None
 
     def warmup(self) -> None:

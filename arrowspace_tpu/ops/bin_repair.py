@@ -1,0 +1,350 @@
+"""Strided-bin exact repair for the bin-accumulator top-k kernels.
+
+The binned kernels (ops/pallas_bintopk.py) map a corpus row g to bin
+``g mod bins``, so one bin's rows form a STRIDED SLICE of the corpus
+(n/bins rows).  A flagged query's missing top-k candidates can only
+live in its FIRED bins (``det >= kth``): this module rescores just
+those bins' rows, plus the query's current top-k, in one small XLA
+program — a gather + one batched matmul + a two-key sort (~0.3 ms of
+device work at 1M x 128) instead of the ~4.4 ms full-corpus merge-
+kernel pass the sessions used before.
+
+Exactness argument (the repair must keep the end-to-end result
+bit-identical to lax.top_k over the full score plane):
+
+* A true top-k element missing from the kernel's pool must have had
+  more than ``depth`` same-bin elements scoring >= it, so its bin's
+  miss detector satisfies ``det >= its score >= true kth >= pool
+  kth`` — the bin FIRED.  (With the pre-reduce fold the detector is
+  the loser-max, a conservative upper bound folded over the same lane
+  position, and every combine loser of bin b has global index ≡ b
+  (mod bins) — the strided slice covers it.)
+* A true top-k element in a NON-fired bin is in the pool, and within
+  the pool fewer than k elements beat it (anything that beats it in
+  pool order beats it in true order), so it is already in the query's
+  current top-k ids.
+
+Hence ``true top-k ⊆ current top-k ∪ (fired bins' rows)``.  Both sets
+are rescored in ONE XLA expression (same arithmetic as the kernels:
+``_safe_unit`` normalisation, f32-accumulated dot, identical score
+formula) and merged with the same two-key ``(-score, idx)`` sort the
+kernel flush uses, so the lowest-global-index tie order of lax.top_k
+is preserved.  Current-top-k entries whose bin fired are masked out
+(the strided block re-scores them) so no candidate appears twice.
+
+Rows with more than MAX_FIRED fired bins — possible under adversarial
+tie storms — fall back to the caller's full-corpus exact repair.
+
+On-chip f32 caveat (measured, 1M×128 k=32 A/B vs the merge-kernel
+repair): the TPU lowers f32 matmuls through bf16 MXU passes, so any
+two scoring programs disagree by ~1e-4 on individual scores and may
+swap ADJACENT near-ties in the returned order — the candidate SETS
+matched exactly in the A/B; only tie order within ~1e-4 differed.
+This is a property of every repair path (the merge kernel recomputes
+scores with its own arithmetic too), not of the strided construction;
+the CPU/f32 tests pin bitwise id equality where matmul arithmetic is
+deterministic.  The repair's own dots run at Precision.HIGHEST — on
+the tiny candidate set that is free, and makes the repair at least as
+accurate as both full-corpus paths.  Callers needing exact f64 tie
+order use precision="f64_rescore" (index.ArrowIndex.search).
+
+Reference anchor: the per-thread-heap merge of core.rs:818-888 (the
+exact semantics all repair paths restore).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .pallas_bintopk import NEG_INF
+
+__all__ = ["strided_lambda_repair", "strided_energy_repair",
+           "fired_bins_host", "MAX_FIRED"]
+
+INT_MAX = np.iinfo(np.int32).max
+
+# Rows with more fired bins than this fall back to the full exact
+# repair.  Measured flag events carry ONE fired bin (a single deep
+# collision); 2 keeps a margin without doubling the gather.
+MAX_FIRED = 2
+
+# HBM budget for the (R, M·m + k, F) gathered-candidate transient; the
+# per-dispatch row count adapts to it (at 1M x 128 / bins 128 this
+# admits 32 rows per dispatch, at 10M it drops to 4).
+_GATHER_BUDGET = 384 * 1024 * 1024
+
+
+def _rows_per_dispatch(m: int, f: int) -> int:
+    cap = _GATHER_BUDGET // max(1, MAX_FIRED * m * f * 4)
+    r = 1
+    while r * 2 <= min(32, max(1, cap)):
+        r *= 2
+    return r
+
+
+def fired_bins_host(det_rows: np.ndarray, kth: np.ndarray):
+    """Per flagged row, the fired-bin list (det >= kth, det > NEG_INF) —
+    the host-side mirror of the flush's flag reduction, evaluated on the
+    same f32 values so the set is exactly the bins that raised the flag.
+    Returns (fired (R, MAX_FIRED) int32 padded with -1,
+             ok (R,) bool — False where the row overflowed MAX_FIRED)."""
+    det_rows = np.asarray(det_rows)
+    kth = np.asarray(kth)
+    r = det_rows.shape[0]
+    fired = np.full((r, MAX_FIRED), -1, dtype=np.int32)
+    ok = np.ones((r,), dtype=bool)
+    hit = (det_rows >= kth[:, None]) & (det_rows > NEG_INF)
+    for i in range(r):
+        bins_i = np.nonzero(hit[i])[0]
+        if bins_i.size > MAX_FIRED:
+            ok[i] = False
+        elif bins_i.size == 0:
+            # defensive: a repair request with no fired bin (shouldn't
+            # happen — the flag IS the det reduction) keeps the row's
+            # current result via the pure top-k-rescore path
+            pass
+        else:
+            fired[i, :bins_i.size] = bins_i.astype(np.int32)
+    return fired, ok
+
+
+def _gather_candidates(fired, out_idx, items, item_lambdas, n,
+                       *, bins: int, m: int):
+    """Candidate ids + validity for one repair chunk.
+
+    Candidates per row = the M fired bins' strided rows (j·bins + b,
+    j < m) followed by the row's current top-k ids.  Returns
+    (cand_idx (R, C) int32, valid (R, C) bool, rows (R, C, F),
+    lams (R, C)) with C = M·m + k."""
+    r, m_fired = fired.shape
+    k = out_idx.shape[1]
+    j = jnp.arange(m, dtype=jnp.int32)
+    gidx = (j[None, None, :] * bins
+            + jnp.clip(fired, 0, bins - 1)[:, :, None])    # (R, M, m)
+    valid_g = (fired[:, :, None] >= 0) & (gidx < n)
+    out_i = out_idx.astype(jnp.int32)
+    # current-top-k keep set: drop entries whose bin fired (the strided
+    # block covers them) and exact repeats (sentinel-slot safety on tiny
+    # pools) so no candidate id appears twice in the sort
+    out_bin = out_i % bins
+    in_fired = jnp.any(out_bin[:, :, None] == fired[:, None, :], axis=2)
+    earlier = (jnp.arange(k)[:, None] > jnp.arange(k)[None, :])[None]
+    rep = jnp.any((out_i[:, :, None] == out_i[:, None, :]) & earlier,
+                  axis=2)
+    valid_o = (~in_fired) & (~rep) & (out_i >= 0) & (out_i < n)
+    cand = jnp.concatenate([gidx.reshape(r, m_fired * m), out_i], axis=1)
+    valid = jnp.concatenate([valid_g.reshape(r, m_fired * m), valid_o],
+                            axis=1)
+    safe = jnp.where(valid, cand, 0)
+    rows = jnp.take(items, safe, axis=0)                    # (R, C, F)
+    lams = jnp.take(item_lambdas, safe, axis=0)             # (R, C)
+    return cand, valid, rows, lams
+
+
+def _merge_topk(scores, cand, valid, k: int):
+    """Two-key (-score, idx) sort over the candidate set — the exact
+    extraction the kernel flush runs, so tie order matches lax.top_k."""
+    scores = jnp.where(valid, scores, NEG_INF)
+    ids = jnp.where(valid, cand, INT_MAX)
+    sorted_neg, sorted_idx = jax.lax.sort((-scores, ids), num_keys=2,
+                                          dimension=1)
+    return -sorted_neg[:, :k], sorted_idx[:, :k]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "bins", "m", "prepared",
+                                             "use_bf16"))
+def _lambda_repair_chunk(q, qlam, fired, out_idx, items, item_lambdas,
+                         alpha, n, *, k: int, bins: int, m: int,
+                         prepared: bool, use_bf16: bool):
+    dt = jnp.float32
+    mm_dt = jnp.bfloat16 if use_bf16 else dt
+    cand, valid, rows, lams = _gather_candidates(
+        fired, out_idx, items, item_lambdas, n, bins=bins, m=m)
+    if prepared:
+        xhat = rows                       # already unit + mm_dt cast
+    else:
+        # _safe_unit arithmetic per gathered row (divide in the raw
+        # dtype, THEN cast — matches _unit_padded bitwise)
+        nrm = jnp.sqrt(jnp.sum(rows * rows, axis=-1, keepdims=True))
+        ok = nrm > 0.0
+        xhat = jnp.where(ok, rows / jnp.where(ok, nrm, 1.0),
+                         0.0).astype(mm_dt)
+    qn = jnp.sqrt(jnp.sum(q * q, axis=-1, keepdims=True))
+    qok = qn > 0.0
+    qhat = jnp.where(qok, q / jnp.where(qok, qn, 1.0), 0.0).astype(mm_dt)
+    cos = jax.lax.dot_general(
+        qhat, xhat, dimension_numbers=(((1,), (2,)), ((0,), (0,))),
+        preferred_element_type=dt,
+        precision=jax.lax.Precision.HIGHEST)                # (R, C)
+    a32 = alpha.astype(dt)
+    dl = jnp.abs(qlam.astype(dt)[:, None] - lams.astype(dt))
+    scores = a32 * cos + (1.0 - a32) * (1.0 - jnp.minimum(dl, 1.0))
+    return _merge_topk(scores, cand, valid, k)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "bins", "m", "prepared"))
+def _energy_repair_chunk(zq, qlam, fired, out_idx, z_items, item_lambdas,
+                         z_norms, wl, wd, n, *, k: int, bins: int, m: int,
+                         prepared: bool):
+    dt = jnp.float32
+    cand, valid, rows, lams = _gather_candidates(
+        fired, out_idx, z_items, item_lambdas, n, bins=bins, m=m)
+    zx = rows.astype(dt)
+    if prepared:
+        xn = jnp.take(z_norms, jnp.where(valid, cand, 0), axis=0)
+    else:
+        xn = jnp.sum(zx * zx, axis=-1)
+    zq = zq.astype(dt)
+    qn = jnp.sum(zq * zq, axis=1)
+    dot = jax.lax.dot_general(
+        zq, zx, dimension_numbers=(((1,), (2,)), ((0,), (0,))),
+        preferred_element_type=dt,
+        precision=jax.lax.Precision.HIGHEST)                # (R, C)
+    # identical expression order to the kernel / chunked path
+    d2 = (qn[:, None] - 2.0 * dot) + xn
+    num = jnp.sqrt(jnp.maximum(d2, 0.0))
+    d_dir = jnp.minimum(num / (1.0 + num), 1.0)
+    d_lam = jnp.abs(qlam.astype(dt)[:, None] - lams.astype(dt))
+    scores = -(wl.astype(dt) * d_lam + wd.astype(dt) * d_dir)
+    return _merge_topk(scores, cand, valid, k)
+
+
+def _run_chunked(chunk_fn, r_total: int, r_cap: int, pack_fn):
+    """Dispatch the repair in fixed-size row chunks (one compile per
+    geometry); the last chunk pads by repeating row 0 and slices back."""
+    outs_s, outs_i = [], []
+    for lo in range(0, r_total, r_cap):
+        hi = min(lo + r_cap, r_total)
+        take = np.arange(lo, hi)
+        if hi - lo < r_cap:
+            take = np.concatenate(
+                [take, np.zeros(r_cap - (hi - lo), dtype=np.int64)])
+        s, i = chunk_fn(*pack_fn(take))
+        outs_s.append(np.asarray(s[:hi - lo]))
+        outs_i.append(np.asarray(i[:hi - lo]))
+    return np.concatenate(outs_s, axis=0), np.concatenate(outs_i, axis=0)
+
+
+def strided_lambda_repair(q_rows, qlam_rows, det_rows, kth, out_idx_rows,
+                          items, item_lambdas, alpha, *, k: int, n: int,
+                          prepared: bool, use_bf16: bool, fallback=None):
+    """Exact repair of flagged λ-aware queries via their fired bins.
+
+    q_rows (R, F) raw queries (host), qlam_rows (R,), det_rows (R, bins)
+    and kth (R,) from the kernel's det plane / fetched scores,
+    out_idx_rows (R, k) the flagged rows' current ids.  ``items`` /
+    ``item_lambdas`` are device arrays — the PREPARED corpus
+    (prepare_binned_corpus) when prepared=True, else the raw corpus.
+    ``fallback(rel_rows) -> (scores, ids)`` handles rows whose fired-bin
+    count exceeds MAX_FIRED (required if such rows can occur).
+
+    Returns (scores (R, k) f32, ids (R, k) int32) as host arrays.
+    """
+    det_rows = np.asarray(det_rows)
+    bins = det_rows.shape[1]
+    fired, ok = fired_bins_host(det_rows, np.asarray(kth))
+    r_total = det_rows.shape[0]
+    f = q_rows.shape[1]
+    m = int(np.ceil(items.shape[0] / bins)) if prepared \
+        else int(np.ceil(_bucket_m(n, bins)))
+    out_s = np.empty((r_total, k), dtype=np.float32)
+    out_i = np.empty((r_total, k), dtype=np.int32)
+
+    good = np.nonzero(ok)[0]
+    if good.size:
+        # q keeps its incoming dtype: the kernel normalises queries in
+        # the input dtype THEN casts to mm_dt (_unit_padded) — the
+        # repair must divide in the same dtype to stay bitwise-equal
+        q_d = jnp.asarray(np.asarray(q_rows)[good])
+        ql_d = jnp.asarray(np.asarray(qlam_rows,
+                                      dtype=np.float32)[good])
+        fired_d = fired[good]
+        oi_d = np.asarray(out_idx_rows, dtype=np.int32)[good]
+        a_d = jnp.asarray(alpha, dtype=jnp.float32)
+        n_d = jnp.asarray(n, dtype=jnp.int32)
+        r_cap = _rows_per_dispatch(m, f)
+
+        def pack(take):
+            return (q_d[take], ql_d[take], jnp.asarray(fired_d[take]),
+                    jnp.asarray(oi_d[take]), items, item_lambdas,
+                    a_d, n_d)
+
+        chunk = functools.partial(_lambda_repair_chunk, k=k, bins=bins,
+                                  m=m, prepared=prepared,
+                                  use_bf16=use_bf16)
+        s, i = _run_chunked(chunk, good.size, r_cap, pack)
+        out_s[good], out_i[good] = s, i
+
+    bad = np.nonzero(~ok)[0]
+    if bad.size:
+        if fallback is None:
+            raise RuntimeError(
+                f"{bad.size} flagged rows exceed MAX_FIRED={MAX_FIRED} "
+                "fired bins and no fallback repair was provided")
+        s, i = fallback(bad)
+        out_s[bad], out_i[bad] = np.asarray(s), np.asarray(i)
+    return out_s, out_i
+
+
+def strided_energy_repair(zq_rows, qlam_rows, det_rows, kth, out_idx_rows,
+                          z_items, item_lambdas, z_norms, wl, wd, *,
+                          k: int, n: int, prepared: bool, fallback=None):
+    """Energy-score analogue of strided_lambda_repair (the kernel is
+    binned_energy_topk; score per energymaps.rs:368-407).  zq_rows are
+    the flagged queries ALREADY in z-space (the session step computes
+    them; the caller re-derives z for the flagged block)."""
+    det_rows = np.asarray(det_rows)
+    bins = det_rows.shape[1]
+    fired, ok = fired_bins_host(det_rows, np.asarray(kth))
+    r_total = det_rows.shape[0]
+    g = zq_rows.shape[1]
+    m = int(np.ceil(z_items.shape[0] / bins)) if prepared \
+        else int(np.ceil(_bucket_m(n, bins)))
+    out_s = np.empty((r_total, k), dtype=np.float32)
+    out_i = np.empty((r_total, k), dtype=np.int32)
+
+    good = np.nonzero(ok)[0]
+    if good.size:
+        zq_d = jnp.asarray(np.asarray(zq_rows, dtype=np.float32)[good])
+        ql_d = jnp.asarray(np.asarray(qlam_rows,
+                                      dtype=np.float32)[good])
+        fired_d = fired[good]
+        oi_d = np.asarray(out_idx_rows, dtype=np.int32)[good]
+        zn_d = z_norms if z_norms is not None \
+            else jnp.zeros((1,), dtype=jnp.float32)
+        wl_d = jnp.asarray(wl, dtype=jnp.float32)
+        wd_d = jnp.asarray(wd, dtype=jnp.float32)
+        n_d = jnp.asarray(n, dtype=jnp.int32)
+        r_cap = _rows_per_dispatch(m, g)
+
+        def pack(take):
+            return (zq_d[take], ql_d[take], jnp.asarray(fired_d[take]),
+                    jnp.asarray(oi_d[take]), z_items, item_lambdas,
+                    zn_d, wl_d, wd_d, n_d)
+
+        chunk = functools.partial(_energy_repair_chunk, k=k, bins=bins,
+                                  m=m, prepared=prepared)
+        s, i = _run_chunked(chunk, good.size, r_cap, pack)
+        out_s[good], out_i[good] = s, i
+
+    bad = np.nonzero(~ok)[0]
+    if bad.size:
+        if fallback is None:
+            raise RuntimeError(
+                f"{bad.size} flagged rows exceed MAX_FIRED={MAX_FIRED} "
+                "fired bins and no fallback repair was provided")
+        s, i = fallback(bad)
+        out_s[bad], out_i[bad] = np.asarray(s), np.asarray(i)
+    return out_s, out_i
+
+
+def _bucket_m(n: int, bins: int) -> int:
+    """Rows-per-bin for the RAW-corpus path, keyed to the corpus row
+    bucket so the repair program compiles once per bucket (the masked
+    tail handles m·bins > n)."""
+    from ..config import bucket_rows
+    return (max(bucket_rows(n), bins) + bins - 1) // bins

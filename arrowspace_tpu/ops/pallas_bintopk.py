@@ -451,7 +451,8 @@ def _fold_subtiles(run_refs, tile_scores, depth, lane_split, pre_reduce):
 @functools.partial(jax.jit,
                    static_argnames=("k", "depth", "tile", "interpret",
                                     "use_bf16", "block_b", "lane_split",
-                                    "pre_reduce", "prepared", "n_items"))
+                                    "pre_reduce", "prepared", "n_items",
+                                    "return_det"))
 def binned_lambda_topk(
     queries: jax.Array,        # (B, F) — raw, normalised inside
     query_lambdas: jax.Array,  # (B,)
@@ -469,13 +470,17 @@ def binned_lambda_topk(
     pre_reduce=None,           # None = auto; max-combine sub-tiles pre-fold
     prepared: bool = False,    # items/lambdas from prepare_binned_corpus
     n_items: int = 0,          # true N (required when prepared)
+    return_det: bool = False,  # also return the det plane (B, bins)
 ):
-    """Returns (scores (B, k), indices (B, k), flags (B,) int32).
+    """Returns (scores (B, k), indices (B, k), flags (B,) int32) — plus
+    the miss-detector plane det (B, bins) f32 when return_det=True.
 
     flags[b] == 1 marks a query whose result may be missing a top-k
     element to a >D-deep bin collision — the CALLER must re-run those
-    queries through an exact path (ops/pallas_topk.fused_lambda_topk or
-    the XLA top_k); un-flagged rows are exact.  See module docstring.
+    queries through an exact path; un-flagged rows are exact.  The det
+    plane identifies the FIRED bins (det >= kth) so the caller can run
+    the cheap strided-bin repair (ops/bin_repair) instead of a full
+    exact pass.  See module docstring.
     """
     bsz, f = queries.shape
     if prepared:
@@ -503,12 +508,12 @@ def binned_lambda_topk(
         pad_b = max_b - bsz % max_b
         qp = jnp.pad(queries, ((0, pad_b), (0, 0)), constant_values=1.0)
         qlp = jnp.pad(query_lambdas, (0, pad_b))
-        s, i, fl = binned_lambda_topk(
+        outs = binned_lambda_topk(
             qp, qlp, items, item_lambdas, alpha, k=k, depth=depth,
             tile=tile, interpret=interpret, use_bf16=use_bf16,
             block_b=block_b, lane_split=lane_split, pre_reduce=pre_reduce,
-            prepared=prepared, n_items=n_items)
-        return s[:bsz], i[:bsz], fl[:bsz]
+            prepared=prepared, n_items=n_items, return_det=return_det)
+        return tuple(o[:bsz] for o in outs)
 
     if bsz > max_b:
         outs = [binned_lambda_topk(queries[i:i + max_b],
@@ -518,11 +523,11 @@ def binned_lambda_topk(
                                    interpret=interpret, use_bf16=use_bf16,
                                    block_b=block_b, lane_split=lane_split,
                                    pre_reduce=pre_reduce,
-                                   prepared=prepared, n_items=n_items)
+                                   prepared=prepared, n_items=n_items,
+                                   return_det=return_det)
                 for i in range(0, bsz, max_b)]
-        return (jnp.concatenate([o[0] for o in outs], axis=0),
-                jnp.concatenate([o[1] for o in outs], axis=0),
-                jnp.concatenate([o[2] for o in outs], axis=0))
+        return tuple(jnp.concatenate([o[j] for o in outs], axis=0)
+                     for j in range(len(outs[0])))
 
     mm_dt = jnp.bfloat16 if use_bf16 else dt
     bins = tile // lane_split
@@ -597,7 +602,7 @@ def binned_lambda_topk(
       jnp.asarray(alpha, dtype=dt).reshape(1, 1),
       jnp.asarray(n, dtype=jnp.int32).reshape(1, 1))
 
-    return _flush_pool(outs, depth, k)
+    return _flush_pool(outs, depth, k, return_det=return_det)
 
 
 def _energy_kernel(zq_ref, qn_ref, qlam_ref, zx_ref, xn_ref, xlam_ref,
@@ -670,7 +675,7 @@ def _energy_kernel(zq_ref, qn_ref, qlam_ref, zx_ref, xn_ref, xlam_ref,
 @functools.partial(jax.jit,
                    static_argnames=("k", "depth", "tile", "interpret",
                                     "block_b", "lane_split", "pre_reduce",
-                                    "prepared", "n_items"))
+                                    "prepared", "n_items", "return_det"))
 def binned_energy_topk(
     z_q: jax.Array,            # (B, G) — queries already in z-space
     query_lambdas: jax.Array,  # (B,)
@@ -689,6 +694,7 @@ def binned_energy_topk(
     prepared: bool = False,    # operands from prepare_binned_energy_corpus
     n_items: int = 0,          # true N (required when prepared)
     z_norms=None,              # prepared per-row ||z||² (n_pad,)
+    return_det: bool = False,  # also return the det plane (B, bins)
 ):
     """Bin-accumulator streaming top-k for the ENERGY score
     (search_energy semantics, energymaps.rs:368-407) — the serving-rate
@@ -733,12 +739,13 @@ def binned_energy_topk(
         pad_b = max_b - bsz % max_b
         qp = jnp.pad(z_q, ((0, pad_b), (0, 0)))
         qlp = jnp.pad(query_lambdas, (0, pad_b))
-        s, i, fl = binned_energy_topk(
+        outs = binned_energy_topk(
             qp, qlp, z_items, item_lambdas, w_lambda, w_dirichlet, k=k,
             depth=depth, tile=tile, interpret=interpret, block_b=block_b,
             lane_split=lane_split, pre_reduce=pre_reduce,
-            prepared=prepared, n_items=n_items, z_norms=z_norms)
-        return s[:bsz], i[:bsz], fl[:bsz]
+            prepared=prepared, n_items=n_items, z_norms=z_norms,
+            return_det=return_det)
+        return tuple(o[:bsz] for o in outs)
 
     if bsz > max_b:
         outs = [binned_energy_topk(z_q[i:i + max_b],
@@ -750,11 +757,10 @@ def binned_energy_topk(
                                    lane_split=lane_split,
                                    pre_reduce=pre_reduce,
                                    prepared=prepared, n_items=n_items,
-                                   z_norms=z_norms)
+                                   z_norms=z_norms, return_det=return_det)
                 for i in range(0, bsz, max_b)]
-        return (jnp.concatenate([o[0] for o in outs], axis=0),
-                jnp.concatenate([o[1] for o in outs], axis=0),
-                jnp.concatenate([o[2] for o in outs], axis=0))
+        return tuple(jnp.concatenate([o[j] for o in outs], axis=0)
+                     for j in range(len(outs[0])))
 
     n_pad = _padded_rows(n, tile)
     zq = z_q.astype(dt)
@@ -827,10 +833,10 @@ def binned_energy_topk(
       jnp.asarray(w_lambda, dtype=dt).reshape(1, 1),
       jnp.asarray(w_dirichlet, dtype=dt).reshape(1, 1),
       jnp.asarray(n, dtype=jnp.int32).reshape(1, 1))
-    return _flush_pool(outs, depth, k)
+    return _flush_pool(outs, depth, k, return_det=return_det)
 
 
-def _flush_pool(outs, depth: int, k: int):
+def _flush_pool(outs, depth: int, k: int, return_det: bool = False):
     """Exact top-k over the (B, D·L) bin pool + the miss detector.
 
     Top-k with lax.top_k's tie order (lowest global index) via a two-key
@@ -854,4 +860,6 @@ def _flush_pool(outs, depth: int, k: int):
     flags = jnp.max(
         jnp.where((det >= kth[:, None]) & (det > NEG_INF), 1, 0),
         axis=1).astype(jnp.int32)
+    if return_det:
+        return out_s, out_i, flags, det
     return out_s, out_i, flags

@@ -30,31 +30,45 @@ def pallas_binned_topk_with_repair(q, qlam, items, item_lambdas, alpha,
 
     The binned kernel (ops/pallas_bintopk.py) is exact except when more
     than `depth` true top-k elements collide in one bin; it flags those
-    queries (P ~ 2e-7 per query at k=10).  Flagged rows are re-run
-    through the exact merge kernel, so the combined result is always
-    bit-identical to lax.top_k.  The flag fetch synchronises the
-    dispatch — callers on the async serving path should use the session
-    driver (index.stream_search), which overlaps the fetch with the next
-    batch's compute.
+    queries (P ~ 2e-7 per query at k=10).  Flagged rows are repaired
+    through the strided-bin exact rescore (ops/bin_repair: only the
+    fired bins' rows + the current top-k are re-scored — ~0.3 ms of
+    gather+matmul at 1M×128 vs a ~4.4 ms full-corpus merge pass), with
+    the exact merge kernel as the fallback for fired-bin overflow, so
+    the combined result is always bit-identical to lax.top_k.  The flag
+    fetch synchronises the dispatch — callers on the async serving path
+    should use the session driver (index.stream_search), which overlaps
+    the fetch with the next batch's compute.
     """
     from .pallas_bintopk import binned_lambda_topk
-    s, i, fl = binned_lambda_topk(q, qlam, items, item_lambdas, alpha,
-                                  k=k, use_bf16=use_bf16, tile=tile,
-                                  interpret=interpret, block_b=block_b,
-                                  lane_split=lane_split,
-                                  pre_reduce=pre_reduce)
+    s, i, fl, det = binned_lambda_topk(
+        q, qlam, items, item_lambdas, alpha, k=k, use_bf16=use_bf16,
+        tile=tile, interpret=interpret, block_b=block_b,
+        lane_split=lane_split, pre_reduce=pre_reduce, return_det=True)
     flags = np.asarray(fl)
     if flags.any():
+        from .bin_repair import strided_lambda_repair
         from .pallas_topk import fused_lambda_topk
         rows = np.nonzero(flags)[0]
-        rs, ri = fused_lambda_topk(q[rows], qlam[rows], items,
-                                   item_lambdas, alpha, k=k,
-                                   use_bf16=use_bf16, tile=tile,
-                                   interpret=interpret)
         s = np.asarray(s).copy()
         i = np.asarray(i).copy()
-        s[rows] = np.asarray(rs)
-        i[rows] = np.asarray(ri)
+
+        def full_merge(rel_rows):
+            rr = rows[rel_rows]
+            return fused_lambda_topk(q[rr], qlam[rr], items,
+                                     item_lambdas, alpha, k=k,
+                                     use_bf16=use_bf16, tile=tile,
+                                     interpret=interpret)
+
+        # ONE fetch for the repair operands (det plane rows + kth)
+        det_rows, q_rows, ql_rows = jax.device_get(
+            (det[rows], q[rows], qlam[rows]))
+        rs, ri = strided_lambda_repair(
+            q_rows, ql_rows, det_rows, s[rows, k - 1], i[rows],
+            items, item_lambdas, alpha, k=k, n=items.shape[0],
+            prepared=False, use_bf16=use_bf16, fallback=full_merge)
+        s[rows] = rs
+        i[rows] = ri
     return s, i
 
 
