@@ -545,18 +545,31 @@ def search_energy_batch(aspace: ArrowSpace, queries, gl_energy: GraphLaplacian,
                 # only the fired bins' rows + the current top-k; rows
                 # whose fired-bin count overflows fall back to the
                 # exact chunked scorer.
-                from .ops.bin_repair import strided_energy_repair
+                from .ops.bin_repair import (padded_take,
+                                             strided_energy_repair)
                 rows = np.nonzero(flags)[0]
+                # power-of-two padded gathers: one compiled program per
+                # bucket, not per flagged count (bin_repair.padded_take)
+                take = padded_take(rows)
+                det_rows, zq_rows, ql_rows = jax.device_get(
+                    (det[take], z_q[take], qlam_d[take]))
+                det_rows, zq_rows, ql_rows = (det_rows[:len(rows)],
+                                              zq_rows[:len(rows)],
+                                              ql_rows[:len(rows)])
 
                 def _full_chunked(rel_rows):
-                    rr = rows[rel_rows]
+                    # fixed-128 host pad -> one compiled chunked-scorer
+                    # program for any flagged count
+                    m = len(rel_rows)
+                    pad = (-m) % 128
+                    zs = np.pad(zq_rows[rel_rows], ((0, pad), (0, 0)))
+                    qls = np.pad(ql_rows[rel_rows], (0, pad))
                     rs, ri = _energy_score_topk_chunked(
-                        z_q[rr], qlam_d[rr], z_items, xlam_d,
+                        jnp.asarray(zs, dtype=dt),
+                        jnp.asarray(qls, dtype=dt), z_items, xlam_d,
                         wl_d, wd_d, k=k_eff)
-                    return np.asarray(rs), np.asarray(ri)
+                    return np.asarray(rs)[:m], np.asarray(ri)[:m]
 
-                det_rows, zq_rows, ql_rows = jax.device_get(
-                    (det[rows], z_q[rows], qlam_d[rows]))
                 s = s.copy()
                 i = i.copy()
                 rs, ri = strided_energy_repair(

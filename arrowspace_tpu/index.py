@@ -250,10 +250,15 @@ def stream_search(step, batches, batch_size: int, depth: int, dt,
             s, i = s.copy(), i.copy()  # np.asarray views are read-only
             if det is not None:
                 # one batched round trip for the repair operands; det is
-                # fetched only for the flagged rows
-                qlam_h, det_rows = jax.device_get((qlam, det[rows]))
+                # fetched only for the flagged rows, with the gather
+                # padded to a power-of-two bucket (a raw-count gather
+                # compiles per novel flag count — see
+                # ops/bin_repair.padded_take)
+                from .ops.bin_repair import padded_take
+                take = padded_take(rows)
+                qlam_h, det_rows = jax.device_get((qlam, det[take]))
                 rs, ri = repair(qb, qlam_h, rows, scores=s, ids=i,
-                                det_rows=det_rows)
+                                det_rows=det_rows[:len(rows)])
             else:
                 rs, ri = repair(qb, np.asarray(qlam), rows)
             s[rows], i[rows] = rs, ri
@@ -293,11 +298,34 @@ def stream_search(step, batches, batch_size: int, depth: int, dt,
             executor.shutdown(wait=False)
 
 
-def warm_step(step, batch_size: int, dim: int, dt) -> None:
-    """Compile a session step so serving latency is dispatch-only."""
+def warm_step(step, batch_size: int, dim: int, dt, repair=None,
+              k: int = 0) -> None:
+    """Compile a session step so serving latency is dispatch-only.
+
+    When the step carries a det plane and a repair callback is given,
+    also run ONE synthetic flagged-row repair: the strided-repair chunk
+    program (ops/bin_repair) otherwise compiles on the first flagged
+    batch in production — a multi-second XLA compile landing on the
+    serving fetch thread at an unpredictable time."""
     import jax.numpy as jnp
     out = step(jnp.ones((batch_size, dim), dtype=dt))
     np.asarray(out[0][:1, :1])
+    if repair is not None and len(out) > 3 and k > 0:
+        import jax
+        from .ops.pallas_bintopk import NEG_INF
+        bins = out[3].shape[1]
+        det_rows = np.full((1, bins), NEG_INF, np.float32)
+        det_rows[0, 0] = 1.0                      # exactly one fired bin
+        scores = np.zeros((batch_size, k), np.float32)
+        ids = np.tile(np.arange(k, dtype=np.int32), (batch_size, 1))
+        qb = np.ones((batch_size, dim), dtype=dt)
+        repair(qb, np.zeros(batch_size, np.float32), np.asarray([0]),
+               scores=scores, ids=ids, det_rows=det_rows)
+        # warm the driver's bucketed det-gather fetch for the flag
+        # counts seen in practice (buckets past 16 are adversarial-only)
+        for b in (1, 2, 4, 8, 16):
+            take = np.zeros(b, dtype=np.int64)
+            jax.device_get((out[2], out[3][take]))
 
 
 class SearchSession:
@@ -386,13 +414,21 @@ class SearchSession:
             from .ops.pallas_topk import fused_lambda_topk
 
             def full_merge(rel_rows):
+                # padded to a fixed 128 on the HOST so one compiled
+                # merge program serves any flagged count (the jit trace
+                # is keyed on B — a novel count costs a full compile
+                # through the remote-compile service)
                 rr = rows[rel_rows]
+                m = len(rr)
+                pad = (-m) % 128
+                qs = np.pad(np.asarray(q_block)[rr], ((0, pad), (0, 0)),
+                            constant_values=1.0)
+                qls = np.pad(np.asarray(qlam)[rr], (0, pad))
                 rs, ri = fused_lambda_topk(
-                    jnp.asarray(q_block[rr], dtype=dt),
-                    jnp.asarray(qlam[rr], dtype=dt),
+                    jnp.asarray(qs, dtype=dt), jnp.asarray(qls, dtype=dt),
                     data, lambdas, float(alpha), k=k_eff,
                     use_bf16=use_bf16)
-                return np.asarray(rs), np.asarray(ri)
+                return np.asarray(rs)[:m], np.asarray(ri)[:m]
 
             if det_rows is None:
                 return full_merge(np.arange(len(rows)))
@@ -410,8 +446,10 @@ class SearchSession:
         self._repair = repair if kernel == "binned" else None
 
     def warmup(self) -> None:
-        """Compile the step program so serving latency is dispatch-only."""
-        warm_step(self._step, self.batch_size, self._dim, self._dt)
+        """Compile the step program (and the strided-repair chunk for
+        flagged rows) so serving latency is dispatch-only."""
+        warm_step(self._step, self.batch_size, self._dim, self._dt,
+                  repair=self._repair, k=self.k)
 
     def search_stream(self, batches: Iterable) -> Iterable[Tuple[np.ndarray,
                                                                  np.ndarray]]:
@@ -500,19 +538,29 @@ class EnergySearchSession:
             # path — see ops/pallas_bintopk.binned_energy_topk).  With
             # the det plane the strided-bin exact repair rescores just
             # the fired bins' rows + the current top-k; overflow rows
-            # (and legacy callers) take the exact chunked scorer.
-            q = jnp.asarray(q_block[rows], dtype=dt)
+            # (and legacy callers) take the exact chunked scorer.  The
+            # z computation runs on a power-of-two padded row block so
+            # its programs compile once per bucket, not per flag count.
+            from .ops.bin_repair import padded_take
+            take = padded_take(rows)
+            q = jnp.asarray(q_block[take], dtype=dt)
             q_prep = q if not has_proj else jnp.dot(
                 q, proj, preferred_element_type=dt)
-            z = jnp.dot(q_prep, signals.T, preferred_element_type=dt) \
+            z_pad = jnp.dot(q_prep, signals.T, preferred_element_type=dt) \
                 if use_signals else q_prep
+            z = np.asarray(z_pad)[:len(rows)]
 
             def full_chunked(rel_rows):
+                # fixed-128 host pad: one compiled chunked-scorer
+                # program serves any flagged count
+                m = len(rel_rows)
+                pad = (-m) % 128
+                zs = np.pad(z[rel_rows], ((0, pad), (0, 0)))
+                qls = np.pad(np.asarray(qlam)[rows[rel_rows]], (0, pad))
                 rs, ri = _energy_score_topk_chunked(
-                    z[jnp.asarray(rel_rows)],
-                    jnp.asarray(qlam[rows[rel_rows]], dtype=dt),
+                    jnp.asarray(zs, dtype=dt), jnp.asarray(qls, dtype=dt),
                     z_items, lambdas, wl, wd, k=k_eff)
-                return np.asarray(rs), np.asarray(ri)
+                return np.asarray(rs)[:m], np.asarray(ri)[:m]
 
             if det_rows is None:
                 return full_chunked(np.arange(len(rows)))
@@ -531,8 +579,10 @@ class EnergySearchSession:
         self._repair = repair if kernel == "binned" else None
 
     def warmup(self) -> None:
-        """Compile the step program so serving latency is dispatch-only."""
-        warm_step(self._step, self.batch_size, self._dim, self._dt)
+        """Compile the step program (and the strided-repair chunk for
+        flagged rows) so serving latency is dispatch-only."""
+        warm_step(self._step, self.batch_size, self._dim, self._dt,
+                  repair=self._repair, k=self.k)
 
     def search_stream(self, batches: Iterable) -> Iterable[Tuple[np.ndarray,
                                                                  np.ndarray]]:

@@ -63,7 +63,7 @@ import numpy as np
 from .pallas_bintopk import NEG_INF
 
 __all__ = ["strided_lambda_repair", "strided_energy_repair",
-           "fired_bins_host", "MAX_FIRED"]
+           "fired_bins_host", "MAX_FIRED", "padded_take"]
 
 INT_MAX = np.iinfo(np.int32).max
 
@@ -76,6 +76,21 @@ MAX_FIRED = 2
 # per-dispatch row count adapts to it (at 1M x 128 / bins 128 this
 # admits 32 rows per dispatch, at 10M it drops to 4).
 _GATHER_BUDGET = 384 * 1024 * 1024
+
+
+def padded_take(rows) -> np.ndarray:
+    """Power-of-two padded index vector (tail repeats rows[0]) for
+    device gathers over flagged rows.  A gather whose index count is
+    the raw flag count compiles ONCE PER NOVEL COUNT — measured 1.7 s
+    per novel count through the remote-compile service (12.9 s when
+    the varying count reached a Mosaic kernel) vs ~60 ms cached.  The
+    bucket bounds the distinct programs to log2(B); callers slice the
+    fetched rows back to len(rows)."""
+    rows = np.asarray(rows)
+    b = 1 << max(0, int(rows.shape[0] - 1).bit_length())
+    out = np.full(b, rows[0] if rows.size else 0, dtype=rows.dtype)
+    out[:rows.shape[0]] = rows
+    return out
 
 
 def _rows_per_dispatch(m: int, f: int) -> int:
@@ -215,7 +230,12 @@ def _energy_repair_chunk(zq, qlam, fired, out_idx, z_items, item_lambdas,
 
 def _run_chunked(chunk_fn, r_total: int, r_cap: int, pack_fn):
     """Dispatch the repair in fixed-size row chunks (one compile per
-    geometry); the last chunk pads by repeating row 0 and slices back."""
+    geometry); the last chunk pads by repeating row 0 and slices back.
+
+    Uploads and fetches ride ONE batched transfer each (device_put /
+    device_get of a tuple is a single interconnect round trip — four
+    sequential jnp.asarray uploads measured ~2 extra RTTs ≈ 50 ms per
+    repair through the tunnel)."""
     outs_s, outs_i = [], []
     for lo in range(0, r_total, r_cap):
         hi = min(lo + r_cap, r_total)
@@ -223,9 +243,10 @@ def _run_chunked(chunk_fn, r_total: int, r_cap: int, pack_fn):
         if hi - lo < r_cap:
             take = np.concatenate(
                 [take, np.zeros(r_cap - (hi - lo), dtype=np.int64)])
-        s, i = chunk_fn(*pack_fn(take))
-        outs_s.append(np.asarray(s[:hi - lo]))
-        outs_i.append(np.asarray(i[:hi - lo]))
+        s, i = chunk_fn(*jax.device_put(pack_fn(take)))
+        s_h, i_h = jax.device_get((s[:hi - lo], i[:hi - lo]))
+        outs_s.append(s_h)
+        outs_i.append(i_h)
     return np.concatenate(outs_s, axis=0), np.concatenate(outs_i, axis=0)
 
 
@@ -258,20 +279,24 @@ def strided_lambda_repair(q_rows, qlam_rows, det_rows, kth, out_idx_rows,
     if good.size:
         # q keeps its incoming dtype: the kernel normalises queries in
         # the input dtype THEN casts to mm_dt (_unit_padded) — the
-        # repair must divide in the same dtype to stay bitwise-equal
-        q_d = jnp.asarray(np.asarray(q_rows)[good])
-        ql_d = jnp.asarray(np.asarray(qlam_rows,
-                                      dtype=np.float32)[good])
-        fired_d = fired[good]
-        oi_d = np.asarray(out_idx_rows, dtype=np.int32)[good]
+        # repair must divide in the same dtype to stay bitwise-equal.
+        # All per-chunk slicing happens HOST-SIDE on numpy so the device
+        # only ever sees fixed (r_cap, ...) uploads — a device gather
+        # sized by the flag count would compile per novel count (see
+        # padded_take).
+        q_h = np.asarray(q_rows)[good]
+        ql_h = np.asarray(qlam_rows, dtype=np.float32)[good]
+        fired_h = fired[good]
+        oi_h = np.asarray(out_idx_rows, dtype=np.int32)[good]
         a_d = jnp.asarray(alpha, dtype=jnp.float32)
         n_d = jnp.asarray(n, dtype=jnp.int32)
         r_cap = _rows_per_dispatch(m, f)
 
         def pack(take):
-            return (q_d[take], ql_d[take], jnp.asarray(fired_d[take]),
-                    jnp.asarray(oi_d[take]), items, item_lambdas,
-                    a_d, n_d)
+            # raw numpy chunk slices: _run_chunked device_puts the whole
+            # tuple in one batched transfer (device operands pass through)
+            return (q_h[take], ql_h[take], fired_h[take], oi_h[take],
+                    items, item_lambdas, a_d, n_d)
 
         chunk = functools.partial(_lambda_repair_chunk, k=k, bins=bins,
                                   m=m, prepared=prepared,
@@ -309,11 +334,11 @@ def strided_energy_repair(zq_rows, qlam_rows, det_rows, kth, out_idx_rows,
 
     good = np.nonzero(ok)[0]
     if good.size:
-        zq_d = jnp.asarray(np.asarray(zq_rows, dtype=np.float32)[good])
-        ql_d = jnp.asarray(np.asarray(qlam_rows,
-                                      dtype=np.float32)[good])
-        fired_d = fired[good]
-        oi_d = np.asarray(out_idx_rows, dtype=np.int32)[good]
+        # host-side chunk slicing — see strided_lambda_repair
+        zq_h = np.asarray(zq_rows, dtype=np.float32)[good]
+        ql_h = np.asarray(qlam_rows, dtype=np.float32)[good]
+        fired_h = fired[good]
+        oi_h = np.asarray(out_idx_rows, dtype=np.int32)[good]
         zn_d = z_norms if z_norms is not None \
             else jnp.zeros((1,), dtype=jnp.float32)
         wl_d = jnp.asarray(wl, dtype=jnp.float32)
@@ -322,9 +347,9 @@ def strided_energy_repair(zq_rows, qlam_rows, det_rows, kth, out_idx_rows,
         r_cap = _rows_per_dispatch(m, g)
 
         def pack(take):
-            return (zq_d[take], ql_d[take], jnp.asarray(fired_d[take]),
-                    jnp.asarray(oi_d[take]), z_items, item_lambdas,
-                    zn_d, wl_d, wd_d, n_d)
+            # raw numpy chunk slices — batched device_put in _run_chunked
+            return (zq_h[take], ql_h[take], fired_h[take], oi_h[take],
+                    z_items, item_lambdas, zn_d, wl_d, wd_d, n_d)
 
         chunk = functools.partial(_energy_repair_chunk, k=k, bins=bins,
                                   m=m, prepared=prepared)

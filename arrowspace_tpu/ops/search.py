@@ -54,17 +54,26 @@ def pallas_binned_topk_with_repair(q, qlam, items, item_lambdas, alpha,
         i = np.asarray(i).copy()
 
         def full_merge(rel_rows):
-            rr = rows[rel_rows]
-            return fused_lambda_topk(q[rr], qlam[rr], items,
-                                     item_lambdas, alpha, k=k,
-                                     use_bf16=use_bf16, tile=tile,
-                                     interpret=interpret)
+            # power-of-two padded gather: one compiled program per
+            # bucket, not per flagged count (see bin_repair.padded_take)
+            rr = padded_take(rows[rel_rows])
+            rs, ri = fused_lambda_topk(q[rr], qlam[rr], items,
+                                       item_lambdas, alpha, k=k,
+                                       use_bf16=use_bf16, tile=tile,
+                                       interpret=interpret)
+            m = len(rel_rows)
+            return np.asarray(rs)[:m], np.asarray(ri)[:m]
 
-        # ONE fetch for the repair operands (det plane rows + kth)
+        # ONE fetch for the repair operands (det plane rows + kth); the
+        # gathers ride a power-of-two index bucket so one compiled
+        # gather serves any flag count (see bin_repair.padded_take)
+        from .bin_repair import padded_take
+        take = padded_take(rows)
         det_rows, q_rows, ql_rows = jax.device_get(
-            (det[rows], q[rows], qlam[rows]))
+            (det[take], q[take], qlam[take]))
         rs, ri = strided_lambda_repair(
-            q_rows, ql_rows, det_rows, s[rows, k - 1], i[rows],
+            q_rows[:len(rows)], ql_rows[:len(rows)],
+            det_rows[:len(rows)], s[rows, k - 1], i[rows],
             items, item_lambdas, alpha, k=k, n=items.shape[0],
             prepared=False, use_bf16=use_bf16, fallback=full_merge)
         s[rows] = rs

@@ -261,6 +261,53 @@ def test_strided_energy_repair_restores_exactness():
     assert ri[0, :depth + 2].tolist() == sorted(dup_rows)
 
 
+def test_warm_step_compiles_repair_program():
+    """warm_step must run ONE synthetic flagged-row repair when the step
+    carries a det plane, with operands shaped exactly like the driver's
+    (full-batch scores/ids/qlam, one fired bin in det_rows) — the
+    strided-repair chunk otherwise compiles on the first flagged batch
+    in production."""
+    from arrowspace_tpu.index import warm_step
+
+    bsz, dim, k, bins = 4, 8, 3, 16
+
+    def step(q):
+        s = jnp.zeros((bsz, k), jnp.float32)
+        ii = jnp.zeros((bsz, k + 1), jnp.int32)
+        qlam = jnp.zeros((bsz,), jnp.float32)
+        det = jnp.full((bsz, bins), NEG_INF, jnp.float32)
+        return s, ii, qlam, det
+
+    seen = {}
+
+    def repair(q_block, qlam, rows, scores=None, ids=None, det_rows=None):
+        seen["rows"] = np.asarray(rows).copy()
+        seen["det_rows"] = det_rows.copy()
+        seen["scores_shape"] = scores.shape
+        seen["q_shape"] = q_block.shape
+        return (np.zeros((len(rows), k), np.float32),
+                np.zeros((len(rows), k), np.int32))
+
+    warm_step(step, bsz, dim, np.float32, repair=repair, k=k)
+    assert seen["rows"].tolist() == [0]
+    assert seen["det_rows"].shape == (1, bins)
+    assert (seen["det_rows"][0, 0] == 1.0
+            and (seen["det_rows"][0, 1:] == NEG_INF).all())
+    assert seen["scores_shape"] == (bsz, k)
+    assert seen["q_shape"] == (bsz, dim)
+
+    # a 3-tuple step (merge/xla kernels) must not invoke repair
+    seen.clear()
+
+    def step3(q):
+        return (jnp.zeros((bsz, k), jnp.float32),
+                jnp.zeros((bsz, k + 1), jnp.int32),
+                jnp.zeros((bsz,), jnp.float32))
+
+    warm_step(step3, bsz, dim, np.float32, repair=repair, k=k)
+    assert not seen
+
+
 def test_stream_driver_routes_det_plane_to_repair():
     """The stream driver must fetch the det plane rows for flagged
     queries and hand the repair the (scores, ids, det_rows) keyword
