@@ -127,26 +127,32 @@ def fired_bins_host(det_rows: np.ndarray, kth: np.ndarray):
     return fired, ok
 
 
-def _gather_candidates(fired, out_idx, items, item_lambdas, n,
-                       *, bins: int, m: int):
+def _gather_candidates(base, limits, out_idx, items, item_lambdas, n,
+                       *, stride: int, m: int):
     """Candidate ids + validity for one repair chunk.
 
-    Candidates per row = the M fired bins' strided rows (j·bins + b,
-    j < m) followed by the row's current top-k ids.  Returns
+    A fired slice is encoded as a GLOBAL base offset + exclusive limit:
+    its rows are base + j·stride for j < m, gidx < limit.  Single-chip:
+    base = bin b, limit = n, stride = bins (rows ≡ b mod bins).  Mesh:
+    base = shard·shard_n + local bin, limit = min((shard+1)·shard_n, n)
+    — one formula covers both.  Candidates per row = the M fired
+    slices' rows followed by the row's current top-k ids.  Returns
     (cand_idx (R, C) int32, valid (R, C) bool, rows (R, C, F),
     lams (R, C)) with C = M·m + k."""
-    r, m_fired = fired.shape
+    r, m_fired = base.shape
     k = out_idx.shape[1]
     j = jnp.arange(m, dtype=jnp.int32)
-    gidx = (j[None, None, :] * bins
-            + jnp.clip(fired, 0, bins - 1)[:, :, None])    # (R, M, m)
-    valid_g = (fired[:, :, None] >= 0) & (gidx < n)
+    gidx = (j[None, None, :] * stride
+            + jnp.maximum(base, 0)[:, :, None])            # (R, M, m)
+    valid_g = (base[:, :, None] >= 0) & (gidx < limits[:, :, None])
     out_i = out_idx.astype(jnp.int32)
-    # current-top-k keep set: drop entries whose bin fired (the strided
-    # block covers them) and exact repeats (sentinel-slot safety on tiny
-    # pools) so no candidate id appears twice in the sort
-    out_bin = out_i % bins
-    in_fired = jnp.any(out_bin[:, :, None] == fired[:, None, :], axis=2)
+    # current-top-k keep set: drop entries a fired slice covers (the
+    # strided block re-scores them) and exact repeats (sentinel-slot
+    # safety on tiny pools) so no candidate id appears twice in the sort
+    diff = out_i[:, :, None] - base[:, None, :]             # (R, k, M)
+    in_fired = jnp.any((base[:, None, :] >= 0) & (diff >= 0)
+                       & (out_i[:, :, None] < limits[:, None, :])
+                       & (diff % stride == 0), axis=2)
     earlier = (jnp.arange(k)[:, None] > jnp.arange(k)[None, :])[None]
     rep = jnp.any((out_i[:, :, None] == out_i[:, None, :]) & earlier,
                   axis=2)
@@ -160,6 +166,15 @@ def _gather_candidates(fired, out_idx, items, item_lambdas, n,
     return cand, valid, rows, lams
 
 
+def _chunk_dtype(corpus_dtype):
+    """Accumulation dtype for the repair chunk: f32 for the production
+    f32/bf16 corpora (matches the kernels), the corpus dtype for the
+    CPU/f64 oracle configurations (so mesh tests stay bitwise)."""
+    if corpus_dtype in (jnp.bfloat16, jnp.float32):
+        return jnp.float32
+    return corpus_dtype
+
+
 def _merge_topk(scores, cand, valid, k: int):
     """Two-key (-score, idx) sort over the candidate set — the exact
     extraction the kernel flush runs, so tie order matches lax.top_k."""
@@ -170,15 +185,15 @@ def _merge_topk(scores, cand, valid, k: int):
     return -sorted_neg[:, :k], sorted_idx[:, :k]
 
 
-@functools.partial(jax.jit, static_argnames=("k", "bins", "m", "prepared",
-                                             "use_bf16"))
-def _lambda_repair_chunk(q, qlam, fired, out_idx, items, item_lambdas,
-                         alpha, n, *, k: int, bins: int, m: int,
-                         prepared: bool, use_bf16: bool):
-    dt = jnp.float32
+@functools.partial(jax.jit, static_argnames=("k", "stride", "m",
+                                             "prepared", "use_bf16"))
+def _lambda_repair_chunk(q, qlam, base, limits, out_idx, items,
+                         item_lambdas, alpha, n, *, k: int, stride: int,
+                         m: int, prepared: bool, use_bf16: bool):
+    dt = _chunk_dtype(items.dtype)
     mm_dt = jnp.bfloat16 if use_bf16 else dt
     cand, valid, rows, lams = _gather_candidates(
-        fired, out_idx, items, item_lambdas, n, bins=bins, m=m)
+        base, limits, out_idx, items, item_lambdas, n, stride=stride, m=m)
     if prepared:
         xhat = rows                       # already unit + mm_dt cast
     else:
@@ -201,13 +216,15 @@ def _lambda_repair_chunk(q, qlam, fired, out_idx, items, item_lambdas,
     return _merge_topk(scores, cand, valid, k)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "bins", "m", "prepared"))
-def _energy_repair_chunk(zq, qlam, fired, out_idx, z_items, item_lambdas,
-                         z_norms, wl, wd, n, *, k: int, bins: int, m: int,
-                         prepared: bool):
-    dt = jnp.float32
+@functools.partial(jax.jit, static_argnames=("k", "stride", "m",
+                                             "prepared"))
+def _energy_repair_chunk(zq, qlam, base, limits, out_idx, z_items,
+                         item_lambdas, z_norms, wl, wd, n, *, k: int,
+                         stride: int, m: int, prepared: bool):
+    dt = _chunk_dtype(z_items.dtype)
     cand, valid, rows, lams = _gather_candidates(
-        fired, out_idx, z_items, item_lambdas, n, bins=bins, m=m)
+        base, limits, out_idx, z_items, item_lambdas, n, stride=stride,
+        m=m)
     zx = rows.astype(dt)
     if prepared:
         xn = jnp.take(z_norms, jnp.where(valid, cand, 0), axis=0)
@@ -250,9 +267,25 @@ def _run_chunked(chunk_fn, r_total: int, r_cap: int, pack_fn):
     return np.concatenate(outs_s, axis=0), np.concatenate(outs_i, axis=0)
 
 
+def _fired_to_slices(fired, stride: int, shard_n: int, n: int):
+    """Decode fired det-plane columns into (base, limit) global slices.
+
+    Single-chip (shard_n == n): column b is bin b — base = b, limit = n.
+    Mesh (det planes all-gathered along the column axis): column c is
+    shard s = c // stride, local bin b = c % stride — base =
+    s·shard_n + b, limit = min((s+1)·shard_n, n)."""
+    s = fired // stride
+    b = fired % stride
+    base = np.where(fired >= 0, s * shard_n + b, -1).astype(np.int32)
+    limits = np.where(fired >= 0,
+                      np.minimum((s + 1) * shard_n, n), 0).astype(np.int32)
+    return base, limits
+
+
 def strided_lambda_repair(q_rows, qlam_rows, det_rows, kth, out_idx_rows,
                           items, item_lambdas, alpha, *, k: int, n: int,
-                          prepared: bool, use_bf16: bool, fallback=None):
+                          prepared: bool, use_bf16: bool, fallback=None,
+                          shard_n: int = 0):
     """Exact repair of flagged λ-aware queries via their fired bins.
 
     q_rows (R, F) raw queries (host), qlam_rows (R,), det_rows (R, bins)
@@ -263,15 +296,32 @@ def strided_lambda_repair(q_rows, qlam_rows, det_rows, kth, out_idx_rows,
     ``fallback(rel_rows) -> (scores, ids)`` handles rows whose fired-bin
     count exceeds MAX_FIRED (required if such rows can occur).
 
+    shard_n > 0 marks a MESH det plane: per-shard (B, bins_local) det
+    planes all-gathered along the column axis, ``items`` the sharded
+    global corpus (prepared must be False — the per-shard prepared
+    copies pad within each shard, breaking global indexing), and
+    the fired columns decode to (shard, local bin) slices.  The miss
+    argument carries over: a true global top-k element missing from the
+    merged result must have been dropped by its shard's pool, so its
+    shard's det ≥ its score ≥ the global kth — its column FIRED.
+
     Returns (scores (R, k) f32, ids (R, k) int32) as host arrays.
     """
     det_rows = np.asarray(det_rows)
-    bins = det_rows.shape[1]
+    if shard_n and shard_n < n:
+        assert not prepared, "mesh repair runs against the raw corpus"
+        assert det_rows.shape[1] % (n // shard_n) == 0, (
+            det_rows.shape, n, shard_n)
+        stride = det_rows.shape[1] // (n // shard_n)
+        m = (shard_n + stride - 1) // stride
+    else:
+        shard_n = n
+        stride = det_rows.shape[1]
+        m = int(np.ceil(items.shape[0] / stride)) if prepared \
+            else int(np.ceil(_bucket_m(n, stride)))
     fired, ok = fired_bins_host(det_rows, np.asarray(kth))
     r_total = det_rows.shape[0]
     f = q_rows.shape[1]
-    m = int(np.ceil(items.shape[0] / bins)) if prepared \
-        else int(np.ceil(_bucket_m(n, bins)))
     out_s = np.empty((r_total, k), dtype=np.float32)
     out_i = np.empty((r_total, k), dtype=np.int32)
 
@@ -286,7 +336,7 @@ def strided_lambda_repair(q_rows, qlam_rows, det_rows, kth, out_idx_rows,
         # padded_take).
         q_h = np.asarray(q_rows)[good]
         ql_h = np.asarray(qlam_rows, dtype=np.float32)[good]
-        fired_h = fired[good]
+        base_h, lim_h = _fired_to_slices(fired[good], stride, shard_n, n)
         oi_h = np.asarray(out_idx_rows, dtype=np.int32)[good]
         a_d = jnp.asarray(alpha, dtype=jnp.float32)
         n_d = jnp.asarray(n, dtype=jnp.int32)
@@ -295,11 +345,11 @@ def strided_lambda_repair(q_rows, qlam_rows, det_rows, kth, out_idx_rows,
         def pack(take):
             # raw numpy chunk slices: _run_chunked device_puts the whole
             # tuple in one batched transfer (device operands pass through)
-            return (q_h[take], ql_h[take], fired_h[take], oi_h[take],
-                    items, item_lambdas, a_d, n_d)
+            return (q_h[take], ql_h[take], base_h[take], lim_h[take],
+                    oi_h[take], items, item_lambdas, a_d, n_d)
 
-        chunk = functools.partial(_lambda_repair_chunk, k=k, bins=bins,
-                                  m=m, prepared=prepared,
+        chunk = functools.partial(_lambda_repair_chunk, k=k,
+                                  stride=stride, m=m, prepared=prepared,
                                   use_bf16=use_bf16)
         s, i = _run_chunked(chunk, good.size, r_cap, pack)
         out_s[good], out_i[good] = s, i
@@ -323,12 +373,12 @@ def strided_energy_repair(zq_rows, qlam_rows, det_rows, kth, out_idx_rows,
     the flagged queries ALREADY in z-space (the session step computes
     them; the caller re-derives z for the flagged block)."""
     det_rows = np.asarray(det_rows)
-    bins = det_rows.shape[1]
+    stride = det_rows.shape[1]
     fired, ok = fired_bins_host(det_rows, np.asarray(kth))
     r_total = det_rows.shape[0]
     g = zq_rows.shape[1]
-    m = int(np.ceil(z_items.shape[0] / bins)) if prepared \
-        else int(np.ceil(_bucket_m(n, bins)))
+    m = int(np.ceil(z_items.shape[0] / stride)) if prepared \
+        else int(np.ceil(_bucket_m(n, stride)))
     out_s = np.empty((r_total, k), dtype=np.float32)
     out_i = np.empty((r_total, k), dtype=np.int32)
 
@@ -337,7 +387,7 @@ def strided_energy_repair(zq_rows, qlam_rows, det_rows, kth, out_idx_rows,
         # host-side chunk slicing — see strided_lambda_repair
         zq_h = np.asarray(zq_rows, dtype=np.float32)[good]
         ql_h = np.asarray(qlam_rows, dtype=np.float32)[good]
-        fired_h = fired[good]
+        base_h, lim_h = _fired_to_slices(fired[good], stride, n, n)
         oi_h = np.asarray(out_idx_rows, dtype=np.int32)[good]
         zn_d = z_norms if z_norms is not None \
             else jnp.zeros((1,), dtype=jnp.float32)
@@ -348,11 +398,12 @@ def strided_energy_repair(zq_rows, qlam_rows, det_rows, kth, out_idx_rows,
 
         def pack(take):
             # raw numpy chunk slices — batched device_put in _run_chunked
-            return (zq_h[take], ql_h[take], fired_h[take], oi_h[take],
-                    z_items, item_lambdas, zn_d, wl_d, wd_d, n_d)
+            return (zq_h[take], ql_h[take], base_h[take], lim_h[take],
+                    oi_h[take], z_items, item_lambdas, zn_d, wl_d, wd_d,
+                    n_d)
 
-        chunk = functools.partial(_energy_repair_chunk, k=k, bins=bins,
-                                  m=m, prepared=prepared)
+        chunk = functools.partial(_energy_repair_chunk, k=k,
+                                  stride=stride, m=m, prepared=prepared)
         s, i = _run_chunked(chunk, good.size, r_cap, pack)
         out_s[good], out_i[good] = s, i
 

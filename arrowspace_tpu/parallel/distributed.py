@@ -517,6 +517,7 @@ class DistributedSearchSession:
         assert n % n_dev == 0, (
             f"N={n} must be padded to a multiple of the mesh size {n_dev}")
         k_eff = min(int(k), n)
+        self.k = k_eff
         k_local = min(k_eff, n // n_dev)
         taumode = taumode if taumode is not None else TauMode.median()
         dt = items.dtype
@@ -581,15 +582,21 @@ class DistributedSearchSession:
             qlam = synthetic_lambda_batch(q_prep, lap, taus,
                                           pad_items=pad_tall)
             a = jnp.asarray(alpha, dtype=dt)
+            det = None
             if knl == "binned":
                 from ..ops.pallas_bintopk import binned_lambda_topk
-                ls, li, fl = binned_lambda_topk(
+                ls, li, fl, det_l = binned_lambda_topk(
                     q, qlam, x, xlam, a, k=k_local,
                     interpret=jax.default_backend() != "tpu",
                     prepared=prepped,
-                    n_items=shard_n if prepped else 0)
+                    n_items=shard_n if prepped else 0, return_det=True)
                 ls = ls.astype(dt)
                 fl = jax.lax.pmax(fl, ITEMS_AXIS)
+                # per-shard det planes gathered along the column axis:
+                # column s*bins + b is shard s's local bin b — the
+                # strided repair decodes it back (bin_repair, shard_n>0)
+                det = jax.lax.all_gather(det_l, ITEMS_AXIS, axis=1,
+                                         tiled=True)
             elif knl == "merge":
                 from ..ops.pallas_topk import fused_lambda_topk
                 ls, li = fused_lambda_topk(
@@ -609,34 +616,56 @@ class DistributedSearchSession:
                                          axis=1, tiled=True)
             top_scores, pos = jax.lax.top_k(all_scores, k_eff)
             top_idx = jnp.take_along_axis(all_idx, pos, axis=1)
-            # single-chip session step contract: (scores, ids+flags, qlam)
-            return (top_scores,
-                    jnp.concatenate([top_idx, fl[:, None]], axis=1), qlam)
+            # single-chip session step contract: (scores, ids+flags,
+            # qlam[, det]) — det rides along for the strided repair
+            ids_fl = jnp.concatenate([top_idx, fl[:, None]], axis=1)
+            if det is not None:
+                return top_scores, ids_fl, qlam, det
+            return top_scores, ids_fl, qlam
 
+        n_out = 4 if knl == "binned" else 3
         fn = shard_map(_shard_fn, mesh=mesh,
                        in_specs=(P(), P(ITEMS_AXIS, None), P(ITEMS_AXIS),
                                  P(), P()),
-                       out_specs=(P(), P(), P()), check_vma=False)
+                       out_specs=tuple([P()] * n_out), check_vma=False)
         jitted = jax.jit(fn)
         self._step = lambda q: jitted(q, step_items, step_xlam, laplacian,
                                       proj)
 
-        def repair(q_block, qlam_np, rows):
-            # Multi-chip deep-collision fallback: flagged rows re-run
-            # through the exact per-shard merge kernel (padded to a
-            # fixed 128 so one compiled repair program serves any
-            # flagged count).
-            m = len(rows)
-            pad = (-m) % 128
-            qs = np.pad(np.asarray(q_block)[rows].astype(np.float64),
-                        ((0, pad), (0, 0)), constant_values=1.0)
-            qls = np.pad(np.asarray(qlam_np)[rows], (0, pad))
-            knl_exact = "merge" if jax.default_backend() == "tpu" else "xla"
-            rs, ri = distributed_lambda_aware_topk(
-                jnp.asarray(qs, dtype=dt), jnp.asarray(qls, dtype=dt),
-                items, item_lambdas, alpha, k_eff, mesh,
-                kernel=knl_exact)
-            return np.asarray(rs)[:m], np.asarray(ri)[:m]
+        def repair(q_block, qlam_np, rows, scores=None, ids=None,
+                   det_rows=None):
+            # Multi-chip deep-collision repair.  With the gathered det
+            # plane the strided repair rescores only the fired
+            # (shard, bin) slices + the current merged top-k against
+            # the sharded raw corpus (XLA gathers the few candidate
+            # rows across the mesh); rows whose fired count overflows —
+            # and legacy callers — re-run the exact per-shard merge
+            # pass (padded to a fixed 128 so one compiled repair
+            # program serves any flagged count).
+            def full_exact(rel_rows):
+                rr = rows[rel_rows]
+                m = len(rr)
+                pad = (-m) % 128
+                qs = np.pad(np.asarray(q_block)[rr].astype(np.float64),
+                            ((0, pad), (0, 0)), constant_values=1.0)
+                qls = np.pad(np.asarray(qlam_np)[rr], (0, pad))
+                knl_exact = "merge" if jax.default_backend() == "tpu" \
+                    else "xla"
+                rs, ri = distributed_lambda_aware_topk(
+                    jnp.asarray(qs, dtype=dt), jnp.asarray(qls, dtype=dt),
+                    items, item_lambdas, alpha, k_eff, mesh,
+                    kernel=knl_exact)
+                return np.asarray(rs)[:m], np.asarray(ri)[:m]
+
+            if det_rows is None:
+                return full_exact(np.arange(len(rows)))
+            from ..ops.bin_repair import strided_lambda_repair
+            return strided_lambda_repair(
+                np.asarray(q_block)[rows].astype(dt), qlam_np[rows],
+                det_rows, scores[rows, k_eff - 1], ids[rows],
+                items, item_lambdas, float(alpha), k=k_eff, n=n,
+                prepared=False, use_bf16=False, shard_n=shard_n,
+                fallback=full_exact)
 
         self._repair = repair if knl == "binned" else None
 
@@ -658,9 +687,11 @@ class DistributedSearchSession:
                    projection=proj, pad_tall=aspace.pad_tall_graphs)
 
     def warmup(self) -> None:
-        """Compile the fused multi-chip step so serving is dispatch-only."""
+        """Compile the fused multi-chip step (and the strided-repair
+        chunk for flagged rows) so serving is dispatch-only."""
         from ..index import warm_step
-        warm_step(self._step, self.batch_size, self._dim, self._dt)
+        warm_step(self._step, self.batch_size, self._dim, self._dt,
+                  repair=self._repair, k=self.k)
 
     def search_stream(self, batches):
         """Yield (scores, ids) per input batch with ``depth`` batches in

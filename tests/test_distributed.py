@@ -447,20 +447,77 @@ def test_distributed_session_binned_parity_and_repair_wiring(mesh):
         np.testing.assert_allclose(s_b, s_r, rtol=1e-6)
 
     # flag-injection: wrap the step to mark row 0 flagged; the driver
-    # must call repair, whose exact result equals the XLA row
+    # must call repair (the injected row has NO fired det bin, so the
+    # strided repair's pure current-top-k rescore path runs), whose
+    # exact result equals the XLA row
     orig_step = bn._step
 
     def step_with_flag(q):
-        s, ii, qlam = orig_step(q)
+        s, ii, qlam, det = orig_step(q)
         ii = jnp.asarray(np.asarray(ii))
         ii = ii.at[0, -1].set(1)
-        return s, ii, qlam
+        return s, ii, qlam, det
 
     bn._step = step_with_flag
     out = list(bn.search_stream(batches[:1]))
     (s_out, i_out), = out
     s_ref, i_ref = next(iter(ref.search_stream(batches[:1])))
     np.testing.assert_array_equal(i_out, i_ref)
+
+
+def test_distributed_session_strided_repair_restores_exactness(mesh):
+    """A >depth same-bin duplicate storm inside ONE shard must flag, and
+    the session's STRIDED repair (fired (shard, bin) slice + current
+    top-k rescored against the sharded corpus) must restore the exact
+    XLA-session result end-to-end through the stream driver."""
+    from arrowspace_tpu.ops.pallas_bintopk import (binned_topk_depth_for,
+                                                   binned_layout)
+    from arrowspace_tpu.parallel.distributed import (
+        DistributedSearchSession)
+
+    rng = np.random.default_rng(11)
+    shard_n, f, b, k = 8192, 16, 4, 6
+    n = 8 * shard_n
+    depth = binned_topk_depth_for(k)
+    items = np.asarray(rng.uniform(0.1, 1.0, (n, f)))
+    q0 = np.asarray(rng.uniform(0.1, 1.0, (b, f)))
+    # the session resolves the kernel layout per shard — place >depth
+    # copies of query 0 in ONE local bin of shard 3
+    _, tile, lane_split, _, _ = binned_layout(b, shard_n, f, k)
+    bins = tile // lane_split
+    base = 3 * shard_n
+    dup_rows = [base + 5 + j * bins for j in range(depth + 2)
+                if 5 + j * bins < shard_n]
+    assert len(dup_rows) > depth, (dup_rows, bins, shard_n)
+    for g in dup_rows:
+        items[g] = q0[0]
+    lambdas = jnp.asarray(np.full(n, 0.5))
+    _, lap = _setup(64, f, seed=3)
+    lap = jnp.asarray(np.asarray(lap)[:f, :f])
+
+    ref = DistributedSearchSession(jnp.asarray(items), lambdas, lap,
+                                   mesh, b, k=k, alpha=1.0, kernel="xla")
+    bn = DistributedSearchSession(jnp.asarray(items), lambdas, lap,
+                                  mesh, b, k=k, alpha=1.0,
+                                  kernel="binned")
+    repair_calls = []
+    inner = bn._repair
+
+    def spy(q_block, qlam, rows, **kw):
+        repair_calls.append((rows.copy(), kw.get("det_rows")))
+        return inner(q_block, qlam, rows, **kw)
+
+    bn._repair = spy
+    (s_b, i_b), = list(bn.search_stream([q0]))
+    (s_r, i_r), = list(ref.search_stream([q0]))
+    assert repair_calls and 0 in repair_calls[0][0], \
+        "the duplicate storm must flag query 0 into the repair path"
+    assert repair_calls[0][1] is not None, \
+        "the driver must hand the repair the gathered det plane rows"
+    np.testing.assert_array_equal(i_b, i_r)
+    np.testing.assert_allclose(s_b, s_r, rtol=1e-6)
+    # the duplicates all come back, lowest global index first
+    assert list(i_r[0][:len(dup_rows)]) == dup_rows
 
 
 def test_distributed_session_prepared_corpus_matches_raw(mesh):
