@@ -199,6 +199,33 @@ def warm(
                 S((128, f), dt), S((128,), dt), corpus, S((n,), dt),
                 S((), dt), k=k_eff, use_bf16=prec == "bf16")
 
+    # --- serving: the strided-bin exact repair chunk (the fast repair
+    # path sessions dispatch for flagged rows; geometry is fully
+    # shape-derived so the AOT key matches the runtime key) ---------------
+    if kernel == "binned" and dt == jnp.float32:
+        from .ops.bin_repair import (MAX_FIRED, _lambda_repair_chunk,
+                                     _rows_per_dispatch)
+        from .ops.pallas_bintopk import binned_layout
+        f32 = jnp.float32
+        for bsz in batch_sizes:
+            for prec in precisions:
+                use_bf16 = prec == "bf16"
+                _, tile, ls, _, n_pad = binned_layout(int(bsz), n, f,
+                                                      k_eff, use_bf16)
+                bins = tile // ls
+                m = n_pad // bins
+                r_cap = _rows_per_dispatch(m, f)
+                mm_dt = jnp.bfloat16 if use_bf16 else dt
+                aot(f"strided_repair_b{bsz}_{prec}", _lambda_repair_chunk,
+                    S((r_cap, f), dt), S((r_cap,), f32),
+                    S((r_cap, MAX_FIRED), i32),
+                    S((r_cap, MAX_FIRED), i32),
+                    S((r_cap, k_eff), i32),
+                    S((n_pad, f), mm_dt), S((n_pad,), f32),
+                    S((), f32), S((), i32),
+                    k=k_eff, stride=bins, m=m, prepared=True,
+                    use_bf16=use_bf16)
+
     return timings
 
 
