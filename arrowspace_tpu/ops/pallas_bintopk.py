@@ -119,7 +119,15 @@ def _bins_target(k: int) -> int:
     past that the two costs stay within ~1.5 ms of each other either
     way (k=32: bins 256 = 11.5 ms + ~4.4 repair vs bins 512 ~ 14 ms +
     ~1.8 expected repair), so the backoff keeps the cheaper fold and
-    accepts the repair."""
+    accepts the repair.
+
+    Re-measured after the STRIDED repair made flags ~15x cheaper
+    (benchmarks/kband_backoff_bench.py, 1M x 128 B=2048): the narrow
+    pool (bins 128) is 1.2x faster kernel-side at k=20/32 (7.8-7.9 vs
+    9.4-9.7 ms) but its flag rate (13/48 per 2048) costs ~1.5-3 ms of
+    repair gather traffic per batch device-side and 35-92 ms on the
+    tunnel fetch thread — net the backoff still wins or ties at every
+    measured k, so it stays."""
     if k <= 12:
         return 128
     if k <= 32:

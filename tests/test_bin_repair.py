@@ -261,6 +261,57 @@ def test_strided_energy_repair_restores_exactness():
     assert ri[0, :depth + 2].tolist() == sorted(dup_rows)
 
 
+def test_strided_repair_fuzz_full_equality():
+    """Randomised sweep with PLANTED duplicate storms: end-to-end
+    through pallas_binned_topk_with_repair the result must equal the
+    XLA oracle on EVERY row — flagged rows included (the earlier kernel
+    fuzz excluded them).  Storm count 1-3 per query also exercises the
+    multi-fired and MAX_FIRED-overflow (full-merge fallback) paths;
+    fold variants sampled as in the kernel fuzz."""
+    from arrowspace_tpu.ops.search import pallas_binned_topk_with_repair
+
+    rng = np.random.default_rng(123)
+    for trial in range(8):
+        n = int(rng.integers(1500, 6000))
+        f = int(rng.choice([8, 24, 48]))
+        b = int(rng.integers(1, 5))
+        k = int(rng.choice([4, 8, 13]))
+        tile = int(rng.choice([256, 512]))
+        lane_split = int(rng.choice([1, 2, 4]))
+        pre_reduce = bool(rng.random() < 0.5) and lane_split > 1
+        bins = tile // lane_split
+        depth = binned_topk_depth_for(k)
+        alpha = float(rng.choice([1.0, 0.9, 0.7]))
+
+        q = np.asarray(rng.uniform(0.1, 1.0, (b, f)), np.float32)
+        x = np.asarray(rng.uniform(0.1, 1.0, (n, f)), np.float32)
+        n_storms = int(rng.integers(1, 4))
+        for _ in range(n_storms):
+            binpos = int(rng.integers(0, bins))
+            qi = int(rng.integers(0, b))
+            copies = depth + 1 + int(rng.integers(0, 3))
+            for j in range(copies):
+                g = binpos + j * bins
+                if g < n:
+                    x[g] = q[qi]
+        qj = jnp.asarray(q)
+        qlam = jnp.asarray(rng.uniform(0, 1, (b,)), jnp.float32)
+        xj = jnp.asarray(x)
+        xlam = jnp.asarray(rng.uniform(0, 1, (n,)).astype(np.float32))
+
+        rs, ri = pallas_binned_topk_with_repair(
+            qj, qlam, xj, xlam, alpha, k=k, tile=tile, interpret=True,
+            lane_split=lane_split, pre_reduce=pre_reduce)
+        s2, i2 = _lambda_oracle(qj, qlam, xj, xlam, alpha, k)
+        msg = (f"trial {trial} (n={n} f={f} b={b} k={k} a={alpha} "
+               f"tile={tile} r={lane_split} pre={pre_reduce} "
+               f"storms={n_storms})")
+        np.testing.assert_array_equal(np.asarray(ri), np.asarray(i2),
+                                      err_msg=msg)
+        np.testing.assert_allclose(np.asarray(rs), np.asarray(s2),
+                                   atol=2e-5, err_msg=msg)
+
+
 def test_warm_step_compiles_repair_program():
     """warm_step must run ONE synthetic flagged-row repair when the step
     carries a det plane, with operands shaped exactly like the driver's
