@@ -577,7 +577,7 @@ def search_energy_batch(aspace: ArrowSpace, queries, gl_energy: GraphLaplacian,
                     i[rows], z_items, xlam_d, None,
                     float(w_lambda), float(w_dirichlet), k=k_eff,
                     n=aspace.nitems, prepared=False,
-                    fallback=_full_chunked)
+                    fallback=_full_chunked, cur_scores=s[rows])
                 s[rows] = rs
                 i[rows] = ri
             return np.asarray(s), np.asarray(i)

@@ -314,18 +314,23 @@ def warm_step(step, batch_size: int, dim: int, dt, repair=None,
         import jax
         from .ops.pallas_bintopk import NEG_INF
         bins = out[3].shape[1]
-        det_rows = np.full((1, bins), NEG_INF, np.float32)
-        det_rows[0, 0] = 1.0                      # exactly one fired bin
         scores = np.zeros((batch_size, k), np.float32)
         ids = np.tile(np.arange(k, dtype=np.int32), (batch_size, 1))
         qb = np.ones((batch_size, dim), dtype=dt)
-        repair(qb, np.zeros(batch_size, np.float32), np.asarray([0]),
-               scores=scores, ids=ids, det_rows=det_rows)
-        # warm the driver's bucketed det-gather fetch for the flag
-        # counts seen in practice (buckets past 16 are adversarial-only)
+        # sweep the flag-count buckets seen in practice (larger counts
+        # are adversarial-only): each bucket compiles its det-gather
+        # fetch AND, for repairs that run device programs sized by the
+        # padded row bucket (the energy session's z projection), those
+        # programs too — otherwise each bucket's first occurrence costs
+        # a remote compile on the serving fetch thread
         for b in (1, 2, 4, 8, 16):
+            rows = np.arange(min(b, batch_size))
+            det_rows = np.full((len(rows), bins), NEG_INF, np.float32)
+            det_rows[:, 0] = 1.0                  # one fired bin per row
             take = np.zeros(b, dtype=np.int64)
             jax.device_get((out[2], out[3][take]))
+            repair(qb, np.zeros(batch_size, np.float32), rows,
+                   scores=scores, ids=ids, det_rows=det_rows)
 
 
 class SearchSession:
@@ -440,7 +445,7 @@ class SearchSession:
                 step_lambdas if n_items > 0 else lambdas,
                 float(alpha), k=k_eff, n=self._n_items_true,
                 prepared=n_items > 0, use_bf16=use_bf16,
-                fallback=full_merge)
+                fallback=full_merge, cur_scores=scores[rows])
 
         self._n_items_true = index.nitems
         self._repair = repair if kernel == "binned" else None
@@ -573,7 +578,7 @@ class EnergySearchSession:
                 z_norms if n_items > 0 else None,
                 float(w_lambda), float(w_dirichlet), k=k_eff,
                 n=self._n_items_true, prepared=n_items > 0,
-                fallback=full_chunked)
+                fallback=full_chunked, cur_scores=scores[rows])
 
         self._n_items_true = index.nitems
         self._repair = repair if kernel == "binned" else None

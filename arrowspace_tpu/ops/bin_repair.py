@@ -282,10 +282,46 @@ def _fired_to_slices(fired, stride: int, shard_n: int, n: int):
     return base, limits
 
 
+def _triage_rows(fired, ok, have_cur: bool):
+    """Split flagged rows into (run, passthrough, overflow) index sets.
+
+    Zero-fired rows are a routine MESH occurrence: the device flag
+    fires against a shard's LOCAL pool kth, while fired_bins_host
+    re-evaluates det against the merged GLOBAL kth (>= every local
+    kth) — such rows are provably already exact and, when the caller
+    supplied their current scores, pass through UNTOUCHED (re-scoring
+    them would perturb near-ties within f32 matmul noise and waste a
+    dispatch)."""
+    zero_fired = (fired < 0).all(axis=1)
+    can_pass = (zero_fired & ok) if have_cur \
+        else np.zeros_like(ok, dtype=bool)
+    run = np.nonzero(ok & ~can_pass)[0]
+    return run, np.nonzero(can_pass)[0], np.nonzero(~ok)[0]
+
+
+def _finish_repair(out_s, out_i, pass_rows, bad_rows, cur_scores,
+                   out_idx_rows, fallback):
+    """Shared wrapper tail: passthrough rows + MAX_FIRED-overflow rows."""
+    if pass_rows.size:
+        out_s[pass_rows] = np.asarray(cur_scores)[pass_rows]
+        out_i[pass_rows] = np.asarray(out_idx_rows,
+                                      dtype=np.int32)[pass_rows]
+    if bad_rows.size:
+        if fallback is None:
+            raise RuntimeError(
+                f"{bad_rows.size} flagged rows exceed "
+                f"MAX_FIRED={MAX_FIRED} fired bins and no fallback "
+                "repair was provided")
+        s, i = fallback(bad_rows)
+        out_s[bad_rows] = np.asarray(s)
+        out_i[bad_rows] = np.asarray(i)
+    return out_s, out_i
+
+
 def strided_lambda_repair(q_rows, qlam_rows, det_rows, kth, out_idx_rows,
                           items, item_lambdas, alpha, *, k: int, n: int,
                           prepared: bool, use_bf16: bool, fallback=None,
-                          shard_n: int = 0):
+                          shard_n: int = 0, cur_scores=None):
     """Exact repair of flagged λ-aware queries via their fired bins.
 
     q_rows (R, F) raw queries (host), qlam_rows (R,), det_rows (R, bins)
@@ -295,6 +331,9 @@ def strided_lambda_repair(q_rows, qlam_rows, det_rows, kth, out_idx_rows,
     (prepare_binned_corpus) when prepared=True, else the raw corpus.
     ``fallback(rel_rows) -> (scores, ids)`` handles rows whose fired-bin
     count exceeds MAX_FIRED (required if such rows can occur).
+    ``cur_scores`` (R, k), when given, lets zero-fired rows (routine on
+    the mesh, where the device flag uses the stricter per-shard kth)
+    pass through bit-untouched instead of being rescored.
 
     shard_n > 0 marks a MESH det plane: per-shard (B, bins_local) det
     planes all-gathered along the column axis, ``items`` the sharded
@@ -305,7 +344,11 @@ def strided_lambda_repair(q_rows, qlam_rows, det_rows, kth, out_idx_rows,
     merged result must have been dropped by its shard's pool, so its
     shard's det ≥ its score ≥ the global kth — its column FIRED.
 
-    Returns (scores (R, k) f32, ids (R, k) int32) as host arrays.
+    All arithmetic runs in _chunk_dtype(items.dtype) — f32 for the
+    production f32/bf16 corpora, f64 for the CPU/f64 oracle configs
+    (λ values and alpha are NOT truncated to f32 on the way in).
+
+    Returns (scores (R, k), ids (R, k) int32) as host arrays.
     """
     det_rows = np.asarray(det_rows)
     if shard_n and shard_n < n:
@@ -322,23 +365,24 @@ def strided_lambda_repair(q_rows, qlam_rows, det_rows, kth, out_idx_rows,
     fired, ok = fired_bins_host(det_rows, np.asarray(kth))
     r_total = det_rows.shape[0]
     f = q_rows.shape[1]
-    out_s = np.empty((r_total, k), dtype=np.float32)
+    dt_c = _chunk_dtype(items.dtype)
+    out_s = np.empty((r_total, k), dtype=np.dtype(dt_c))
     out_i = np.empty((r_total, k), dtype=np.int32)
+    run, pass_rows, bad = _triage_rows(fired, ok, cur_scores is not None)
 
-    good = np.nonzero(ok)[0]
-    if good.size:
-        # q keeps its incoming dtype: the kernel normalises queries in
-        # the input dtype THEN casts to mm_dt (_unit_padded) — the
-        # repair must divide in the same dtype to stay bitwise-equal.
-        # All per-chunk slicing happens HOST-SIDE on numpy so the device
-        # only ever sees fixed (r_cap, ...) uploads — a device gather
-        # sized by the flag count would compile per novel count (see
-        # padded_take).
-        q_h = np.asarray(q_rows)[good]
-        ql_h = np.asarray(qlam_rows, dtype=np.float32)[good]
-        base_h, lim_h = _fired_to_slices(fired[good], stride, shard_n, n)
-        oi_h = np.asarray(out_idx_rows, dtype=np.int32)[good]
-        a_d = jnp.asarray(alpha, dtype=jnp.float32)
+    if run.size:
+        # q/qlam keep their incoming dtype: the kernel normalises
+        # queries in the input dtype THEN casts to mm_dt (_unit_padded)
+        # — the repair must divide in the same dtype to stay
+        # bitwise-equal.  All per-chunk slicing happens HOST-SIDE on
+        # numpy so the device only ever sees fixed (r_cap, ...) uploads
+        # — a device gather sized by the flag count would compile per
+        # novel count (see padded_take).
+        q_h = np.asarray(q_rows)[run]
+        ql_h = np.asarray(qlam_rows)[run]
+        base_h, lim_h = _fired_to_slices(fired[run], stride, shard_n, n)
+        oi_h = np.asarray(out_idx_rows, dtype=np.int32)[run]
+        a_d = jnp.asarray(alpha, dtype=dt_c)
         n_d = jnp.asarray(n, dtype=jnp.int32)
         r_cap = _rows_per_dispatch(m, f)
 
@@ -351,23 +395,17 @@ def strided_lambda_repair(q_rows, qlam_rows, det_rows, kth, out_idx_rows,
         chunk = functools.partial(_lambda_repair_chunk, k=k,
                                   stride=stride, m=m, prepared=prepared,
                                   use_bf16=use_bf16)
-        s, i = _run_chunked(chunk, good.size, r_cap, pack)
-        out_s[good], out_i[good] = s, i
+        s, i = _run_chunked(chunk, run.size, r_cap, pack)
+        out_s[run], out_i[run] = s, i
 
-    bad = np.nonzero(~ok)[0]
-    if bad.size:
-        if fallback is None:
-            raise RuntimeError(
-                f"{bad.size} flagged rows exceed MAX_FIRED={MAX_FIRED} "
-                "fired bins and no fallback repair was provided")
-        s, i = fallback(bad)
-        out_s[bad], out_i[bad] = np.asarray(s), np.asarray(i)
-    return out_s, out_i
+    return _finish_repair(out_s, out_i, pass_rows, bad, cur_scores,
+                          out_idx_rows, fallback)
 
 
 def strided_energy_repair(zq_rows, qlam_rows, det_rows, kth, out_idx_rows,
                           z_items, item_lambdas, z_norms, wl, wd, *,
-                          k: int, n: int, prepared: bool, fallback=None):
+                          k: int, n: int, prepared: bool, fallback=None,
+                          cur_scores=None):
     """Energy-score analogue of strided_lambda_repair (the kernel is
     binned_energy_topk; score per energymaps.rs:368-407).  zq_rows are
     the flagged queries ALREADY in z-space (the session step computes
@@ -379,20 +417,21 @@ def strided_energy_repair(zq_rows, qlam_rows, det_rows, kth, out_idx_rows,
     g = zq_rows.shape[1]
     m = int(np.ceil(z_items.shape[0] / stride)) if prepared \
         else int(np.ceil(_bucket_m(n, stride)))
-    out_s = np.empty((r_total, k), dtype=np.float32)
+    dt_c = _chunk_dtype(z_items.dtype)
+    out_s = np.empty((r_total, k), dtype=np.dtype(dt_c))
     out_i = np.empty((r_total, k), dtype=np.int32)
+    run, pass_rows, bad = _triage_rows(fired, ok, cur_scores is not None)
 
-    good = np.nonzero(ok)[0]
-    if good.size:
+    if run.size:
         # host-side chunk slicing — see strided_lambda_repair
-        zq_h = np.asarray(zq_rows, dtype=np.float32)[good]
-        ql_h = np.asarray(qlam_rows, dtype=np.float32)[good]
-        base_h, lim_h = _fired_to_slices(fired[good], stride, n, n)
-        oi_h = np.asarray(out_idx_rows, dtype=np.int32)[good]
+        zq_h = np.asarray(zq_rows)[run]
+        ql_h = np.asarray(qlam_rows)[run]
+        base_h, lim_h = _fired_to_slices(fired[run], stride, n, n)
+        oi_h = np.asarray(out_idx_rows, dtype=np.int32)[run]
         zn_d = z_norms if z_norms is not None \
-            else jnp.zeros((1,), dtype=jnp.float32)
-        wl_d = jnp.asarray(wl, dtype=jnp.float32)
-        wd_d = jnp.asarray(wd, dtype=jnp.float32)
+            else jnp.zeros((1,), dtype=dt_c)
+        wl_d = jnp.asarray(wl, dtype=dt_c)
+        wd_d = jnp.asarray(wd, dtype=dt_c)
         n_d = jnp.asarray(n, dtype=jnp.int32)
         r_cap = _rows_per_dispatch(m, g)
 
@@ -404,18 +443,11 @@ def strided_energy_repair(zq_rows, qlam_rows, det_rows, kth, out_idx_rows,
 
         chunk = functools.partial(_energy_repair_chunk, k=k,
                                   stride=stride, m=m, prepared=prepared)
-        s, i = _run_chunked(chunk, good.size, r_cap, pack)
-        out_s[good], out_i[good] = s, i
+        s, i = _run_chunked(chunk, run.size, r_cap, pack)
+        out_s[run], out_i[run] = s, i
 
-    bad = np.nonzero(~ok)[0]
-    if bad.size:
-        if fallback is None:
-            raise RuntimeError(
-                f"{bad.size} flagged rows exceed MAX_FIRED={MAX_FIRED} "
-                "fired bins and no fallback repair was provided")
-        s, i = fallback(bad)
-        out_s[bad], out_i[bad] = np.asarray(s), np.asarray(i)
-    return out_s, out_i
+    return _finish_repair(out_s, out_i, pass_rows, bad, cur_scores,
+                          out_idx_rows, fallback)
 
 
 def _bucket_m(n: int, bins: int) -> int:

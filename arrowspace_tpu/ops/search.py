@@ -75,7 +75,8 @@ def pallas_binned_topk_with_repair(q, qlam, items, item_lambdas, alpha,
             q_rows[:len(rows)], ql_rows[:len(rows)],
             det_rows[:len(rows)], s[rows, k - 1], i[rows],
             items, item_lambdas, alpha, k=k, n=items.shape[0],
-            prepared=False, use_bf16=use_bf16, fallback=full_merge)
+            prepared=False, use_bf16=use_bf16, fallback=full_merge,
+            cur_scores=s[rows])
         s[rows] = rs
         i[rows] = ri
     return s, i

@@ -665,7 +665,7 @@ class DistributedSearchSession:
                 det_rows, scores[rows, k_eff - 1], ids[rows],
                 items, item_lambdas, float(alpha), k=k_eff, n=n,
                 prepared=False, use_bf16=False, shard_n=shard_n,
-                fallback=full_exact)
+                fallback=full_exact, cur_scores=scores[rows])
 
         self._repair = repair if knl == "binned" else None
 

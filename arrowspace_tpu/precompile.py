@@ -296,6 +296,27 @@ def warm_energy(
              taumode=taumode, k=k_eff, kernel=kernel, chunk=chunk,
              has_proj=False, has_signals=False, pad_tall=False,
              n_items=n_it)
+        if kernel == "binned" and dt == jnp.float32:
+            # the strided-repair chunk for flagged rows (see the cosine
+            # warm's analogous block; geometry is shape-derived so AOT
+            # keys match runtime keys)
+            from .ops.bin_repair import (MAX_FIRED, _energy_repair_chunk,
+                                         _rows_per_dispatch)
+            from .ops.pallas_bintopk import binned_energy_layout
+            tile_e, ls_e = binned_energy_layout(b, n, g, k_eff)[1:3]
+            bins_e = tile_e // ls_e
+            n_pad_e = binned_energy_layout(b, n, g, k_eff)[4]
+            m_e = n_pad_e // bins_e
+            r_cap = _rows_per_dispatch(m_e, g)
+            i32 = np.dtype(np.int32)
+            _aot(timings, f"energy_strided_repair_b{b}",
+                 _energy_repair_chunk,
+                 S((r_cap, g), dt), S((r_cap,), dt),
+                 S((r_cap, MAX_FIRED), i32), S((r_cap, MAX_FIRED), i32),
+                 S((r_cap, k_eff), i32), S((n_pad_e, g), dt),
+                 S((n_pad_e,), dt), S((n_pad_e,), dt), S((), dt),
+                 S((), dt), S((), i32),
+                 k=k_eff, stride=bins_e, m=m_e, prepared=True)
     return timings
 
 

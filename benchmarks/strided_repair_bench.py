@@ -76,12 +76,20 @@ def main(n=1_000_000, f=128, k=32, bsz=2048, n_batches=12, seed=3):
             from arrowspace_tpu.ops.pallas_topk import fused_lambda_topk
 
             def timed(qb, qlam, rows, **kw):
+                # fixed-128 host pad, like the production legacy repair:
+                # fused_lambda_topk's jit is keyed on B, so a raw-count
+                # call would retrace + reload per NOVEL flag count and
+                # the bench would time compiles, not repairs
                 a = time.perf_counter()
+                m = len(rows)
+                pad = (-m) % 128
+                qs = np.pad(qb[rows], ((0, pad), (0, 0)),
+                            constant_values=1.0).astype(np.float32)
+                qls = np.pad(qlam[rows], (0, pad)).astype(np.float32)
                 rs, ri = fused_lambda_topk(
-                    jnp.asarray(qb[rows], dtype=np.float32),
-                    jnp.asarray(qlam[rows], dtype=np.float32),
+                    jnp.asarray(qs), jnp.asarray(qls),
                     aspace.data, aspace.lambdas, 0.9, k=k)
-                out = np.asarray(rs), np.asarray(ri)
+                out = np.asarray(rs)[:m], np.asarray(ri)[:m]
                 repair_times.append((time.perf_counter() - a) * 1e3)
                 flag_counts.append(len(rows))
                 return out

@@ -313,11 +313,12 @@ def test_strided_repair_fuzz_full_equality():
 
 
 def test_warm_step_compiles_repair_program():
-    """warm_step must run ONE synthetic flagged-row repair when the step
-    carries a det plane, with operands shaped exactly like the driver's
-    (full-batch scores/ids/qlam, one fired bin in det_rows) — the
-    strided-repair chunk otherwise compiles on the first flagged batch
-    in production."""
+    """warm_step must sweep the synthetic flagged-row repair over the
+    padded_take flag-count buckets when the step carries a det plane,
+    with operands shaped exactly like the driver's (full-batch
+    scores/ids/qlam, fired det rows) — the strided-repair chunk AND the
+    per-bucket device programs (the energy session's z projection)
+    otherwise compile on the first flagged batch in production."""
     from arrowspace_tpu.index import warm_step
 
     bsz, dim, k, bins = 4, 8, 3, 16
@@ -329,26 +330,26 @@ def test_warm_step_compiles_repair_program():
         det = jnp.full((bsz, bins), NEG_INF, jnp.float32)
         return s, ii, qlam, det
 
-    seen = {}
+    calls = []
 
     def repair(q_block, qlam, rows, scores=None, ids=None, det_rows=None):
-        seen["rows"] = np.asarray(rows).copy()
-        seen["det_rows"] = det_rows.copy()
-        seen["scores_shape"] = scores.shape
-        seen["q_shape"] = q_block.shape
+        calls.append((np.asarray(rows).copy(), det_rows.copy(),
+                      scores.shape, q_block.shape))
         return (np.zeros((len(rows), k), np.float32),
                 np.zeros((len(rows), k), np.int32))
 
     warm_step(step, bsz, dim, np.float32, repair=repair, k=k)
-    assert seen["rows"].tolist() == [0]
-    assert seen["det_rows"].shape == (1, bins)
-    assert (seen["det_rows"][0, 0] == 1.0
-            and (seen["det_rows"][0, 1:] == NEG_INF).all())
-    assert seen["scores_shape"] == (bsz, k)
-    assert seen["q_shape"] == (bsz, dim)
+    # bucket sweep 1,2,4,8,16 with rows clamped to the batch
+    assert [len(c[0]) for c in calls] == [1, 2, 4, 4, 4]
+    for rows, det_rows, s_shape, q_shape in calls:
+        assert det_rows.shape == (len(rows), bins)
+        assert (det_rows[:, 0] == 1.0).all()
+        assert (det_rows[:, 1:] == NEG_INF).all()
+        assert s_shape == (bsz, k)
+        assert q_shape == (bsz, dim)
 
     # a 3-tuple step (merge/xla kernels) must not invoke repair
-    seen.clear()
+    calls.clear()
 
     def step3(q):
         return (jnp.zeros((bsz, k), jnp.float32),
@@ -356,7 +357,7 @@ def test_warm_step_compiles_repair_program():
                 jnp.zeros((bsz,), jnp.float32))
 
     warm_step(step3, bsz, dim, np.float32, repair=repair, k=k)
-    assert not seen
+    assert not calls
 
 
 def test_stream_driver_routes_det_plane_to_repair():

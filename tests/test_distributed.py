@@ -465,11 +465,15 @@ def test_distributed_session_binned_parity_and_repair_wiring(mesh):
     np.testing.assert_array_equal(i_out, i_ref)
 
 
-def test_distributed_session_strided_repair_restores_exactness(mesh):
+@pytest.mark.parametrize("alpha", [1.0, 0.8])
+def test_distributed_session_strided_repair_restores_exactness(mesh,
+                                                               alpha):
     """A >depth same-bin duplicate storm inside ONE shard must flag, and
     the session's STRIDED repair (fired (shard, bin) slice + current
     top-k rescored against the sharded corpus) must restore the exact
-    XLA-session result end-to-end through the stream driver."""
+    XLA-session result end-to-end through the stream driver.  alpha<1
+    exercises the λ term of the repair score in the f64 oracle config
+    (λ/alpha must not be truncated to f32 on the way in)."""
     from arrowspace_tpu.ops.pallas_bintopk import (binned_topk_depth_for,
                                                    binned_layout)
     from arrowspace_tpu.parallel.distributed import (
@@ -496,9 +500,10 @@ def test_distributed_session_strided_repair_restores_exactness(mesh):
     lap = jnp.asarray(np.asarray(lap)[:f, :f])
 
     ref = DistributedSearchSession(jnp.asarray(items), lambdas, lap,
-                                   mesh, b, k=k, alpha=1.0, kernel="xla")
+                                   mesh, b, k=k, alpha=alpha,
+                                   kernel="xla")
     bn = DistributedSearchSession(jnp.asarray(items), lambdas, lap,
-                                  mesh, b, k=k, alpha=1.0,
+                                  mesh, b, k=k, alpha=alpha,
                                   kernel="binned")
     repair_calls = []
     inner = bn._repair
