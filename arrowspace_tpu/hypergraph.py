@@ -36,7 +36,8 @@ from .utils.log import get_logger
 logger = get_logger("arrowspace.hypergraph")
 
 __all__ = ["clique_expansion_adjacency", "overlay_laplacian",
-           "ensemble_params", "ensemble_search"]
+           "ensemble_params", "ensemble_search",
+           "build_ensemble", "ensemble_search_prebuilt"]
 
 
 def clique_expansion_adjacency(
