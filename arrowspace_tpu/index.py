@@ -800,6 +800,19 @@ class ArrowIndex:
         return SearchSession(self, batch_size, k=k, alpha=alpha, depth=depth,
                              precision=precision)
 
+    def make_live_session(self, batch_size: int, k: int = 10,
+                          alpha: float = 0.9, depth: int = 2,
+                          precision: str = "f32",
+                          capacity: Optional[int] = None):
+        """Serving session with zero-recompile add/update/delete: the
+        corpus lives in a capacity-padded device buffer and the true row
+        count rides to the kernels as data (live.LiveSearchSession).
+        Results carry stable external ids."""
+        from .live import LiveSearchSession
+        return LiveSearchSession(self, batch_size, k=k, alpha=alpha,
+                                 depth=depth, precision=precision,
+                                 capacity=capacity)
+
     def make_energy_session(self, batch_size: int, k: int = 10,
                             w_lambda: float = 1.0, w_dirichlet: float = 0.5,
                             depth: int = 2) -> EnergySearchSession:

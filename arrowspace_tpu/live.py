@@ -1,0 +1,524 @@
+"""LiveSearchSession: serving with zero-recompile add / update / delete.
+
+The reference's ArrowSpace is mutable — set_item + λ maintenance
+(core.rs:614-727) — but every serving surface built so far (SearchSession,
+the distributed session) freezes the corpus at construction.  This module
+closes that gap with a TPU-native design: the corpus lives on device in a
+CAPACITY-padded buffer, the true row count rides to the kernel as data
+(the binned Pallas kernel already reads N from SMEM; the XLA path masks
+positions >= n_live), so mutations are row writes + a host counter — no
+retrace, no Mosaic recompile, serving stays hot.
+
+Mechanics:
+
+* capacity is rounded to the same coarse bucket the kernels pad to
+  (config.bucket_rows), so the live programs are byte-identical cache
+  keys to the static session's at that bucket — precompile.warm covers
+  them.
+* ``add`` ingests raw rows: projection (if the index was built with one),
+  τ selection and synthetic λ run in ONE jitted program with donated
+  buffers, then the rows scatter into position.  λ semantics are exactly
+  the index's query/item preparation pipeline against the frozen build
+  graph — identical to what core.ArrowSpace._refresh_lambda_row assigns
+  after set_item (pinned by tests), and the same trade the reference
+  makes: item edits never rebuild the graph (core.rs:644 recomputes λ
+  against the existing Laplacian).  Periodic ``to_index()`` + rebuild
+  refreshes the graph.
+* ``delete`` is swap-with-last: tail survivors move into the holes (one
+  gather+scatter), the live count shrinks.  Device positions therefore
+  change — results map device positions to stable EXTERNAL ids through a
+  host-side table, which is what every production vector store exposes
+  anyway.
+* All mutation index vectors are padded to power-of-two buckets
+  (ops/bin_repair.padded_take) — a device op sized by a raw mutation
+  count would compile per novel count through the remote-compile service
+  (the serving landmine ops/bin_repair documents).  Pad entries repeat a
+  real (index, row) pair, so duplicate scatter writes carry identical
+  values and the result is deterministic.
+* The flag/strided-repair contract is unchanged: the repair chunk
+  programs are keyed on the CAPACITY geometry and take the live count as
+  a traced operand, so they never recompile across mutations either.
+
+Searches interleaved with mutations see a consistent snapshot: each
+dispatch reads the live count at submit time.  Mutating while a
+``search_stream`` has batches in flight applies to subsequent batches;
+deleting concurrently with an in-flight stream is not supported (the
+rare repair path consults the count at fetch time).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Iterable, Optional, Tuple
+
+import numpy as np
+
+from .utils.log import get_logger
+
+logger = get_logger("arrowspace.live")
+
+__all__ = ["LiveSearchSession"]
+
+_LIVE_STEP = None
+_INGEST = None
+_MOVE = None
+
+
+def _live_step_jit():
+    """Module-level jitted live serving step (lazy) — the dynamic-count
+    analogue of index._session_step_jit: same fused query-λ preparation,
+    but the corpus row count is a traced operand (n_live) so one
+    executable serves every mutation state within capacity."""
+    global _LIVE_STEP
+    if _LIVE_STEP is None:
+        import jax
+        import jax.numpy as jnp
+
+        @functools.partial(
+            jax.jit, static_argnames=("taumode", "alpha", "k", "kernel",
+                                      "has_proj", "pad_tall", "use_bf16",
+                                      "n_cap"))
+        def step(q_raw, data, lambdas, lap, proj, n_live, *, taumode,
+                 alpha, k, kernel, has_proj, pad_tall, use_bf16, n_cap):
+            from .ops.search import masked_lambda_aware_topk
+            from .taumode import select_tau_batch, synthetic_lambda_batch
+            dt = q_raw.dtype
+            q_prep = q_raw if not has_proj else jnp.dot(
+                q_raw, proj, preferred_element_type=dt)
+            taus = select_tau_batch(q_prep, taumode)
+            qlam = synthetic_lambda_batch(q_prep, lap, taus,
+                                          pad_items=pad_tall)
+            if kernel == "binned":
+                from .ops.pallas_bintopk import binned_lambda_topk
+                s, i, fl, det = binned_lambda_topk(
+                    q_raw, qlam, data, lambdas, alpha, k=k,
+                    use_bf16=use_bf16, prepared=True, n_items=n_cap,
+                    n_live=n_live, return_det=True)
+                return (s, jnp.concatenate([i, fl[:, None]], axis=1),
+                        qlam, det)
+            s, i = masked_lambda_aware_topk(
+                q_raw, qlam, data, lambdas, jnp.asarray(alpha, dtype=dt),
+                n_live, k=k)
+            zero_fl = jnp.zeros((q_raw.shape[0], 1), dtype=jnp.int32)
+            return s, jnp.concatenate([i, zero_fl], axis=1), qlam
+
+        _LIVE_STEP = step
+    return _LIVE_STEP
+
+
+def _ingest_jit():
+    """One jitted program per ingest geometry: project → τ → synthetic λ
+    (the exact query/item preparation pipeline) + scatter into the
+    donated capacity buffers.  Buffers are donated so XLA updates them
+    in place instead of copying the corpus per mutation."""
+    global _INGEST
+    if _INGEST is None:
+        import jax
+        import jax.numpy as jnp
+
+        @functools.partial(
+            jax.jit,
+            static_argnames=("taumode", "has_proj", "pad_tall", "binned"),
+            donate_argnums=(2, 3, 4, 5))
+        def ingest(rows, pos, raw, lam, xhat, lam32, lap, proj, *,
+                   taumode, has_proj, pad_tall, binned):
+            from .taumode import select_tau_batch, synthetic_lambda_batch
+            dt = raw.dtype
+            r = rows.astype(dt)
+            q_prep = r if not has_proj else jnp.dot(
+                r, proj, preferred_element_type=dt)
+            taus = select_tau_batch(q_prep, taumode)
+            new_lam = synthetic_lambda_batch(q_prep, lap, taus,
+                                             pad_items=pad_tall)
+            raw = raw.at[pos].set(r)
+            lam = lam.at[pos].set(new_lam.astype(lam.dtype))
+            if binned:
+                # same arithmetic as pallas_bintopk._unit_padded: divide
+                # in the raw dtype, THEN cast to the matmul dtype
+                nrm = jnp.sqrt(jnp.sum(r * r, axis=-1, keepdims=True))
+                ok = nrm > 0.0
+                unit = jnp.where(ok, r / jnp.where(ok, nrm, 1.0),
+                                 0.0).astype(xhat.dtype)
+                xhat = xhat.at[pos].set(unit)
+                lam32 = lam32.at[pos].set(new_lam.astype(lam32.dtype))
+            return raw, lam, xhat, lam32
+
+        _INGEST = ingest
+    return _INGEST
+
+
+def _move_jit():
+    """Swap-with-last compaction for deletes: gather the tail survivors
+    at src and scatter them into the holes at dst (disjoint sets, one
+    donated in-place program)."""
+    global _MOVE
+    if _MOVE is None:
+        import jax
+        import jax.numpy as jnp
+
+        @functools.partial(jax.jit, static_argnames=("binned",),
+                           donate_argnums=(0, 1, 2, 3))
+        def move(raw, lam, xhat, lam32, src, dst, *, binned):
+            raw = raw.at[dst].set(raw[src])
+            lam = lam.at[dst].set(lam[src])
+            if binned:
+                xhat = xhat.at[dst].set(xhat[src])
+                lam32 = lam32.at[dst].set(lam32[src])
+            return raw, lam, xhat, lam32
+
+        _MOVE = move
+    return _MOVE
+
+
+def _pad_bucket(arr: np.ndarray) -> np.ndarray:
+    """Pad axis 0 to a power-of-two bucket by REPEATING the last real
+    entry (duplicate scatter writes then carry identical values — safe
+    in any scatter order).  See ops/bin_repair.padded_take for why the
+    bucket: a device op sized by the raw count compiles per novel
+    count (measured 1.7 s/XLA, 12.9 s/Mosaic per new count)."""
+    m = arr.shape[0]
+    b = 1 << max(0, int(m - 1).bit_length())
+    if b == m:
+        return arr
+    return np.concatenate([arr, np.repeat(arr[-1:], b - m, axis=0)],
+                          axis=0)
+
+
+class LiveSearchSession:
+    """Serving session over a capacity-padded live corpus.
+
+    Built from an ArrowIndex snapshot; ``add`` / ``update`` / ``delete``
+    mutate the device corpus with zero recompiles (see module docstring)
+    and searches always score the current live rows.  Results carry
+    stable EXTERNAL ids (int64): the initial rows get ids 0..n-1 (their
+    index positions), ``add`` returns freshly assigned ids.
+
+    ``capacity`` bounds the live row count; it is rounded up to the
+    kernels' coarse row bucket (so intermediate sizes are free) and
+    defaults to the index size's own bucket — which already carries up
+    to 25% headroom.  ``grow()`` reallocates to a larger capacity but
+    changes program shapes (a fresh compile — minutes on the TPU tunnel
+    for the Mosaic kernel; size capacity for the deployment's ceiling
+    up front instead).
+    """
+
+    MAX_MUTATION_BLOCK = 4096
+
+    def __init__(self, index, batch_size: int, k: int = 10,
+                 alpha: float = 0.9, depth: int = 2,
+                 precision: str = "f32",
+                 capacity: Optional[int] = None):
+        import jax.numpy as jnp
+
+        from .config import bucket_rows
+        from .index import session_kernel_kind
+        from .ops.pallas_bintopk import _padded_rows, binned_layout
+
+        if precision not in ("f32", "bf16"):
+            raise ValueError(f"unsupported session precision {precision!r}")
+        aspace, gl = index.aspace, index.gl
+        n0 = index.nitems
+        cap = max(int(capacity or n0), n0)
+        self.batch_size = int(batch_size)
+        self.k = min(int(k), n0)
+        self.depth = max(1, int(depth))
+        self.alpha = float(alpha)
+
+        dt = aspace.data.dtype
+        self._dt = dt
+        self._dim = aspace.nfeatures
+        self._lap = jnp.asarray(gl.matrix, dtype=dt)
+        proj = None
+        if aspace.projection_matrix is not None:
+            proj = aspace.projection_matrix.matrix(dtype=dt)
+        self._has_proj = proj is not None
+        self._proj = proj if self._has_proj \
+            else jnp.zeros((1, 1), dtype=dt)
+        self._taumode = aspace.taumode
+        self._pad_tall = aspace.pad_tall_graphs
+        self._aspace, self._gl = aspace, gl
+
+        # kernel choice is made at CAPACITY so it never changes as the
+        # live count moves; k > 48 has no dynamic-count Pallas kernel
+        # (the merge kernel's SMEM N is reachable the same way — left
+        # for a future round), so large live corpora gate on k.
+        kernel = session_kernel_kind(cap, self.k, self._dim)
+        if kernel == "merge":
+            raise ValueError(
+                f"LiveSearchSession supports k <= 48 on large corpora "
+                f"(got k={k}); use a static SearchSession or lower k")
+        self._kernel = kernel
+        self._use_bf16 = precision == "bf16" and kernel == "binned"
+        mm_dt = jnp.bfloat16 if self._use_bf16 else jnp.float32
+
+        if kernel == "binned":
+            _, tile, _, _, cap_pad = binned_layout(
+                self.batch_size, cap, self._dim, self.k, self._use_bf16)
+        else:
+            cap_pad = max(bucket_rows(cap), 8)
+        self.capacity = cap_pad        # bucket headroom is usable space
+        self._n = n0
+
+        # capacity-padded device state
+        pad = cap_pad - n0
+        self._raw = jnp.pad(aspace.data.astype(dt), ((0, pad), (0, 0)))
+        self._lam = jnp.pad(aspace.lambdas.astype(dt), (0, pad))
+        if kernel == "binned":
+            from .ops.pallas_bintopk import _prepare_jit
+            self._xhat, self._lam32 = _prepare_jit(
+                aspace.data, aspace.lambdas, pad_rows=pad,
+                use_bf16=self._use_bf16)
+            assert self._xhat.shape[0] == cap_pad, (
+                self._xhat.shape, cap_pad)
+        else:
+            self._xhat = jnp.zeros((1, 1), dtype=mm_dt)
+            self._lam32 = jnp.zeros((1,), dtype=jnp.float32)
+
+        # stable external ids: position -> id (host), id -> position
+        self._ids = np.full(cap_pad, -1, dtype=np.int64)
+        self._ids[:n0] = np.arange(n0)
+        self._pos = {int(i): int(i) for i in range(n0)}
+        self._next_id = n0
+
+        jitted = _live_step_jit()
+        self._step = lambda q: jitted(
+            q, self._xhat if kernel == "binned" else self._raw,
+            self._lam32 if kernel == "binned" else self._lam,
+            self._lap, self._proj, jnp.asarray(self._n, dtype=jnp.int32),
+            taumode=self._taumode, alpha=self.alpha, k=self.k,
+            kernel=kernel, has_proj=self._has_proj,
+            pad_tall=self._pad_tall, use_bf16=self._use_bf16,
+            n_cap=cap_pad)
+        self._repair = self._make_repair() if kernel == "binned" else None
+
+    # -- mutation -------------------------------------------------------
+    def _ingest(self, rows: np.ndarray, positions: np.ndarray) -> None:
+        import jax.numpy as jnp
+        ingest = _ingest_jit()
+        for lo in range(0, len(positions), self.MAX_MUTATION_BLOCK):
+            hi = min(lo + self.MAX_MUTATION_BLOCK, len(positions))
+            r = _pad_bucket(np.asarray(rows[lo:hi], dtype=np.float64))
+            p = _pad_bucket(positions[lo:hi].astype(np.int32))
+            self._raw, self._lam, self._xhat, self._lam32 = ingest(
+                jnp.asarray(r, dtype=self._dt), jnp.asarray(p),
+                self._raw, self._lam, self._xhat, self._lam32,
+                self._lap, self._proj, taumode=self._taumode,
+                has_proj=self._has_proj, pad_tall=self._pad_tall,
+                binned=self._kernel == "binned")
+
+    def add(self, rows) -> np.ndarray:
+        """Ingest new vectors; returns their external ids (int64).
+        λ is assigned by the standard preparation pipeline against the
+        frozen build graph (see module docstring)."""
+        rows = np.atleast_2d(np.asarray(rows, dtype=np.float64))
+        m = rows.shape[0]
+        if m == 0:
+            return np.empty((0,), dtype=np.int64)
+        if rows.shape[1] != self._dim:
+            raise ValueError(
+                f"rows have {rows.shape[1]} features, index has {self._dim}")
+        if self._n + m > self.capacity:
+            raise ValueError(
+                f"live corpus full: {self._n} + {m} > capacity "
+                f"{self.capacity}; construct the session with a larger "
+                f"capacity= (or grow(), which recompiles)")
+        positions = np.arange(self._n, self._n + m)
+        self._ingest(rows, positions)
+        ids = np.arange(self._next_id, self._next_id + m, dtype=np.int64)
+        self._ids[positions] = ids
+        for i, p in zip(ids, positions):
+            self._pos[int(i)] = int(p)
+        self._next_id += m
+        self._n += m
+        return ids
+
+    def update(self, ids, rows) -> None:
+        """Overwrite existing vectors in place; λ is refreshed exactly
+        like core.ArrowSpace.set_item + _refresh_lambda_row (pinned by
+        tests/test_live.py)."""
+        ids = np.atleast_1d(np.asarray(ids, dtype=np.int64))
+        rows = np.atleast_2d(np.asarray(rows, dtype=np.float64))
+        assert len(ids) == rows.shape[0], (len(ids), rows.shape)
+        positions = np.array([self._pos[int(i)] for i in ids])
+        self._ingest(rows, positions)
+
+    def delete(self, ids) -> None:
+        """Remove vectors by external id (swap-with-last compaction —
+        one gather+scatter regardless of where the holes are)."""
+        ids = np.atleast_1d(np.asarray(ids, dtype=np.int64))
+        doomed = sorted({self._pos[int(i)] for i in ids})
+        m = len(doomed)
+        if m == 0:
+            return
+        n_new = self._n - m
+        doomed_set = set(doomed)
+        holes = [p for p in doomed if p < n_new]
+        survivors = [p for p in range(n_new, self._n)
+                     if p not in doomed_set]
+        assert len(holes) == len(survivors), (holes, survivors)
+        if holes:
+            import jax.numpy as jnp
+            src = _pad_bucket(np.asarray(survivors, dtype=np.int32))
+            dst = _pad_bucket(np.asarray(holes, dtype=np.int32))
+            move = _move_jit()
+            self._raw, self._lam, self._xhat, self._lam32 = move(
+                self._raw, self._lam, self._xhat, self._lam32,
+                jnp.asarray(src), jnp.asarray(dst),
+                binned=self._kernel == "binned")
+            for s, d in zip(survivors, holes):
+                moved = self._ids[s]
+                self._ids[d] = moved
+                self._pos[int(moved)] = d
+        for i in ids:
+            self._pos.pop(int(i), None)
+        self._ids[n_new:self._n] = -1
+        self._n = n_new
+
+    def grow(self, new_capacity: int) -> None:
+        """Reallocate to a larger capacity bucket.  Changes program
+        shapes — the next dispatch recompiles (minutes for the Mosaic
+        kernel on the TPU tunnel unless the bucket is already in the
+        persistent cache); prefer sizing capacity up front."""
+        import jax.numpy as jnp
+        from .config import bucket_rows
+        from .ops.pallas_bintopk import binned_layout
+        if new_capacity <= self.capacity:
+            return
+        if self._kernel == "binned":
+            _, _, _, _, cap_pad = binned_layout(
+                self.batch_size, new_capacity, self._dim, self.k,
+                self._use_bf16)
+        else:
+            cap_pad = max(bucket_rows(new_capacity), 8)
+        pad = cap_pad - self.capacity
+        self._raw = jnp.pad(self._raw, ((0, pad), (0, 0)))
+        self._lam = jnp.pad(self._lam, (0, pad))
+        if self._kernel == "binned":
+            self._xhat = jnp.pad(self._xhat, ((0, pad), (0, 0)))
+            self._lam32 = jnp.pad(self._lam32, (0, pad))
+        self._ids = np.concatenate(
+            [self._ids, np.full(pad, -1, dtype=np.int64)])
+        self.capacity = cap_pad
+        old_cap = cap_pad - pad
+        logger.info("live session grown %d -> %d rows", old_cap, cap_pad)
+
+    # -- search ---------------------------------------------------------
+    @property
+    def nitems(self) -> int:
+        return self._n
+
+    def _make_repair(self):
+        """Deep-bin-collision exact repair (see SearchSession.repair):
+        strided-bin rescore against the prepared capacity corpus with
+        the LIVE count as the slice limit; fired-bin overflow falls back
+        to the masked XLA exact pass over the raw capacity buffer."""
+        import jax.numpy as jnp
+
+        def repair(q_block, qlam, rows, scores=None, ids=None,
+                   det_rows=None):
+            from .ops.bin_repair import strided_lambda_repair
+            from .ops.search import masked_lambda_aware_topk
+
+            def full_exact(rel_rows):
+                rr = rows[rel_rows]
+                m = len(rr)
+                pad = (-m) % 128
+                qs = np.pad(np.asarray(q_block)[rr], ((0, pad), (0, 0)),
+                            constant_values=1.0)
+                qls = np.pad(np.asarray(qlam)[rr], (0, pad))
+                rs, ri = masked_lambda_aware_topk(
+                    jnp.asarray(qs, dtype=self._dt),
+                    jnp.asarray(qls, dtype=self._dt),
+                    self._raw, self._lam,
+                    jnp.asarray(self.alpha, dtype=self._dt),
+                    jnp.asarray(self._n, dtype=jnp.int32), k=self.k)
+                return np.asarray(rs)[:m], np.asarray(ri)[:m]
+
+            if det_rows is None:
+                return full_exact(np.arange(len(rows)))
+            return strided_lambda_repair(
+                np.asarray(q_block[rows], dtype=self._dt), qlam[rows],
+                det_rows, scores[rows, self.k - 1], ids[rows],
+                self._xhat, self._lam32, self.alpha, k=self.k,
+                n=self._n, prepared=True, use_bf16=self._use_bf16,
+                fallback=full_exact, cur_scores=scores[rows])
+
+        return repair
+
+    def warmup(self) -> None:
+        """Compile the step (and the repair programs) so serving and the
+        first mutation are dispatch-only."""
+        from .index import warm_step
+        warm_step(self._step, self.batch_size, self._dim, self._dt,
+                  repair=self._repair, k=self.k)
+        if self._n < self.capacity:
+            # compile the mutation programs on a 1-row bucket
+            pid = self.add(np.zeros((1, self._dim)))
+            self.delete(pid)
+
+    def search(self, queries) -> Tuple[np.ndarray, np.ndarray]:
+        """Synchronous batched search over the CURRENT live rows:
+        (B, F) -> (scores (B, k), external ids (B, k) int64)."""
+        assert self.k <= self._n, (
+            f"k={self.k} exceeds the live corpus size {self._n}")
+        queries = np.atleast_2d(np.asarray(queries, dtype=np.float64))
+        out = []
+        for lo in range(0, queries.shape[0], self.batch_size):
+            qb = queries[lo:lo + self.batch_size]
+            out.append(next(iter(
+                stream_search_one(self._step, qb, self.batch_size,
+                                  self._dt, self._dim, self._repair))))
+        s = np.concatenate([o[0] for o in out], axis=0)
+        i = np.concatenate([o[1] for o in out], axis=0)
+        return s, self._ids[i]
+
+    def search_stream(self, batches: Iterable
+                      ) -> Iterable[Tuple[np.ndarray, np.ndarray]]:
+        """Pipelined streaming search (see index.stream_search); yields
+        (scores, external ids) per batch.  Mutations between batches
+        apply to subsequent dispatches; the id table is read at yield
+        time, so do not DELETE concurrently with an in-flight stream."""
+        from .index import stream_search
+        assert self.k <= self._n, (
+            f"k={self.k} exceeds the live corpus size {self._n}")
+        for s, i in stream_search(self._step, batches, self.batch_size,
+                                  self.depth, self._dt, dim=self._dim,
+                                  repair=self._repair):
+            yield s, self._ids[i]
+
+    # -- snapshot ---------------------------------------------------------
+    def to_index(self):
+        """Materialise the live corpus as a regular ArrowIndex (for
+        persistence via ArrowIndex.save, or a full graph rebuild).
+        Returns (index, external_ids (n,) int64): row j of the snapshot
+        is the live vector whose stable id is external_ids[j]."""
+        import copy
+
+        import jax
+        import jax.numpy as jnp
+
+        from .index import ArrowIndex
+        rows, lams = jax.device_get(
+            (self._raw[:self._n], self._lam[:self._n]))
+        aspace = dataclasses.replace(
+            self._aspace,
+            nitems=self._n,
+            data=jnp.asarray(rows),
+            lambdas=jnp.asarray(lams),
+            host_rows=np.asarray(rows, dtype=np.float64),
+            _projected_cache=None,
+        )
+        aspace._host_cache = None
+        aspace._lambda_order = None
+        gl = copy.copy(self._gl)
+        gl.nnodes = self._n     # the reference's nnodes==nitems quirk
+        return (ArrowIndex(aspace, gl),
+                self._ids[:self._n].copy())
+
+
+def stream_search_one(step, qb, batch_size, dt, dim, repair):
+    """One synchronous batch through the shared stream driver."""
+    from .index import stream_search
+    return stream_search(step, [qb], batch_size, 1, dt, dim=dim,
+                         repair=repair, async_fetch=False)

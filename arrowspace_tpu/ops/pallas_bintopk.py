@@ -479,9 +479,18 @@ def binned_lambda_topk(
     prepared: bool = False,    # items/lambdas from prepare_binned_corpus
     n_items: int = 0,          # true N (required when prepared)
     return_det: bool = False,  # also return the det plane (B, bins)
+    n_live=None,               # traced live row count (LiveSearchSession)
 ):
     """Returns (scores (B, k), indices (B, k), flags (B,) int32) — plus
     the miss-detector plane det (B, bins) f32 when return_det=True.
+
+    n_live (a traced int32 scalar) overrides the row count the kernel
+    masks against — the kernel already reads N from SMEM, so ONE compiled
+    program serves every live count within the prepared corpus's
+    capacity (live.LiveSearchSession's zero-recompile mutation path).
+    Requires prepared=True: the static n_items then names the CAPACITY
+    whose bucket fixed the shapes, and rows at positions >= n_live are
+    masked exactly like bucket padding.
 
     flags[b] == 1 marks a query whose result may be missing a top-k
     element to a >D-deep bin collision — the CALLER must re-run those
@@ -496,6 +505,8 @@ def binned_lambda_topk(
         n = n_items
     else:
         n = items.shape[0]
+    assert n_live is None or prepared, \
+        "n_live requires a prepared (capacity-padded) corpus"
     dt = jnp.float32
     if depth <= 0:
         depth = binned_topk_depth_for(k)
@@ -520,7 +531,8 @@ def binned_lambda_topk(
             qp, qlp, items, item_lambdas, alpha, k=k, depth=depth,
             tile=tile, interpret=interpret, use_bf16=use_bf16,
             block_b=block_b, lane_split=lane_split, pre_reduce=pre_reduce,
-            prepared=prepared, n_items=n_items, return_det=return_det)
+            prepared=prepared, n_items=n_items, return_det=return_det,
+            n_live=n_live)
         return tuple(o[:bsz] for o in outs)
 
     if bsz > max_b:
@@ -532,7 +544,7 @@ def binned_lambda_topk(
                                    block_b=block_b, lane_split=lane_split,
                                    pre_reduce=pre_reduce,
                                    prepared=prepared, n_items=n_items,
-                                   return_det=return_det)
+                                   return_det=return_det, n_live=n_live)
                 for i in range(0, bsz, max_b)]
         return tuple(jnp.concatenate([o[j] for o in outs], axis=0)
                      for j in range(len(outs[0])))
@@ -608,7 +620,8 @@ def binned_lambda_topk(
         ),
     )(qhat, qlam, xhat, xlam,
       jnp.asarray(alpha, dtype=dt).reshape(1, 1),
-      jnp.asarray(n, dtype=jnp.int32).reshape(1, 1))
+      jnp.asarray(n if n_live is None else n_live,
+                  dtype=jnp.int32).reshape(1, 1))
 
     return _flush_pool(outs, depth, k, return_det=return_det)
 
@@ -703,6 +716,7 @@ def binned_energy_topk(
     n_items: int = 0,          # true N (required when prepared)
     z_norms=None,              # prepared per-row ||z||² (n_pad,)
     return_det: bool = False,  # also return the det plane (B, bins)
+    n_live=None,               # traced live row count (see binned_lambda_topk)
 ):
     """Bin-accumulator streaming top-k for the ENERGY score
     (search_energy semantics, energymaps.rs:368-407) — the serving-rate
@@ -728,6 +742,8 @@ def binned_energy_topk(
         n = n_items
     else:
         n = z_items.shape[0]
+    assert n_live is None or prepared, \
+        "n_live requires a prepared (capacity-padded) corpus"
     dt = jnp.float32
     if depth <= 0:
         depth = binned_topk_depth_for(k)
@@ -752,7 +768,7 @@ def binned_energy_topk(
             depth=depth, tile=tile, interpret=interpret, block_b=block_b,
             lane_split=lane_split, pre_reduce=pre_reduce,
             prepared=prepared, n_items=n_items, z_norms=z_norms,
-            return_det=return_det)
+            return_det=return_det, n_live=n_live)
         return tuple(o[:bsz] for o in outs)
 
     if bsz > max_b:
@@ -765,7 +781,8 @@ def binned_energy_topk(
                                    lane_split=lane_split,
                                    pre_reduce=pre_reduce,
                                    prepared=prepared, n_items=n_items,
-                                   z_norms=z_norms, return_det=return_det)
+                                   z_norms=z_norms, return_det=return_det,
+                                   n_live=n_live)
                 for i in range(0, bsz, max_b)]
         return tuple(jnp.concatenate([o[j] for o in outs], axis=0)
                      for j in range(len(outs[0])))
@@ -840,7 +857,8 @@ def binned_energy_topk(
     )(zq, qn, qlam, zx, xn, xlam,
       jnp.asarray(w_lambda, dtype=dt).reshape(1, 1),
       jnp.asarray(w_dirichlet, dtype=dt).reshape(1, 1),
-      jnp.asarray(n, dtype=jnp.int32).reshape(1, 1))
+      jnp.asarray(n if n_live is None else n_live,
+                  dtype=jnp.int32).reshape(1, 1))
     return _flush_pool(outs, depth, k, return_det=return_det)
 
 

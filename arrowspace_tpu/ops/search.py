@@ -17,8 +17,8 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["cosine_scores", "lambda_aware_scores",
-           "batched_lambda_aware_topk", "rescore_topk_f64",
-           "pallas_binned_topk_with_repair"]
+           "batched_lambda_aware_topk", "masked_lambda_aware_topk",
+           "rescore_topk_f64", "pallas_binned_topk_with_repair"]
 
 
 def pallas_binned_topk_with_repair(q, qlam, items, item_lambdas, alpha,
@@ -165,6 +165,31 @@ def batched_lambda_aware_topk(
     scores = lambda_aware_scores(queries, query_lambdas, items,
                                  item_lambdas, alpha)
     return jax.lax.top_k(scores, k)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def masked_lambda_aware_topk(
+    queries: jax.Array,
+    query_lambdas: jax.Array,
+    items: jax.Array,          # (cap_pad, F) capacity-padded live corpus
+    item_lambdas: jax.Array,   # (cap_pad,)
+    alpha: jax.Array,
+    n_live: jax.Array,         # traced live row count
+    *,
+    k: int,
+):
+    """Live-corpus λ-aware top-k: `items` is CAPACITY-padded and only the
+    first n_live rows are real — positions past n_live are masked to -inf
+    before the top-k, so ONE compiled program serves every live count
+    (live.LiveSearchSession's small-corpus / CPU path).  Semantics over
+    the live prefix are identical to batched_lambda_aware_topk (scores,
+    lax.top_k tie order); the mask also kills any NaN the stale padded
+    rows might produce."""
+    scores = lambda_aware_scores(queries, query_lambdas, items,
+                                 item_lambdas, alpha)
+    live = jnp.arange(items.shape[0])[None, :] < n_live
+    neg_inf = jnp.asarray(-jnp.inf, dtype=scores.dtype)
+    return jax.lax.top_k(jnp.where(live, scores, neg_inf), k)
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
