@@ -282,6 +282,9 @@ class LiveSearchSession:
         self._next_id = n0
 
         jitted = _live_step_jit()
+        # n_cap reads self.capacity at CALL time (not a captured local):
+        # grow() reallocates the buffers and bumps the capacity, and the
+        # step's static shape key must follow.
         self._step = lambda q: jitted(
             q, self._xhat if kernel == "binned" else self._raw,
             self._lam32 if kernel == "binned" else self._lam,
@@ -289,7 +292,7 @@ class LiveSearchSession:
             taumode=self._taumode, alpha=self.alpha, k=self.k,
             kernel=kernel, has_proj=self._has_proj,
             pad_tall=self._pad_tall, use_bf16=self._use_bf16,
-            n_cap=cap_pad)
+            n_cap=self.capacity)
         self._repair = self._make_repair() if kernel == "binned" else None
 
     # -- mutation -------------------------------------------------------
