@@ -336,6 +336,13 @@ class LiveSearchSession:
         self._n += m
         return ids
 
+    def _position_of(self, ext_id) -> int:
+        try:
+            return self._pos[int(ext_id)]
+        except KeyError:
+            raise KeyError(
+                f"unknown or deleted external id {int(ext_id)}") from None
+
     def update(self, ids, rows) -> None:
         """Overwrite existing vectors in place; λ is refreshed exactly
         like core.ArrowSpace.set_item + _refresh_lambda_row (pinned by
@@ -343,14 +350,14 @@ class LiveSearchSession:
         ids = np.atleast_1d(np.asarray(ids, dtype=np.int64))
         rows = np.atleast_2d(np.asarray(rows, dtype=np.float64))
         assert len(ids) == rows.shape[0], (len(ids), rows.shape)
-        positions = np.array([self._pos[int(i)] for i in ids])
+        positions = np.array([self._position_of(i) for i in ids])
         self._ingest(rows, positions)
 
     def delete(self, ids) -> None:
         """Remove vectors by external id (swap-with-last compaction —
         one gather+scatter regardless of where the holes are)."""
         ids = np.atleast_1d(np.asarray(ids, dtype=np.int64))
-        doomed = sorted({self._pos[int(i)] for i in ids})
+        doomed = sorted({self._position_of(i) for i in ids})
         m = len(doomed)
         if m == 0:
             return

@@ -192,6 +192,17 @@ def test_stream_sees_mutations_between_batches():
     assert len(outs) == 2
 
 
+def test_unknown_id_errors():
+    rows, idx = _index()
+    sess = idx.make_live_session(batch_size=4, k=3, capacity=120)
+    with pytest.raises(KeyError, match="unknown or deleted external id"):
+        sess.delete([999])
+    (nid,) = sess.add(rows[0][None, :] * 1.1)
+    sess.delete([nid])
+    with pytest.raises(KeyError, match="unknown or deleted"):
+        sess.update([nid], rows[0][None, :])
+
+
 def test_warmup_and_empty_add():
     rows, idx = _index()
     sess = idx.make_live_session(batch_size=4, k=3, capacity=120)
