@@ -24,6 +24,6 @@ from .sampling import SamplerType  # noqa: F401
 from .reduction import ImplicitProjection, compute_jl_dimension  # noqa: F401
 from . import eigenmaps  # noqa: F401  (attaches the staged API)
 from .index import ArrowIndex  # noqa: F401
-from .live import LiveSearchSession  # noqa: F401
+from .live import LiveSearchSession, LiveEnergySearchSession  # noqa: F401
 
 __version__ = "0.1.0"

@@ -421,8 +421,14 @@ ENERGY_CHUNK = 65536
 @functools.partial(jax.jit, static_argnames=("k", "chunk"))
 def _energy_score_topk_chunked(z_q, lambda_q, z_items, item_lambdas,
                                w_lambda, w_dirichlet, *, k: int,
-                               chunk: int = ENERGY_CHUNK):
+                               chunk: int = ENERGY_CHUNK,
+                               n_live=None):
     """Streaming variant of _energy_score_topk in z-space.
+
+    n_live (optional traced int32) overrides the row count the per-chunk
+    mask compares against — for live.LiveEnergySearchSession's
+    capacity-padded corpus, where one compiled program must serve every
+    live count (the mask is already per-element; only the bound moves).
 
     The projected Dirichlet distributes through the linear map:
     ||S(q - x)|| = ||Sq - Sx||, so with z := x Sᵀ precomputed once per
@@ -438,6 +444,7 @@ def _energy_score_topk_chunked(z_q, lambda_q, z_items, item_lambdas,
     """
     b, g = z_q.shape
     n = z_items.shape[0]
+    n_eff = n if n_live is None else n_live
     dt = z_q.dtype
     n_pad = ((n + chunk - 1) // chunk) * chunk
     z_p = jnp.pad(z_items, ((0, n_pad - n), (0, 0)))
@@ -459,7 +466,7 @@ def _energy_score_topk_chunked(z_q, lambda_q, z_items, item_lambdas,
         d_lam = jnp.abs(lambda_q[:, None] - lam_c[None, :])
         sc = -(w_lambda * d_lam + w_dirichlet * d_dir)
         gidx = jnp.arange(chunk, dtype=jnp.int32) + c0.astype(jnp.int32)
-        sc = jnp.where(gidx[None, :] < n, sc, neg_inf)
+        sc = jnp.where(gidx[None, :] < n_eff, sc, neg_inf)
         s_c, i_local = jax.lax.top_k(sc, k)
         cs = jnp.concatenate([run_s, s_c], axis=1)         # (B, 2k)
         ci = jnp.concatenate(

@@ -813,6 +813,20 @@ class ArrowIndex:
                                  depth=depth, precision=precision,
                                  capacity=capacity)
 
+    def make_live_energy_session(self, batch_size: int, k: int = 10,
+                                 w_lambda: float = 1.0,
+                                 w_dirichlet: float = 0.5,
+                                 depth: int = 2,
+                                 capacity: Optional[int] = None):
+        """Energy-index live session: add/update/delete with zero
+        recompiles over the capacity-padded z corpus
+        (live.LiveEnergySearchSession)."""
+        from .live import LiveEnergySearchSession
+        return LiveEnergySearchSession(self, batch_size, k=k,
+                                       w_lambda=w_lambda,
+                                       w_dirichlet=w_dirichlet,
+                                       depth=depth, capacity=capacity)
+
     def make_energy_session(self, batch_size: int, k: int = 10,
                             w_lambda: float = 1.0, w_dirichlet: float = 0.5,
                             depth: int = 2) -> EnergySearchSession:

@@ -1,15 +1,16 @@
-"""LiveSearchSession: serving with zero-recompile add / update / delete.
+"""Live serving sessions: zero-recompile add / update / delete.
 
 The reference's ArrowSpace is mutable — set_item + λ maintenance
 (core.rs:614-727) — but every serving surface built so far (SearchSession,
-the distributed session) freezes the corpus at construction.  This module
-closes that gap with a TPU-native design: the corpus lives on device in a
-CAPACITY-padded buffer, the true row count rides to the kernel as data
-(the binned Pallas kernel already reads N from SMEM; the XLA path masks
-positions >= n_live), so mutations are row writes + a host counter — no
-retrace, no Mosaic recompile, serving stays hot.
+EnergySearchSession, the distributed session) freezes the corpus at
+construction.  This module closes that gap with a TPU-native design: the
+corpus lives on device in a CAPACITY-padded buffer, the true row count
+rides to the kernels as data (the binned Pallas kernels already read N
+from SMEM; the XLA paths mask positions >= n_live), so mutations are row
+writes + a host counter — no retrace, no Mosaic recompile, serving stays
+hot.
 
-Mechanics:
+Mechanics (shared by the cosine/λ and energy sessions):
 
 * capacity is rounded to the same coarse bucket the kernels pad to
   (config.bucket_rows), so the live programs are byte-identical cache
@@ -58,10 +59,12 @@ from .utils.log import get_logger
 
 logger = get_logger("arrowspace.live")
 
-__all__ = ["LiveSearchSession"]
+__all__ = ["LiveSearchSession", "LiveEnergySearchSession"]
 
 _LIVE_STEP = None
+_LIVE_ENERGY_STEP = None
 _INGEST = None
+_ENERGY_INGEST = None
 _MOVE = None
 
 
@@ -107,6 +110,50 @@ def _live_step_jit():
     return _LIVE_STEP
 
 
+def _live_energy_step_jit():
+    """Energy analogue of _live_step_jit (mirrors index._energy_step_jit
+    with a traced n_live): fused query-λ prep + z projection + energy
+    scoring over the live prefix of a capacity-padded z corpus."""
+    global _LIVE_ENERGY_STEP
+    if _LIVE_ENERGY_STEP is None:
+        import jax
+        import jax.numpy as jnp
+
+        @functools.partial(
+            jax.jit, static_argnames=("taumode", "k", "kernel", "chunk",
+                                      "has_proj", "has_signals",
+                                      "pad_tall", "n_cap"))
+        def step(q_raw, z_items, item_lambdas, lap, proj, signals, wl,
+                 wd, z_norms, n_live, *, taumode, k, kernel, chunk,
+                 has_proj, has_signals, pad_tall, n_cap):
+            from .energymaps import _energy_score_topk_chunked
+            from .taumode import select_tau_batch, synthetic_lambda_batch
+            dt = q_raw.dtype
+            q_prep = q_raw if not has_proj else jnp.dot(
+                q_raw, proj, preferred_element_type=dt)
+            taus = select_tau_batch(q_prep, taumode)
+            qlam = synthetic_lambda_batch(q_prep, lap, taus,
+                                          pad_items=pad_tall)
+            z_q = jnp.dot(q_prep, signals.T, preferred_element_type=dt) \
+                if has_signals else q_prep
+            if kernel == "binned":
+                from .ops.pallas_bintopk import binned_energy_topk
+                s, i, fl, det = binned_energy_topk(
+                    z_q, qlam, z_items, item_lambdas, wl, wd, k=k,
+                    prepared=True, n_items=n_cap, z_norms=z_norms,
+                    n_live=n_live, return_det=True)
+                return (s, jnp.concatenate([i, fl[:, None]], axis=1),
+                        qlam, det)
+            s, i = _energy_score_topk_chunked(
+                z_q, qlam, z_items, item_lambdas, wl, wd, k=k,
+                chunk=chunk, n_live=n_live)
+            zero_fl = jnp.zeros((q_raw.shape[0], 1), dtype=jnp.int32)
+            return s, jnp.concatenate([i, zero_fl], axis=1), qlam
+
+        _LIVE_ENERGY_STEP = step
+    return _LIVE_ENERGY_STEP
+
+
 def _ingest_jit():
     """One jitted program per ingest geometry: project → τ → synthetic λ
     (the exact query/item preparation pipeline) + scatter into the
@@ -148,24 +195,53 @@ def _ingest_jit():
     return _INGEST
 
 
-def _move_jit():
-    """Swap-with-last compaction for deletes: gather the tail survivors
-    at src and scatter them into the holes at dst (disjoint sets, one
-    donated in-place program)."""
-    global _MOVE
-    if _MOVE is None:
+def _energy_ingest_jit():
+    """Energy ingest: project → τ → λ → z-space transform + norm, then
+    scatter into the donated (z, λ, ||z||²) capacity buffers."""
+    global _ENERGY_INGEST
+    if _ENERGY_INGEST is None:
         import jax
         import jax.numpy as jnp
 
-        @functools.partial(jax.jit, static_argnames=("binned",),
-                           donate_argnums=(0, 1, 2, 3))
-        def move(raw, lam, xhat, lam32, src, dst, *, binned):
-            raw = raw.at[dst].set(raw[src])
-            lam = lam.at[dst].set(lam[src])
-            if binned:
-                xhat = xhat.at[dst].set(xhat[src])
-                lam32 = lam32.at[dst].set(lam32[src])
-            return raw, lam, xhat, lam32
+        @functools.partial(
+            jax.jit,
+            static_argnames=("taumode", "has_proj", "has_signals",
+                             "pad_tall"),
+            donate_argnums=(2, 3, 4))
+        def ingest(rows, pos, z, lam, zn, lap, proj, signals, *,
+                   taumode, has_proj, has_signals, pad_tall):
+            from .taumode import select_tau_batch, synthetic_lambda_batch
+            dt = z.dtype
+            r = rows.astype(dt)
+            q_prep = r if not has_proj else jnp.dot(
+                r, proj, preferred_element_type=dt)
+            taus = select_tau_batch(q_prep, taumode)
+            new_lam = synthetic_lambda_batch(q_prep, lap, taus,
+                                             pad_items=pad_tall)
+            z_new = jnp.dot(q_prep, signals.T,
+                            preferred_element_type=dt) \
+                if has_signals else q_prep
+            z = z.at[pos].set(z_new)
+            lam = lam.at[pos].set(new_lam.astype(lam.dtype))
+            zn = zn.at[pos].set(jnp.sum(z_new * z_new, axis=1))
+            return z, lam, zn
+
+        _ENERGY_INGEST = ingest
+    return _ENERGY_INGEST
+
+
+def _move_jit():
+    """Swap-with-last compaction for deletes: gather the tail survivors
+    at src and scatter them into the holes at dst (disjoint sets, one
+    donated in-place program).  Works on any tuple of row-indexed
+    arrays (2-D or 1-D)."""
+    global _MOVE
+    if _MOVE is None:
+        import jax
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def move(arrays, src, dst):
+            return tuple(a.at[dst].set(a[src]) for a in arrays)
 
         _MOVE = move
     return _MOVE
@@ -185,8 +261,172 @@ def _pad_bucket(arr: np.ndarray) -> np.ndarray:
                           axis=0)
 
 
-class LiveSearchSession:
-    """Serving session over a capacity-padded live corpus.
+class _LiveBase:
+    """Shared live-session machinery: the stable-external-id table,
+    bucketed mutation bookkeeping, and the generic search/stream/warmup
+    drivers.  Subclasses provide the device state: _ingest_rows(rows,
+    positions), _row_arrays() (the tuple compacted on delete),
+    _grow_arrays(pad), plus _step/_repair/_kernel."""
+
+    MAX_MUTATION_BLOCK = 4096
+
+    def _init_ids(self, n0: int, cap_pad: int) -> None:
+        self.capacity = cap_pad        # bucket headroom is usable space
+        self._n = n0
+        self._ids = np.full(cap_pad, -1, dtype=np.int64)
+        self._ids[:n0] = np.arange(n0)
+        self._pos = {int(i): int(i) for i in range(n0)}
+        self._next_id = n0
+
+    @property
+    def nitems(self) -> int:
+        return self._n
+
+    def _position_of(self, ext_id) -> int:
+        try:
+            return self._pos[int(ext_id)]
+        except KeyError:
+            raise KeyError(
+                f"unknown or deleted external id {int(ext_id)}") from None
+
+    # -- mutation -------------------------------------------------------
+    def add(self, rows) -> np.ndarray:
+        """Ingest new vectors; returns their external ids (int64).
+        λ is assigned by the standard preparation pipeline against the
+        frozen build graph (see module docstring)."""
+        rows = np.atleast_2d(np.asarray(rows, dtype=np.float64))
+        m = rows.shape[0]
+        if m == 0:
+            return np.empty((0,), dtype=np.int64)
+        if rows.shape[1] != self._dim:
+            raise ValueError(
+                f"rows have {rows.shape[1]} features, index has {self._dim}")
+        if self._n + m > self.capacity:
+            raise ValueError(
+                f"live corpus full: {self._n} + {m} > capacity "
+                f"{self.capacity}; construct the session with a larger "
+                f"capacity= (or grow(), which recompiles)")
+        positions = np.arange(self._n, self._n + m)
+        self._ingest_blocks(rows, positions)
+        ids = np.arange(self._next_id, self._next_id + m, dtype=np.int64)
+        self._ids[positions] = ids
+        for i, p in zip(ids, positions):
+            self._pos[int(i)] = int(p)
+        self._next_id += m
+        self._n += m
+        return ids
+
+    def update(self, ids, rows) -> None:
+        """Overwrite existing vectors in place; λ is refreshed exactly
+        like core.ArrowSpace.set_item + _refresh_lambda_row (pinned by
+        tests/test_live.py)."""
+        ids = np.atleast_1d(np.asarray(ids, dtype=np.int64))
+        rows = np.atleast_2d(np.asarray(rows, dtype=np.float64))
+        assert len(ids) == rows.shape[0], (len(ids), rows.shape)
+        positions = np.array([self._position_of(i) for i in ids])
+        self._ingest_blocks(rows, positions)
+
+    def delete(self, ids) -> None:
+        """Remove vectors by external id (swap-with-last compaction —
+        one gather+scatter regardless of where the holes are)."""
+        ids = np.atleast_1d(np.asarray(ids, dtype=np.int64))
+        doomed = sorted({self._position_of(i) for i in ids})
+        m = len(doomed)
+        if m == 0:
+            return
+        n_new = self._n - m
+        doomed_set = set(doomed)
+        holes = [p for p in doomed if p < n_new]
+        survivors = [p for p in range(n_new, self._n)
+                     if p not in doomed_set]
+        assert len(holes) == len(survivors), (holes, survivors)
+        if holes:
+            import jax.numpy as jnp
+            src = jnp.asarray(_pad_bucket(
+                np.asarray(survivors, dtype=np.int32)))
+            dst = jnp.asarray(_pad_bucket(
+                np.asarray(holes, dtype=np.int32)))
+            self._set_row_arrays(_move_jit()(self._row_arrays(), src, dst))
+            for s, d in zip(survivors, holes):
+                moved = self._ids[s]
+                self._ids[d] = moved
+                self._pos[int(moved)] = d
+        for i in ids:
+            self._pos.pop(int(i), None)
+        self._ids[n_new:self._n] = -1
+        self._n = n_new
+
+    def _ingest_blocks(self, rows: np.ndarray,
+                       positions: np.ndarray) -> None:
+        for lo in range(0, len(positions), self.MAX_MUTATION_BLOCK):
+            hi = min(lo + self.MAX_MUTATION_BLOCK, len(positions))
+            self._ingest_rows(
+                _pad_bucket(np.asarray(rows[lo:hi], dtype=np.float64)),
+                _pad_bucket(positions[lo:hi].astype(np.int32)))
+
+    def grow(self, new_capacity: int) -> None:
+        """Reallocate to a larger capacity bucket.  Changes program
+        shapes — the next dispatch recompiles (minutes for the Mosaic
+        kernel on the TPU tunnel unless the bucket is already in the
+        persistent cache); prefer sizing capacity up front."""
+        cap_pad = self._capacity_pad(new_capacity)
+        if cap_pad <= self.capacity:
+            return
+        pad = cap_pad - self.capacity
+        self._grow_arrays(pad)
+        self._ids = np.concatenate(
+            [self._ids, np.full(pad, -1, dtype=np.int64)])
+        logger.info("live session grown %d -> %d rows", self.capacity,
+                    cap_pad)
+        self.capacity = cap_pad
+
+    # -- search ---------------------------------------------------------
+    def warmup(self) -> None:
+        """Compile the step (and the repair programs) so serving and the
+        first mutation are dispatch-only."""
+        from .index import warm_step
+        warm_step(self._step, self.batch_size, self._dim, self._dt,
+                  repair=self._repair, k=self.k)
+        if self._n < self.capacity:
+            # compile the mutation programs on a 1-row bucket
+            pid = self.add(np.zeros((1, self._dim)))
+            self.delete(pid)
+
+    def search(self, queries) -> Tuple[np.ndarray, np.ndarray]:
+        """Synchronous batched search over the CURRENT live rows:
+        (B, F) -> (scores (B, k), external ids (B, k) int64)."""
+        from .index import stream_search
+        assert self.k <= self._n, (
+            f"k={self.k} exceeds the live corpus size {self._n}")
+        queries = np.atleast_2d(np.asarray(queries, dtype=np.float64))
+        out = []
+        for lo in range(0, queries.shape[0], self.batch_size):
+            qb = queries[lo:lo + self.batch_size]
+            out.append(next(iter(stream_search(
+                self._step, [qb], self.batch_size, 1, self._dt,
+                dim=self._dim, repair=self._repair, async_fetch=False))))
+        s = np.concatenate([o[0] for o in out], axis=0)
+        i = np.concatenate([o[1] for o in out], axis=0)
+        return s, self._ids[i]
+
+    def search_stream(self, batches: Iterable
+                      ) -> Iterable[Tuple[np.ndarray, np.ndarray]]:
+        """Pipelined streaming search (see index.stream_search); yields
+        (scores, external ids) per batch.  Mutations between batches
+        apply to subsequent dispatches; the id table is read at yield
+        time, so do not DELETE concurrently with an in-flight stream."""
+        from .index import stream_search
+        assert self.k <= self._n, (
+            f"k={self.k} exceeds the live corpus size {self._n}")
+        for s, i in stream_search(self._step, batches, self.batch_size,
+                                  self.depth, self._dt, dim=self._dim,
+                                  repair=self._repair):
+            yield s, self._ids[i]
+
+
+class LiveSearchSession(_LiveBase):
+    """Serving session over a capacity-padded live corpus (λ-aware
+    cosine scoring, the canonical search mode).
 
     Built from an ArrowIndex snapshot; ``add`` / ``update`` / ``delete``
     mutate the device corpus with zero recompiles (see module docstring)
@@ -203,17 +443,13 @@ class LiveSearchSession:
     up front instead).
     """
 
-    MAX_MUTATION_BLOCK = 4096
-
     def __init__(self, index, batch_size: int, k: int = 10,
                  alpha: float = 0.9, depth: int = 2,
                  precision: str = "f32",
                  capacity: Optional[int] = None):
         import jax.numpy as jnp
 
-        from .config import bucket_rows
         from .index import session_kernel_kind
-        from .ops.pallas_bintopk import _padded_rows, binned_layout
 
         if precision not in ("f32", "bf16"):
             raise ValueError(f"unsupported session precision {precision!r}")
@@ -252,13 +488,8 @@ class LiveSearchSession:
         self._use_bf16 = precision == "bf16" and kernel == "binned"
         mm_dt = jnp.bfloat16 if self._use_bf16 else jnp.float32
 
-        if kernel == "binned":
-            _, tile, _, _, cap_pad = binned_layout(
-                self.batch_size, cap, self._dim, self.k, self._use_bf16)
-        else:
-            cap_pad = max(bucket_rows(cap), 8)
-        self.capacity = cap_pad        # bucket headroom is usable space
-        self._n = n0
+        cap_pad = self._capacity_pad(cap)
+        self._init_ids(n0, cap_pad)
 
         # capacity-padded device state
         pad = cap_pad - n0
@@ -275,12 +506,6 @@ class LiveSearchSession:
             self._xhat = jnp.zeros((1, 1), dtype=mm_dt)
             self._lam32 = jnp.zeros((1,), dtype=jnp.float32)
 
-        # stable external ids: position -> id (host), id -> position
-        self._ids = np.full(cap_pad, -1, dtype=np.int64)
-        self._ids[:n0] = np.arange(n0)
-        self._pos = {int(i): int(i) for i in range(n0)}
-        self._next_id = n0
-
         jitted = _live_step_jit()
         # n_cap reads self.capacity at CALL time (not a captured local):
         # grow() reallocates the buffers and bumps the capacity, and the
@@ -295,128 +520,41 @@ class LiveSearchSession:
             n_cap=self.capacity)
         self._repair = self._make_repair() if kernel == "binned" else None
 
-    # -- mutation -------------------------------------------------------
-    def _ingest(self, rows: np.ndarray, positions: np.ndarray) -> None:
-        import jax.numpy as jnp
-        ingest = _ingest_jit()
-        for lo in range(0, len(positions), self.MAX_MUTATION_BLOCK):
-            hi = min(lo + self.MAX_MUTATION_BLOCK, len(positions))
-            r = _pad_bucket(np.asarray(rows[lo:hi], dtype=np.float64))
-            p = _pad_bucket(positions[lo:hi].astype(np.int32))
-            self._raw, self._lam, self._xhat, self._lam32 = ingest(
-                jnp.asarray(r, dtype=self._dt), jnp.asarray(p),
-                self._raw, self._lam, self._xhat, self._lam32,
-                self._lap, self._proj, taumode=self._taumode,
-                has_proj=self._has_proj, pad_tall=self._pad_tall,
-                binned=self._kernel == "binned")
-
-    def add(self, rows) -> np.ndarray:
-        """Ingest new vectors; returns their external ids (int64).
-        λ is assigned by the standard preparation pipeline against the
-        frozen build graph (see module docstring)."""
-        rows = np.atleast_2d(np.asarray(rows, dtype=np.float64))
-        m = rows.shape[0]
-        if m == 0:
-            return np.empty((0,), dtype=np.int64)
-        if rows.shape[1] != self._dim:
-            raise ValueError(
-                f"rows have {rows.shape[1]} features, index has {self._dim}")
-        if self._n + m > self.capacity:
-            raise ValueError(
-                f"live corpus full: {self._n} + {m} > capacity "
-                f"{self.capacity}; construct the session with a larger "
-                f"capacity= (or grow(), which recompiles)")
-        positions = np.arange(self._n, self._n + m)
-        self._ingest(rows, positions)
-        ids = np.arange(self._next_id, self._next_id + m, dtype=np.int64)
-        self._ids[positions] = ids
-        for i, p in zip(ids, positions):
-            self._pos[int(i)] = int(p)
-        self._next_id += m
-        self._n += m
-        return ids
-
-    def _position_of(self, ext_id) -> int:
-        try:
-            return self._pos[int(ext_id)]
-        except KeyError:
-            raise KeyError(
-                f"unknown or deleted external id {int(ext_id)}") from None
-
-    def update(self, ids, rows) -> None:
-        """Overwrite existing vectors in place; λ is refreshed exactly
-        like core.ArrowSpace.set_item + _refresh_lambda_row (pinned by
-        tests/test_live.py)."""
-        ids = np.atleast_1d(np.asarray(ids, dtype=np.int64))
-        rows = np.atleast_2d(np.asarray(rows, dtype=np.float64))
-        assert len(ids) == rows.shape[0], (len(ids), rows.shape)
-        positions = np.array([self._position_of(i) for i in ids])
-        self._ingest(rows, positions)
-
-    def delete(self, ids) -> None:
-        """Remove vectors by external id (swap-with-last compaction —
-        one gather+scatter regardless of where the holes are)."""
-        ids = np.atleast_1d(np.asarray(ids, dtype=np.int64))
-        doomed = sorted({self._position_of(i) for i in ids})
-        m = len(doomed)
-        if m == 0:
-            return
-        n_new = self._n - m
-        doomed_set = set(doomed)
-        holes = [p for p in doomed if p < n_new]
-        survivors = [p for p in range(n_new, self._n)
-                     if p not in doomed_set]
-        assert len(holes) == len(survivors), (holes, survivors)
-        if holes:
-            import jax.numpy as jnp
-            src = _pad_bucket(np.asarray(survivors, dtype=np.int32))
-            dst = _pad_bucket(np.asarray(holes, dtype=np.int32))
-            move = _move_jit()
-            self._raw, self._lam, self._xhat, self._lam32 = move(
-                self._raw, self._lam, self._xhat, self._lam32,
-                jnp.asarray(src), jnp.asarray(dst),
-                binned=self._kernel == "binned")
-            for s, d in zip(survivors, holes):
-                moved = self._ids[s]
-                self._ids[d] = moved
-                self._pos[int(moved)] = d
-        for i in ids:
-            self._pos.pop(int(i), None)
-        self._ids[n_new:self._n] = -1
-        self._n = n_new
-
-    def grow(self, new_capacity: int) -> None:
-        """Reallocate to a larger capacity bucket.  Changes program
-        shapes — the next dispatch recompiles (minutes for the Mosaic
-        kernel on the TPU tunnel unless the bucket is already in the
-        persistent cache); prefer sizing capacity up front."""
-        import jax.numpy as jnp
+    def _capacity_pad(self, cap: int) -> int:
         from .config import bucket_rows
         from .ops.pallas_bintopk import binned_layout
-        if new_capacity <= self.capacity:
-            return
         if self._kernel == "binned":
-            _, _, _, _, cap_pad = binned_layout(
-                self.batch_size, new_capacity, self._dim, self.k,
-                self._use_bf16)
+            return binned_layout(self.batch_size, cap, self._dim, self.k,
+                                 self._use_bf16)[4]
+        return max(bucket_rows(cap), 8)
+
+    def _ingest_rows(self, rows: np.ndarray, pos: np.ndarray) -> None:
+        import jax.numpy as jnp
+        self._raw, self._lam, self._xhat, self._lam32 = _ingest_jit()(
+            jnp.asarray(rows, dtype=self._dt), jnp.asarray(pos),
+            self._raw, self._lam, self._xhat, self._lam32,
+            self._lap, self._proj, taumode=self._taumode,
+            has_proj=self._has_proj, pad_tall=self._pad_tall,
+            binned=self._kernel == "binned")
+
+    def _row_arrays(self):
+        if self._kernel == "binned":
+            return (self._raw, self._lam, self._xhat, self._lam32)
+        return (self._raw, self._lam)
+
+    def _set_row_arrays(self, arrays) -> None:
+        if self._kernel == "binned":
+            self._raw, self._lam, self._xhat, self._lam32 = arrays
         else:
-            cap_pad = max(bucket_rows(new_capacity), 8)
-        pad = cap_pad - self.capacity
+            self._raw, self._lam = arrays
+
+    def _grow_arrays(self, pad: int) -> None:
+        import jax.numpy as jnp
         self._raw = jnp.pad(self._raw, ((0, pad), (0, 0)))
         self._lam = jnp.pad(self._lam, (0, pad))
         if self._kernel == "binned":
             self._xhat = jnp.pad(self._xhat, ((0, pad), (0, 0)))
             self._lam32 = jnp.pad(self._lam32, (0, pad))
-        self._ids = np.concatenate(
-            [self._ids, np.full(pad, -1, dtype=np.int64)])
-        self.capacity = cap_pad
-        old_cap = cap_pad - pad
-        logger.info("live session grown %d -> %d rows", old_cap, cap_pad)
-
-    # -- search ---------------------------------------------------------
-    @property
-    def nitems(self) -> int:
-        return self._n
 
     def _make_repair(self):
         """Deep-bin-collision exact repair (see SearchSession.repair):
@@ -456,47 +594,6 @@ class LiveSearchSession:
 
         return repair
 
-    def warmup(self) -> None:
-        """Compile the step (and the repair programs) so serving and the
-        first mutation are dispatch-only."""
-        from .index import warm_step
-        warm_step(self._step, self.batch_size, self._dim, self._dt,
-                  repair=self._repair, k=self.k)
-        if self._n < self.capacity:
-            # compile the mutation programs on a 1-row bucket
-            pid = self.add(np.zeros((1, self._dim)))
-            self.delete(pid)
-
-    def search(self, queries) -> Tuple[np.ndarray, np.ndarray]:
-        """Synchronous batched search over the CURRENT live rows:
-        (B, F) -> (scores (B, k), external ids (B, k) int64)."""
-        assert self.k <= self._n, (
-            f"k={self.k} exceeds the live corpus size {self._n}")
-        queries = np.atleast_2d(np.asarray(queries, dtype=np.float64))
-        out = []
-        for lo in range(0, queries.shape[0], self.batch_size):
-            qb = queries[lo:lo + self.batch_size]
-            out.append(next(iter(
-                stream_search_one(self._step, qb, self.batch_size,
-                                  self._dt, self._dim, self._repair))))
-        s = np.concatenate([o[0] for o in out], axis=0)
-        i = np.concatenate([o[1] for o in out], axis=0)
-        return s, self._ids[i]
-
-    def search_stream(self, batches: Iterable
-                      ) -> Iterable[Tuple[np.ndarray, np.ndarray]]:
-        """Pipelined streaming search (see index.stream_search); yields
-        (scores, external ids) per batch.  Mutations between batches
-        apply to subsequent dispatches; the id table is read at yield
-        time, so do not DELETE concurrently with an in-flight stream."""
-        from .index import stream_search
-        assert self.k <= self._n, (
-            f"k={self.k} exceeds the live corpus size {self._n}")
-        for s, i in stream_search(self._step, batches, self.batch_size,
-                                  self.depth, self._dt, dim=self._dim,
-                                  repair=self._repair):
-            yield s, self._ids[i]
-
     # -- snapshot ---------------------------------------------------------
     def to_index(self):
         """Materialise the live corpus as a regular ArrowIndex (for
@@ -527,8 +624,156 @@ class LiveSearchSession:
                 self._ids[:self._n].copy())
 
 
-def stream_search_one(step, qb, batch_size, dt, dim, repair):
-    """One synchronous batch through the shared stream driver."""
-    from .index import stream_search
-    return stream_search(step, [qb], batch_size, 1, dt, dim=dim,
-                         repair=repair, async_fetch=False)
+class LiveEnergySearchSession(_LiveBase):
+    """Energy-index counterpart of LiveSearchSession: the z-space corpus
+    (energymaps._energy_z_items) lives in a capacity-padded buffer with
+    its per-row norms; mutations maintain (z, λ, ||z||²) and the energy
+    kernels mask against the traced live count.  search_energy
+    semantics preserved per energymaps.rs:368-407.
+
+    No ``to_index`` snapshot: an energy index's persistent form needs
+    the original optical-compression state (energymaps.build_energy
+    artifacts), not the z-plane — rebuild from source data instead.
+    """
+
+    def __init__(self, index, batch_size: int, k: int = 10,
+                 w_lambda: float = 1.0, w_dirichlet: float = 0.5,
+                 depth: int = 2, capacity: Optional[int] = None):
+        import jax.numpy as jnp
+
+        from .energymaps import _energy_z_items, _use_binned_energy
+
+        aspace, gl = index.aspace, index.gl
+        n0 = index.nitems
+        cap = max(int(capacity or n0), n0)
+        self.batch_size = int(batch_size)
+        self.k = min(int(k), n0)
+        self.depth = max(1, int(depth))
+
+        dt = aspace.data.dtype
+        self._dt = dt
+        self._dim = aspace.nfeatures
+        self._lap = jnp.asarray(gl.matrix, dtype=dt)
+        proj = None
+        if aspace.projection_matrix is not None:
+            proj = aspace.projection_matrix.matrix(dtype=dt)
+        self._has_proj = proj is not None
+        self._proj = proj if self._has_proj \
+            else jnp.zeros((1, 1), dtype=dt)
+        self._taumode = aspace.taumode
+        self._pad_tall = aspace.pad_tall_graphs
+
+        items_proj = aspace.projected_items()
+        use_signals = (aspace.signals is not None
+                       and np.shape(aspace.signals)[0] > 0
+                       and np.shape(aspace.signals)[1]
+                       == items_proj.shape[1])
+        self._has_signals = use_signals
+        self._signals = jnp.asarray(aspace.signals, dtype=dt) \
+            if use_signals else jnp.zeros((1, 1), dtype=dt)
+        z_items = _energy_z_items(aspace, items_proj, self._signals,
+                                  use_signals)
+        self._g = z_items.shape[1]
+        self._wl = jnp.asarray(w_lambda, dtype=dt)
+        self._wd = jnp.asarray(w_dirichlet, dtype=dt)
+
+        self._kernel = "binned" if _use_binned_energy(cap, self.k,
+                                                      self._g) else "chunked"
+        cap_pad = self._capacity_pad(cap)
+        self._init_ids(n0, cap_pad)
+
+        pad = cap_pad - n0
+        self._z = jnp.pad(z_items.astype(dt), ((0, pad), (0, 0)))
+        self._lam = jnp.pad(aspace.lambdas.astype(dt), (0, pad))
+        self._zn = jnp.sum(self._z * self._z, axis=1)
+        from .config import bucket_rows
+        from .energymaps import ENERGY_CHUNK
+        self._chunk = min(ENERGY_CHUNK, max(bucket_rows(cap_pad), 8))
+
+        jitted = _live_energy_step_jit()
+        self._step = lambda q: jitted(
+            q, self._z, self._lam, self._lap, self._proj, self._signals,
+            self._wl, self._wd, self._zn,
+            jnp.asarray(self._n, dtype=jnp.int32),
+            taumode=self._taumode, k=self.k, kernel=self._kernel,
+            chunk=self._chunk, has_proj=self._has_proj,
+            has_signals=self._has_signals, pad_tall=self._pad_tall,
+            n_cap=self.capacity)
+        self._repair = self._make_repair() \
+            if self._kernel == "binned" else None
+
+    def _capacity_pad(self, cap: int) -> int:
+        from .config import bucket_rows
+        from .ops.pallas_bintopk import binned_energy_layout
+        if self._kernel == "binned":
+            return binned_energy_layout(self.batch_size, cap, self._g,
+                                        self.k)[4]
+        return max(bucket_rows(cap), 8)
+
+    def _ingest_rows(self, rows: np.ndarray, pos: np.ndarray) -> None:
+        import jax.numpy as jnp
+        self._z, self._lam, self._zn = _energy_ingest_jit()(
+            jnp.asarray(rows, dtype=self._dt), jnp.asarray(pos),
+            self._z, self._lam, self._zn, self._lap, self._proj,
+            self._signals, taumode=self._taumode,
+            has_proj=self._has_proj, has_signals=self._has_signals,
+            pad_tall=self._pad_tall)
+
+    def _row_arrays(self):
+        return (self._z, self._lam, self._zn)
+
+    def _set_row_arrays(self, arrays) -> None:
+        self._z, self._lam, self._zn = arrays
+
+    def _grow_arrays(self, pad: int) -> None:
+        import jax.numpy as jnp
+        self._z = jnp.pad(self._z, ((0, pad), (0, 0)))
+        self._lam = jnp.pad(self._lam, (0, pad))
+        self._zn = jnp.pad(self._zn, (0, pad))
+
+    def _make_repair(self):
+        """Flagged-row exact repair for the binned energy kernel: the
+        strided-bin rescore against the capacity z corpus with the live
+        count as the slice limit; overflow falls back to the masked
+        chunked scorer.  The flagged block's z is recomputed from the
+        raw queries on a power-of-two pad (compile-once buckets)."""
+        import jax.numpy as jnp
+
+        def repair(q_block, qlam, rows, scores=None, ids=None,
+                   det_rows=None):
+            from .energymaps import _energy_score_topk_chunked
+            from .ops.bin_repair import (padded_take,
+                                         strided_energy_repair)
+            take = padded_take(rows)
+            q = jnp.asarray(q_block[take], dtype=self._dt)
+            q_prep = q if not self._has_proj else jnp.dot(
+                q, self._proj, preferred_element_type=self._dt)
+            z_pad = jnp.dot(q_prep, self._signals.T,
+                            preferred_element_type=self._dt) \
+                if self._has_signals else q_prep
+            z = np.asarray(z_pad)[:len(rows)]
+
+            def full_chunked(rel_rows):
+                m = len(rel_rows)
+                pad = (-m) % 128
+                zs = np.pad(z[rel_rows], ((0, pad), (0, 0)))
+                qls = np.pad(np.asarray(qlam)[rows[rel_rows]], (0, pad))
+                rs, ri = _energy_score_topk_chunked(
+                    jnp.asarray(zs, dtype=self._dt),
+                    jnp.asarray(qls, dtype=self._dt),
+                    self._z, self._lam, self._wl, self._wd, k=self.k,
+                    chunk=self._chunk,
+                    n_live=jnp.asarray(self._n, dtype=jnp.int32))
+                return np.asarray(rs)[:m], np.asarray(ri)[:m]
+
+            if det_rows is None:
+                return full_chunked(np.arange(len(rows)))
+            return strided_energy_repair(
+                np.asarray(z), qlam[rows], det_rows,
+                scores[rows, self.k - 1], ids[rows],
+                self._z, self._lam, self._zn,
+                float(np.asarray(self._wl)), float(np.asarray(self._wd)),
+                k=self.k, n=self._n, prepared=True,
+                fallback=full_chunked, cur_scores=scores[rows])
+
+        return repair

@@ -235,6 +235,87 @@ def test_snapshot_to_index_roundtrip(tmp_path):
     np.testing.assert_allclose(back.lambdas, snap.lambdas, rtol=1e-12)
 
 
+def _energy_index():
+    from arrowspace_tpu.builder import ArrowSpaceBuilder
+    from arrowspace_tpu.energymaps import EnergyParams, build_energy
+    rng = np.random.default_rng(5)
+    centers = rng.uniform(0, 1, (40, 16))
+    rows = centers[rng.integers(0, 40, 400)] + rng.normal(
+        0, 0.02, (400, 16))
+    b = (ArrowSpaceBuilder().with_seed(7).with_dims_reduction(True, 0.3)
+         .with_inline_sampling(None))
+    aspace, gl = build_energy(
+        b, rows.tolist(),
+        EnergyParams(split_quantile=0.2, allow_tall_graphs=True))
+    return rows, ArrowIndex(aspace, gl, b)
+
+
+def _energy_z(idx, rows_raw):
+    """Host-side mirror of the session's z transform for raw F-dim rows:
+    project (public API) then apply the signals map."""
+    a = idx.aspace
+    r = np.asarray(rows_raw, dtype=np.float64)
+    if a.projection_matrix is not None:
+        r = a.projection_matrix.project_batch_host(r)
+    sig = np.asarray(a.signals) if a.signals is not None else None
+    if sig is not None and sig.shape[0] > 0 and sig.shape[1] == r.shape[1]:
+        return r @ sig.T
+    return r
+
+
+def _energy_oracle(z_q, qlam, z_x, xlam, wl, wd, k):
+    d = np.sqrt(np.maximum(
+        (z_q * z_q).sum(1)[:, None] - 2.0 * z_q @ z_x.T
+        + (z_x * z_x).sum(1)[None, :], 0.0))
+    d_dir = np.minimum(d / (1.0 + d), 1.0)
+    d_lam = np.abs(np.asarray(qlam)[:, None] - np.asarray(xlam)[None, :])
+    sc = -(wl * d_lam + wd * d_dir)
+    out_s = np.empty((z_q.shape[0], k))
+    out_i = np.empty((z_q.shape[0], k), dtype=np.int64)
+    for b in range(z_q.shape[0]):
+        order = np.lexsort((np.arange(sc.shape[1]), -sc[b]))[:k]
+        out_s[b], out_i[b] = sc[b][order], order
+    return out_s, out_i
+
+
+def test_live_energy_pre_mutation_matches_static_api():
+    rows, idx = _energy_index()
+    sess = idx.make_live_energy_session(batch_size=8, k=5, capacity=600)
+    q = rows[:8] * 1.01
+    s_live, i_live = sess.search(q)
+    s_ref, i_ref = idx.search_energy(q, k=5, w_lambda=1.0,
+                                     w_dirichlet=0.5)
+    np.testing.assert_array_equal(i_live, i_ref)
+    np.testing.assert_allclose(s_live, s_ref, rtol=1e-9)
+
+
+def test_live_energy_add_delete_oracle_parity():
+    rows, idx = _energy_index()
+    sess = idx.make_live_energy_session(batch_size=8, k=5, capacity=600)
+    rng = np.random.default_rng(13)
+    added = rng.uniform(0.0, 1.0, (7, rows.shape[1]))
+    aids = sess.add(added)
+    sess.delete([3, int(aids[2])])
+    assert sess.nitems == 405
+
+    q = np.concatenate([rows[:2] * 1.01, added[:1] * 1.01])
+    s, ids = sess.search(q)
+
+    # independent host oracle over the live survivor set
+    z_all = np.concatenate([_energy_z(idx, rows), _energy_z(idx, added)])
+    lam_all = np.concatenate([
+        np.asarray(idx.lambdas, dtype=np.float64),
+        np.asarray(idx.aspace.prepare_query_items_batch(added, idx.gl))])
+    keep = np.array([j for j in range(407) if j not in (3, 402)])
+    z_q = _energy_z(idx, q)
+    qlam = np.asarray(idx.aspace.prepare_query_items_batch(q, idx.gl))
+    os_, oi = _energy_oracle(z_q, qlam, z_all[keep], lam_all[keep],
+                             1.0, 0.5, 5)
+    np.testing.assert_allclose(s, os_, rtol=1e-9, atol=1e-12)
+    np.testing.assert_array_equal(ids, keep[oi])
+    assert not {3, 402} & set(ids.ravel().tolist())
+
+
 def test_dynamic_n_binned_kernel_one_program_many_counts():
     """The Pallas binned kernel with a traced n_live: one prepared
     capacity corpus, several live counts, all exactly matching the
