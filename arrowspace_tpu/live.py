@@ -282,6 +282,15 @@ class _LiveBase:
     def nitems(self) -> int:
         return self._n
 
+    def _check_k_vs_live(self) -> None:
+        # user-reachable state (deletes legitimately shrink n below k):
+        # a masked top_k would return -inf rows mapping through _ids to
+        # stale/-1 external ids silently, so raise — not assert
+        if self.k > self._n:
+            raise ValueError(
+                f"k={self.k} exceeds the live corpus size {self._n}; "
+                f"add rows (or rebuild the session with a smaller k)")
+
     def _position_of(self, ext_id) -> int:
         try:
             return self._pos[int(ext_id)]
@@ -322,7 +331,20 @@ class _LiveBase:
         tests/test_live.py)."""
         ids = np.atleast_1d(np.asarray(ids, dtype=np.int64))
         rows = np.atleast_2d(np.asarray(rows, dtype=np.float64))
-        assert len(ids) == rows.shape[0], (len(ids), rows.shape)
+        if len(ids) != rows.shape[0]:
+            raise ValueError(
+                f"update(): {len(ids)} ids but {rows.shape[0]} rows")
+        if len(np.unique(ids)) != len(ids):
+            # duplicate ids would scatter different values to the SAME
+            # position; XLA's .at[pos].set order for duplicates is
+            # implementation-defined, so the surviving row would be
+            # nondeterministic — refuse instead of guessing intent
+            dupes = ids[np.flatnonzero(
+                np.bincount(ids - ids.min())[ids - ids.min()] > 1)]
+            raise ValueError(
+                f"update(): duplicate external ids {np.unique(dupes)[:8]}"
+                f" — deduplicate on the caller side (keep the intended "
+                f"occurrence) before dispatch")
         positions = np.array([self._position_of(i) for i in ids])
         self._ingest_blocks(rows, positions)
 
@@ -381,23 +403,36 @@ class _LiveBase:
         self.capacity = cap_pad
 
     # -- search ---------------------------------------------------------
-    def warmup(self) -> None:
-        """Compile the step (and the repair programs) so serving and the
-        first mutation are dispatch-only."""
+    def warmup(self, mutation_buckets=(1, 2)) -> None:
+        """Compile the serving step, the repair programs AND the mutation
+        programs so production serving and mutations are dispatch-only.
+
+        ``mutation_buckets`` lists the power-of-two ingest block sizes to
+        pre-compile — each novel bucket otherwise pays one XLA compile on
+        the first production mutation of that size.  The default covers
+        1- and 2-row mutations plus one COMPACTING delete (a multi-row
+        block whose first row is deleted leaves a hole a tail survivor
+        must fill, which compiles the swap-with-last move program).
+        Pass the buckets your ingest pipeline actually uses (e.g.
+        ``(1, 2, 4, ..., 4096)`` for arbitrary block sizes); buckets that
+        do not fit the remaining capacity are skipped."""
         from .index import warm_step
         warm_step(self._step, self.batch_size, self._dim, self._dt,
                   repair=self._repair, k=self.k)
-        if self._n < self.capacity:
-            # compile the mutation programs on a 1-row bucket
-            pid = self.add(np.zeros((1, self._dim)))
-            self.delete(pid)
+        for b in sorted({int(x) for x in mutation_buckets}):
+            if b < 1 or self._n + b > self.capacity:
+                continue
+            pid = self.add(np.zeros((b, self._dim)))
+            # first-of-block delete exercises _move_jit when b > 1
+            self.delete(pid[:1])
+            if b > 1:
+                self.delete(pid[1:])
 
     def search(self, queries) -> Tuple[np.ndarray, np.ndarray]:
         """Synchronous batched search over the CURRENT live rows:
         (B, F) -> (scores (B, k), external ids (B, k) int64)."""
         from .index import stream_search
-        assert self.k <= self._n, (
-            f"k={self.k} exceeds the live corpus size {self._n}")
+        self._check_k_vs_live()
         queries = np.atleast_2d(np.asarray(queries, dtype=np.float64))
         out = []
         for lo in range(0, queries.shape[0], self.batch_size):
@@ -416,8 +451,7 @@ class _LiveBase:
         apply to subsequent dispatches; the id table is read at yield
         time, so do not DELETE concurrently with an in-flight stream."""
         from .index import stream_search
-        assert self.k <= self._n, (
-            f"k={self.k} exceeds the live corpus size {self._n}")
+        self._check_k_vs_live()
         for s, i in stream_search(self._step, batches, self.batch_size,
                                   self.depth, self._dt, dim=self._dim,
                                   repair=self._repair):
@@ -457,7 +491,11 @@ class LiveSearchSession(_LiveBase):
         n0 = index.nitems
         cap = max(int(capacity or n0), n0)
         self.batch_size = int(batch_size)
-        self.k = min(int(k), n0)
+        # clamp k against CAPACITY, not the initial corpus size — the
+        # live corpus is designed to grow, and a session seeded from a
+        # small index must not silently serve n0 results forever; the
+        # search-time k<=n_live guard covers a temporarily small count
+        self.k = min(int(k), cap)
         self.depth = max(1, int(depth))
         self.alpha = float(alpha)
 
@@ -647,7 +685,8 @@ class LiveEnergySearchSession(_LiveBase):
         n0 = index.nitems
         cap = max(int(capacity or n0), n0)
         self.batch_size = int(batch_size)
-        self.k = min(int(k), n0)
+        # clamp against capacity (see LiveSearchSession.__init__)
+        self.k = min(int(k), cap)
         self.depth = max(1, int(depth))
 
         dt = aspace.data.dtype

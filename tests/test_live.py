@@ -211,6 +211,53 @@ def test_warmup_and_empty_add():
     assert sess.add(np.empty((0, rows.shape[1]))).shape == (0,)
 
 
+def test_warmup_sweeps_mutation_buckets_and_compacting_delete():
+    rows, idx = _index()
+    sess = idx.make_live_session(batch_size=4, k=3, capacity=120)
+    sess.warmup(mutation_buckets=(1, 2, 4))
+    # probes must leave the corpus exactly as it was
+    assert sess.nitems == 80
+    s, i = sess.search(rows[3][None, :])
+    assert i[0, 0] < 80  # no probe-row ghosts in results
+    # a bucket that doesn't fit remaining capacity is skipped, not an error
+    sess.warmup(mutation_buckets=(4096,))
+    assert sess.nitems == 80
+
+
+def test_update_duplicate_ids_raise():
+    rows, idx = _index()
+    sess = idx.make_live_session(batch_size=4, k=3, capacity=120)
+    with pytest.raises(ValueError, match="duplicate external ids"):
+        sess.update([5, 5], np.stack([rows[0], rows[1]]))
+    with pytest.raises(ValueError, match="ids but"):
+        sess.update([5], np.stack([rows[0], rows[1]]))
+
+
+def test_k_clamps_to_capacity_not_initial_size():
+    # seed from a small index with headroom: k must survive growth
+    rows = make_moons_hd(24, noise=0.08, hd_noise=0.04, dims=12, seed=1)
+    idx = ArrowIndex.build(rows.tolist(), eps=1.0, k=5, topk=3, seed=42)
+    sess = idx.make_live_session(batch_size=4, k=30, capacity=200)
+    assert sess.k == 30  # NOT clamped to the initial 24
+    with pytest.raises(ValueError, match="exceeds the live corpus size"):
+        sess.search(rows[0][None, :])
+    rng = np.random.default_rng(7)
+    sess.add(rng.uniform(0.1, 1.0, (10, rows.shape[1])))
+    s, i = sess.search(rows[0][None, :])
+    assert s.shape == (1, 30) and len(set(i[0].tolist())) == 30
+
+
+def test_search_below_k_after_delete_raises_not_assert():
+    rows = make_moons_hd(12, noise=0.08, hd_noise=0.04, dims=12, seed=1)
+    idx = ArrowIndex.build(rows.tolist(), eps=1.0, k=5, topk=3, seed=42)
+    sess = idx.make_live_session(batch_size=4, k=10, capacity=64)
+    sess.delete(list(range(5)))  # live count 7 < k=10
+    with pytest.raises(ValueError, match="exceeds the live corpus size"):
+        sess.search(rows[0][None, :])
+    with pytest.raises(ValueError, match="exceeds the live corpus size"):
+        next(iter(sess.search_stream([rows[:4]])))
+
+
 def test_snapshot_to_index_roundtrip(tmp_path):
     rows, idx = _index()
     sess = idx.make_live_session(batch_size=4, k=5, capacity=200)
