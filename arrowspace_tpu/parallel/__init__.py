@@ -10,3 +10,7 @@ from .distributed import (  # noqa: F401
     distributed_build_step,
     DistributedSearchSession,
 )
+from .multiprocess import (  # noqa: F401
+    init_distributed, is_multiprocess, put_global, local_row_range,
+    make_sharded_corpus, run_cpu_multiprocess_dryrun,
+)

@@ -24,6 +24,7 @@ from jax import shard_map
 from ..ops.search import lambda_aware_scores
 from ..taumode import TauMode, select_tau_batch, synthetic_lambda_batch
 from .mesh import ITEMS_AXIS, items_sharding, replicated_sharding
+from .multiprocess import ensure_global, is_multiprocess, put_global
 
 __all__ = ["sharded_compute_taumode_lambdas",
            "distributed_lambda_aware_topk", "distributed_index_step",
@@ -42,8 +43,8 @@ def sharded_compute_taumode_lambdas(
     replicated small matmul operands and a sharded N axis; no collectives
     are inserted in the forward pass.  With use_pallas each shard runs the
     fully-fused single-pass τ+λ kernel (the production configuration)."""
-    items = jax.device_put(items, items_sharding(mesh))
-    laplacian = jax.device_put(laplacian, replicated_sharding(mesh))
+    items = ensure_global(items, items_sharding(mesh))
+    laplacian = put_global(laplacian, replicated_sharding(mesh))
 
     if use_pallas:
         from ..ops.pallas_taulambda import fused_taulambda_batch
@@ -104,12 +105,13 @@ def distributed_lambda_aware_topk(
     shard_n = n // n_dev
     k_local = min(k, shard_n)
 
-    queries = jax.device_put(queries, replicated_sharding(mesh))
-    query_lambdas = jax.device_put(query_lambdas, replicated_sharding(mesh))
-    items = jax.device_put(items, items_sharding(mesh))
-    item_lambdas = jax.device_put(item_lambdas,
-                                  items_sharding(mesh, ndim=1))
-    alpha = jnp.asarray(alpha, dtype=items.dtype)
+    queries = put_global(queries, replicated_sharding(mesh))
+    query_lambdas = put_global(query_lambdas, replicated_sharding(mesh))
+    items = ensure_global(items, items_sharding(mesh))
+    item_lambdas = ensure_global(item_lambdas,
+                                 items_sharding(mesh, ndim=1))
+    alpha = put_global(np.asarray(alpha, dtype=np.dtype(items.dtype)),
+                       replicated_sharding(mesh))
 
     def _shard_fn(q, qlam, x, xlam, a):
         interpret = jax.default_backend() != "tpu"
@@ -183,11 +185,13 @@ def distributed_lambda_aware_topk_2d(
 
     spec_items = P(("dcn", "ici"), None)
     spec_lam = P(("dcn", "ici"))
-    queries = jax.device_put(queries, NamedSharding(mesh, P()))
-    query_lambdas = jax.device_put(query_lambdas, NamedSharding(mesh, P()))
-    items = jax.device_put(items, NamedSharding(mesh, spec_items))
-    item_lambdas = jax.device_put(item_lambdas, NamedSharding(mesh, spec_lam))
-    alpha = jnp.asarray(alpha, dtype=items.dtype)
+    queries = put_global(queries, NamedSharding(mesh, P()))
+    query_lambdas = put_global(query_lambdas, NamedSharding(mesh, P()))
+    items = ensure_global(items, NamedSharding(mesh, spec_items))
+    item_lambdas = ensure_global(item_lambdas,
+                                 NamedSharding(mesh, spec_lam))
+    alpha = put_global(np.asarray(alpha, dtype=np.dtype(items.dtype)),
+                       NamedSharding(mesh, P()))
 
     def _shard_fn(q, qlam, x, xlam, a):
         scores = lambda_aware_scores(q, qlam, x, xlam, a)
@@ -260,7 +264,13 @@ def sharded_incremental_clustering(
     shard_n = n // n_dev
     chunk = min(rounds_chunk, shard_n)
     dt = items_sharded.dtype
+    np_dt = np.dtype(dt)
     mc_pad = _bucket_centroid_cap(max_clusters)
+    # Under multi-process the host bookkeeping below consumes these
+    # results on EVERY process, but a host can only fetch addressable
+    # shards — so the per-chunk vectors (n_dev·chunk ints/floats, tiny
+    # next to the corpus) are all_gathered to replicated outputs.
+    mp = is_multiprocess()
 
     def _dist_shard(x_shard, start, cent_pad, n_c):
         rows_c = jax.lax.dynamic_slice(
@@ -275,12 +285,16 @@ def sharded_incremental_clustering(
         best = jnp.argmin(d2, axis=1).astype(jnp.int32)
         bd = jnp.take_along_axis(d2, best[:, None].astype(jnp.int32),
                                  axis=1)[:, 0]
+        if mp:
+            best = jax.lax.all_gather(best, ITEMS_AXIS, axis=0,
+                                      tiled=True)
+            bd = jax.lax.all_gather(bd, ITEMS_AXIS, axis=0, tiled=True)
         return best, bd
 
     dist_fn = jax.jit(shard_map(
         _dist_shard, mesh=mesh,
         in_specs=(P(ITEMS_AXIS, None), P(), P(), P()),
-        out_specs=(P(ITEMS_AXIS), P(ITEMS_AXIS)),
+        out_specs=(P(), P()) if mp else (P(ITEMS_AXIS), P(ITEMS_AXIS)),
         check_vma=False,
     ))
 
@@ -301,13 +315,15 @@ def sharded_incremental_clustering(
     # dynamic_slice): python slicing would bake each distinct offset into
     # its own program — 8-16 fresh compiles per build through the tunnel.
     fetch_cache = {}
+    rep_out = replicated_sharding(mesh) if mp else None
 
     def fetch_rows(lo: int, hi: int) -> np.ndarray:
         m = hi - lo
         if m not in fetch_cache:
             fetch_cache[m] = jax.jit(
                 lambda arr, start, _m=m: jax.lax.dynamic_slice(
-                    arr, (start, jnp.zeros((), start.dtype)), (_m, f)))
+                    arr, (start, jnp.zeros((), start.dtype)), (_m, f)),
+                out_shardings=rep_out)
         out = fetch_cache[m](items_sharded, np.int32(min(lo, n - m)))
         return np.asarray(out, dtype=np.float64)
 
@@ -323,10 +339,11 @@ def sharded_incremental_clustering(
             bucket *= 2
         if bucket not in gather_cache:
             gather_cache[bucket] = jax.jit(
-                lambda arr, idx: jnp.take(arr, idx, axis=0))
+                lambda arr, idx: jnp.take(arr, idx, axis=0),
+                out_shardings=rep_out)
         idx_pad = np.full(bucket, int(global_idx[0]), dtype=np.int32)
         idx_pad[:cnt] = global_idx
-        out = gather_cache[bucket](items_sharded, jnp.asarray(idx_pad))
+        out = gather_cache[bucket](items_sharded, idx_pad)
         return np.asarray(out, dtype=np.float64)[:cnt]
 
     # Shard-local grouped sums: every shard reduces ITS window's rows
@@ -386,12 +403,15 @@ def sharded_incremental_clustering(
         m = min(chunk, shard_n - start)
         cent_host = np.zeros((mc_pad, f))
         cent_host[:max_clusters] = cent
-        cent_pad = jnp.asarray(cent_host, dtype=dt)
+        # small operands upload as HOST numpy values: identical on every
+        # process, so they are valid replicated inputs under
+        # multi-process (a committed single-device jnp array is not)
+        cent_pad = np.asarray(cent_host, dtype=np_dt)
         round_start_nc = state["n_c"]
         best_all, bd_all = dist_fn(
             items_sharded,
-            jnp.asarray([start], dtype=jnp.int32),
-            cent_pad, jnp.asarray([state["n_c"]], dtype=jnp.int32))
+            np.asarray([start], dtype=np.int32),
+            cent_pad, np.asarray([state["n_c"]], dtype=np.int32))
         best_all, bd_all = jax.device_get((best_all, bd_all))
         best_all = best_all.astype(np.int64)
         bd_all = np.asarray(bd_all, dtype=np.float64)
@@ -425,9 +445,9 @@ def sharded_incremental_clustering(
                 fresh_pad = np.zeros((mc_pad, f))
                 fresh_pad[:n_fresh] = cent[round_start_nc:state["n_c"]]
                 fb, fd = dist_fn(
-                    items_sharded, jnp.asarray([start], dtype=jnp.int32),
-                    jnp.asarray(fresh_pad, dtype=dt),
-                    jnp.asarray([n_fresh], dtype=jnp.int32))
+                    items_sharded, np.asarray([start], dtype=np.int32),
+                    np.asarray(fresh_pad, dtype=np_dt),
+                    np.asarray([n_fresh], dtype=np.int32))
                 seg = slice(d * chunk + p0, d * chunk + p0 + m_eff)
                 fbest, fbd = jax.device_get((fb[seg], fd[seg]))
                 fbest = fbest.astype(np.int64)
@@ -440,8 +460,8 @@ def sharded_incremental_clustering(
                 tgt_pad = np.full(chunk, -1, dtype=np.int32)
                 tgt_pad[_p0:_p0 + _m] = tgt_local
                 sums, cnts = seg_fn(
-                    items_sharded, jnp.asarray([_start], dtype=jnp.int32),
-                    jnp.asarray(tgt_pad), jnp.asarray([_d], jnp.int32))
+                    items_sharded, np.asarray([_start], dtype=np.int32),
+                    tgt_pad, np.asarray([_d], np.int32))
                 sums, cnts = jax.device_get((sums, cnts))
                 return (np.asarray(sums, dtype=np.float64),
                         np.asarray(cnts, dtype=np.int64))
@@ -476,7 +496,18 @@ def distributed_build_step(
     tiles, host rules), replicated graph build from the centroids, sharded
     λτ batch, distributed top-k.  This is the end-to-end multi-chip path
     the dry run exercises."""
-    items = jax.device_put(items, items_sharding(mesh))
+    items = ensure_global(items, items_sharding(mesh))
+    if (is_multiprocess() and builder.sampling is not None
+            and builder.clustering_seed is None):
+        # every process replays the same host create/assign rules; an
+        # unseeded sampler draws per-process OS entropy and the
+        # processes would silently diverge (deterministic contract of
+        # clustering.rs:842-846, lifted to the process level)
+        raise ValueError(
+            "multi-process builds require a seeded builder "
+            "(with_seed) when inline sampling is enabled — unseeded "
+            "samplers draw per-process entropy and host decisions "
+            "would diverge across processes")
     sampler = (builder.sampling.make(seed=builder.clustering_seed)
                if builder.sampling is not None else None)
     if sampler is None:
@@ -528,18 +559,20 @@ class DistributedSearchSession:
         knl = kernel or session_kernel_kind(n // n_dev, k_local,
                                             items.shape[1])
 
-        items = jax.device_put(items, items_sharding(mesh))
-        item_lambdas = jax.device_put(item_lambdas,
-                                      items_sharding(mesh, ndim=1))
-        laplacian = jax.device_put(jnp.asarray(laplacian, dtype=dt),
-                                   replicated_sharding(mesh))
+        mp = is_multiprocess()
+        self._mp = mp
+        items = ensure_global(items, items_sharding(mesh))
+        item_lambdas = ensure_global(item_lambdas,
+                                     items_sharding(mesh, ndim=1))
+        laplacian = put_global(np.asarray(laplacian, dtype=np.dtype(dt)),
+                               replicated_sharding(mesh))
         has_proj = projection is not None
         if has_proj:
-            proj = jax.device_put(jnp.asarray(projection, dtype=dt),
-                                  replicated_sharding(mesh))
+            proj = put_global(np.asarray(projection, dtype=np.dtype(dt)),
+                              replicated_sharding(mesh))
         else:
-            proj = jax.device_put(jnp.zeros((1, 1), dtype=dt),
-                                  replicated_sharding(mesh))
+            proj = put_global(np.zeros((1, 1), dtype=np.dtype(dt)),
+                              replicated_sharding(mesh))
         if (not has_proj and not pad_tall
                 and laplacian.shape[0] != items.shape[1]):
             raise ValueError(
@@ -629,8 +662,18 @@ class DistributedSearchSession:
                                  P(), P()),
                        out_specs=tuple([P()] * n_out), check_vma=False)
         jitted = jax.jit(fn)
-        self._step = lambda q: jitted(q, step_items, step_xlam, laplacian,
-                                      proj)
+        if mp:
+            # the stream driver hands a process-local committed query
+            # array; re-place it as a global replicated operand (every
+            # process streams identical batches — the one-driver-per-
+            # host contract)
+            rep = replicated_sharding(mesh)
+            self._step = lambda q: jitted(
+                put_global(np.asarray(q), rep), step_items, step_xlam,
+                laplacian, proj)
+        else:
+            self._step = lambda q: jitted(q, step_items, step_xlam,
+                                          laplacian, proj)
 
         def repair(q_block, qlam_np, rows, scores=None, ids=None,
                    det_rows=None):
@@ -657,7 +700,12 @@ class DistributedSearchSession:
                     kernel=knl_exact)
                 return np.asarray(rs)[:m], np.asarray(ri)[:m]
 
-            if det_rows is None:
+            if det_rows is None or mp:
+                # multi-process: the strided-repair chunk programs have
+                # no replicated-output contract yet, so flagged rows
+                # take the exact distributed pass (replicated outputs,
+                # still exact — just a full per-shard scan for the rare
+                # flagged batch)
                 return full_exact(np.arange(len(rows)))
             from ..ops.bin_repair import strided_lambda_repair
             return strided_lambda_repair(
@@ -722,7 +770,7 @@ def distributed_index_step(
 
     gl = build_laplacian_matrix(centroids.T, graph_params,
                                 n_items=items.shape[0])
-    lap = jax.device_put(gl.matrix, replicated_sharding(mesh))
+    lap = put_global(np.asarray(gl.matrix), replicated_sharding(mesh))
 
     lambdas = sharded_compute_taumode_lambdas(items, lap, taumode, mesh)
 
