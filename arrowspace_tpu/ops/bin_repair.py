@@ -405,18 +405,31 @@ def strided_lambda_repair(q_rows, qlam_rows, det_rows, kth, out_idx_rows,
 def strided_energy_repair(zq_rows, qlam_rows, det_rows, kth, out_idx_rows,
                           z_items, item_lambdas, z_norms, wl, wd, *,
                           k: int, n: int, prepared: bool, fallback=None,
-                          cur_scores=None):
+                          shard_n: int = 0, cur_scores=None):
     """Energy-score analogue of strided_lambda_repair (the kernel is
     binned_energy_topk; score per energymaps.rs:368-407).  zq_rows are
     the flagged queries ALREADY in z-space (the session step computes
-    them; the caller re-derives z for the flagged block)."""
+    them; the caller re-derives z for the flagged block).
+
+    shard_n > 0 marks a MESH det plane exactly as in
+    strided_lambda_repair: per-shard det planes all-gathered along the
+    column axis, z_items the sharded global z corpus (prepared must be
+    False), fired columns decoding to (shard, local bin) slices."""
     det_rows = np.asarray(det_rows)
-    stride = det_rows.shape[1]
+    if shard_n and shard_n < n:
+        assert not prepared, "mesh repair runs against the raw z corpus"
+        assert det_rows.shape[1] % (n // shard_n) == 0, (
+            det_rows.shape, n, shard_n)
+        stride = det_rows.shape[1] // (n // shard_n)
+        m = (shard_n + stride - 1) // stride
+    else:
+        shard_n = n
+        stride = det_rows.shape[1]
+        m = int(np.ceil(z_items.shape[0] / stride)) if prepared \
+            else int(np.ceil(_bucket_m(n, stride)))
     fired, ok = fired_bins_host(det_rows, np.asarray(kth))
     r_total = det_rows.shape[0]
     g = zq_rows.shape[1]
-    m = int(np.ceil(z_items.shape[0] / stride)) if prepared \
-        else int(np.ceil(_bucket_m(n, stride)))
     dt_c = _chunk_dtype(z_items.dtype)
     out_s = np.empty((r_total, k), dtype=np.dtype(dt_c))
     out_i = np.empty((r_total, k), dtype=np.int32)
@@ -426,7 +439,7 @@ def strided_energy_repair(zq_rows, qlam_rows, det_rows, kth, out_idx_rows,
         # host-side chunk slicing — see strided_lambda_repair
         zq_h = np.asarray(zq_rows)[run]
         ql_h = np.asarray(qlam_rows)[run]
-        base_h, lim_h = _fired_to_slices(fired[run], stride, n, n)
+        base_h, lim_h = _fired_to_slices(fired[run], stride, shard_n, n)
         oi_h = np.asarray(out_idx_rows, dtype=np.int32)[run]
         zn_d = z_norms if z_norms is not None \
             else jnp.zeros((1,), dtype=dt_c)

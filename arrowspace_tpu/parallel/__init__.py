@@ -9,6 +9,7 @@ from .distributed import (  # noqa: F401
     sharded_incremental_clustering,
     distributed_build_step,
     DistributedSearchSession,
+    DistributedEnergySearchSession,
 )
 from .multiprocess import (  # noqa: F401
     init_distributed, is_multiprocess, put_global, local_row_range,

@@ -750,6 +750,283 @@ class DistributedSearchSession:
                              repair=self._repair)
 
 
+class DistributedEnergySearchSession:
+    """Multi-chip ENERGY serving session — the energy-index counterpart
+    of DistributedSearchSession (search_energy semantics,
+    energymaps.rs:368-407), sharing its design: one jitted program per
+    batch fuses query-λ preparation + the z-space projection with
+    per-shard scoring and the all_gather candidate merge; per-shard
+    prepared z corpus (pad + norms hoisted to construction); flagged
+    rows repair through the strided mesh repair (gathered det plane)
+    with the exact distributed chunked pass as overflow fallback.
+
+    The z-plane is computed PER SHARD at construction (one shard_map:
+    z = x_proj Sᵀ on each shard's rows against the replicated signals)
+    — at the 100M×768 target the (N, G) z corpus never exists on one
+    device or host.
+    """
+
+    def __init__(self, items, item_lambdas, laplacian, mesh: Mesh,
+                 batch_size: int, k: int = 10, w_lambda: float = 1.0,
+                 w_dirichlet: float = 0.5, taumode: TauMode = None,
+                 depth: int = 2, projection=None, signals=None,
+                 pad_tall: bool = False, kernel: str = None,
+                 prepare_corpus: bool = True):
+        from ..energymaps import (ENERGY_CHUNK, _energy_score_topk_chunked,
+                                  _use_binned_energy)
+        self.batch_size = int(batch_size)
+        self.depth = max(1, int(depth))
+        self.mesh = mesh
+        n = items.shape[0]
+        n_dev = mesh.devices.size
+        assert n % n_dev == 0, (
+            f"N={n} must be padded to a multiple of the mesh size {n_dev}")
+        k_eff = min(int(k), n)
+        self.k = k_eff
+        shard_n = n // n_dev
+        k_local = min(k_eff, shard_n)
+        taumode = taumode if taumode is not None else TauMode.median()
+        dt = items.dtype
+        self._dt = dt
+        self._dim = items.shape[1]
+        mp = is_multiprocess()
+        self._mp = mp
+
+        items = ensure_global(items, items_sharding(mesh))
+        item_lambdas = ensure_global(item_lambdas,
+                                     items_sharding(mesh, ndim=1))
+        laplacian = put_global(np.asarray(laplacian, dtype=np.dtype(dt)),
+                               replicated_sharding(mesh))
+        has_proj = projection is not None
+        proj = put_global(
+            np.asarray(projection, dtype=np.dtype(dt)) if has_proj
+            else np.zeros((1, 1), dtype=np.dtype(dt)),
+            replicated_sharding(mesh))
+        has_signals = (signals is not None
+                       and np.shape(signals)[0] > 0)
+        sig = put_global(
+            np.asarray(signals, dtype=np.dtype(dt)) if has_signals
+            else np.zeros((1, 1), dtype=np.dtype(dt)),
+            replicated_sharding(mesh))
+        if (not has_proj and not pad_tall
+                and laplacian.shape[0] != items.shape[1]):
+            raise ValueError(
+                f"graph has {laplacian.shape[0]} nodes but items have "
+                f"{items.shape[1]} coordinates — a dims-reduced index "
+                f"needs projection=..., a tall energy graph needs "
+                f"pad_tall=True")
+
+        # z-plane per shard: z = (x @ proj?) @ signalsᵀ (identity maps
+        # when absent) — mirrors energymaps._energy_z_items shard-wise
+        def _z_shard(x, pr, sg):
+            xp = x if not has_proj else jnp.dot(
+                x, pr, preferred_element_type=dt)
+            return jnp.dot(xp, sg.T, preferred_element_type=dt) \
+                if has_signals else xp
+
+        z_items = jax.jit(shard_map(
+            _z_shard, mesh=mesh,
+            in_specs=(P(ITEMS_AXIS, None), P(), P()),
+            out_specs=P(ITEMS_AXIS, None), check_vma=False))(
+                items, proj, sig)
+        g = z_items.shape[1]
+        self._g = g
+
+        knl = kernel or ("binned" if _use_binned_energy(
+            shard_n, k_local, g) else "chunked")
+        from ..config import bucket_rows
+        chunk = min(ENERGY_CHUNK, max(bucket_rows(shard_n), 8))
+
+        # per-shard prepared z corpus (pad + ||z||² hoist); the raw
+        # sharded z stays for the repair path
+        prepped = knl == "binned" and prepare_corpus
+        step_z, step_lam, step_zn = z_items, item_lambdas, None
+        if prepped:
+            from ..ops.pallas_bintopk import binned_energy_layout
+            n_pad_l = binned_energy_layout(self.batch_size, shard_n, g,
+                                           k_local)[4]
+            pad_l = n_pad_l - shard_n
+            prep = shard_map(
+                lambda z, zl: (
+                    jnp.pad(z.astype(jnp.float32), ((0, pad_l), (0, 0))),
+                    jnp.pad(zl.astype(jnp.float32), (0, pad_l)),
+                    jnp.pad(jnp.sum(z.astype(jnp.float32) ** 2, axis=1),
+                            (0, pad_l))),
+                mesh=mesh,
+                in_specs=(P(ITEMS_AXIS, None), P(ITEMS_AXIS)),
+                out_specs=(P(ITEMS_AXIS, None), P(ITEMS_AXIS),
+                           P(ITEMS_AXIS)),
+                check_vma=False)
+            step_z, step_lam, step_zn = jax.jit(prep)(z_items,
+                                                      item_lambdas)
+        else:
+            step_zn = jax.jit(shard_map(
+                lambda z: jnp.sum(z * z, axis=1), mesh=mesh,
+                in_specs=P(ITEMS_AXIS, None), out_specs=P(ITEMS_AXIS),
+                check_vma=False))(z_items)
+
+        def _shard_fn(q, z, zlam, zn, lap, pr, sg):
+            q_prep = q if not has_proj else jnp.dot(
+                q, pr, preferred_element_type=dt)
+            taus = select_tau_batch(q_prep, taumode)
+            qlam = synthetic_lambda_batch(q_prep, lap, taus,
+                                          pad_items=pad_tall)
+            z_q = jnp.dot(q_prep, sg.T, preferred_element_type=dt) \
+                if has_signals else q_prep
+            wl = jnp.asarray(w_lambda, dtype=dt)
+            wd = jnp.asarray(w_dirichlet, dtype=dt)
+            det = None
+            if knl == "binned":
+                from ..ops.pallas_bintopk import binned_energy_topk
+                ls, li, fl, det_l = binned_energy_topk(
+                    z_q, qlam, z, zlam, wl, wd, k=k_local,
+                    interpret=jax.default_backend() != "tpu",
+                    prepared=prepped,
+                    n_items=shard_n if prepped else 0,
+                    z_norms=zn if prepped else None, return_det=True)
+                ls = ls.astype(dt)
+                fl = jax.lax.pmax(fl, ITEMS_AXIS)
+                det = jax.lax.all_gather(det_l, ITEMS_AXIS, axis=1,
+                                         tiled=True)
+            else:
+                ls, li = _energy_score_topk_chunked(
+                    z_q, qlam, z, zlam, wl, wd, k=k_local, chunk=chunk)
+                ls = ls.astype(dt)
+                fl = jnp.zeros((q.shape[0],), dtype=jnp.int32)
+            shard_id = jax.lax.axis_index(ITEMS_AXIS)
+            gidx = li + shard_id * shard_n
+            all_scores = jax.lax.all_gather(ls, ITEMS_AXIS, axis=1,
+                                            tiled=True)
+            all_idx = jax.lax.all_gather(gidx, ITEMS_AXIS, axis=1,
+                                         tiled=True)
+            top_scores, pos = jax.lax.top_k(all_scores, k_eff)
+            top_idx = jnp.take_along_axis(all_idx, pos, axis=1)
+            ids_fl = jnp.concatenate([top_idx, fl[:, None]], axis=1)
+            if det is not None:
+                return top_scores, ids_fl, qlam, det
+            return top_scores, ids_fl, qlam
+
+        n_out = 4 if knl == "binned" else 3
+        fn = shard_map(_shard_fn, mesh=mesh,
+                       in_specs=(P(), P(ITEMS_AXIS, None), P(ITEMS_AXIS),
+                                 P(ITEMS_AXIS), P(), P(), P()),
+                       out_specs=tuple([P()] * n_out), check_vma=False)
+        jitted = jax.jit(fn)
+        if mp:
+            rep = replicated_sharding(mesh)
+            self._step = lambda q: jitted(
+                put_global(np.asarray(q), rep), step_z, step_lam,
+                step_zn, laplacian, proj, sig)
+        else:
+            self._step = lambda q: jitted(q, step_z, step_lam, step_zn,
+                                          laplacian, proj, sig)
+
+        # exact distributed chunked pass (repair fallback): per-shard
+        # streaming scorer + the same all_gather merge, replicated out
+        def _exact_shard(zq, ql, z, zlam):
+            ls, li = _energy_score_topk_chunked(
+                zq, ql, z, zlam, jnp.asarray(w_lambda, dtype=dt),
+                jnp.asarray(w_dirichlet, dtype=dt), k=k_local,
+                chunk=chunk)
+            shard_id = jax.lax.axis_index(ITEMS_AXIS)
+            gidx = li + shard_id * shard_n
+            s_all = jax.lax.all_gather(ls.astype(dt), ITEMS_AXIS, axis=1,
+                                       tiled=True)
+            i_all = jax.lax.all_gather(gidx, ITEMS_AXIS, axis=1,
+                                       tiled=True)
+            ts, pos = jax.lax.top_k(s_all, k_eff)
+            return ts, jnp.take_along_axis(i_all, pos, axis=1)
+
+        exact_fn = jax.jit(shard_map(
+            _exact_shard, mesh=mesh,
+            in_specs=(P(), P(), P(ITEMS_AXIS, None), P(ITEMS_AXIS)),
+            out_specs=(P(), P()), check_vma=False))
+
+        def repair(q_block, qlam_np, rows, scores=None, ids=None,
+                   det_rows=None):
+            from ..ops.bin_repair import padded_take
+            take = padded_take(rows)
+            q = put_global(np.asarray(q_block[take], dtype=np.dtype(dt)),
+                           replicated_sharding(mesh)) if mp \
+                else jnp.asarray(q_block[take], dtype=dt)
+            q_prep = q if not has_proj else jnp.dot(
+                q, proj, preferred_element_type=dt)
+            z_pad = jnp.dot(q_prep, sig.T, preferred_element_type=dt) \
+                if has_signals else q_prep
+            z = np.asarray(z_pad)[:len(rows)]
+
+            def full_exact(rel_rows):
+                m = len(rel_rows)
+                pad = (-m) % 128
+                zs = np.pad(z[rel_rows], ((0, pad), (0, 0)))
+                qls = np.pad(np.asarray(qlam_np)[rows[rel_rows]],
+                             (0, pad))
+                rep_sh = replicated_sharding(mesh)
+                rs, ri = exact_fn(
+                    put_global(zs.astype(np.dtype(dt)), rep_sh),
+                    put_global(qls.astype(np.dtype(dt)), rep_sh),
+                    z_items, item_lambdas)
+                return np.asarray(rs)[:m], np.asarray(ri)[:m]
+
+            if det_rows is None or mp:
+                # multi-process: no replicated-output contract on the
+                # strided chunk programs (see DistributedSearchSession)
+                return full_exact(np.arange(len(rows)))
+            from ..ops.bin_repair import strided_energy_repair
+            return strided_energy_repair(
+                np.asarray(z), qlam_np[rows], det_rows,
+                scores[rows, k_eff - 1], ids[rows],
+                z_items, item_lambdas, None,
+                float(w_lambda), float(w_dirichlet), k=k_eff, n=n,
+                prepared=False, shard_n=shard_n, fallback=full_exact,
+                cur_scores=scores[rows])
+
+        self._repair = repair if knl == "binned" else None
+
+    @classmethod
+    def from_index(cls, index, mesh: Mesh, batch_size: int, k: int = 10,
+                   w_lambda: float = 1.0, w_dirichlet: float = 0.5,
+                   depth: int = 2, **kw) -> "DistributedEnergySearchSession":
+        """Open a mesh energy session over a built energy ArrowIndex
+        (the corpus and λ re-shard; graph/signals/projection
+        replicate)."""
+        aspace, gl = index.aspace, index.gl
+        dt = aspace.data.dtype
+        proj = None
+        if aspace.projection_matrix is not None:
+            proj = aspace.projection_matrix.matrix(dtype=dt)
+        items_proj = aspace.projected_items()
+        use_signals = (aspace.signals is not None
+                       and np.shape(aspace.signals)[0] > 0
+                       and np.shape(aspace.signals)[1]
+                       == items_proj.shape[1])
+        signals = np.asarray(aspace.signals) if use_signals else None
+        # the session shards RAW items and projects PER SHARD inside the
+        # z-plane program (queries project inside the step, exactly like
+        # prepare_query_items_batch + search_energy_batch do on one chip
+        # — energymaps.py:511-536)
+        return cls(aspace.data, aspace.lambdas,
+                   jnp.asarray(gl.matrix, dtype=dt), mesh, batch_size,
+                   k=k, w_lambda=w_lambda, w_dirichlet=w_dirichlet,
+                   taumode=aspace.taumode, depth=depth, projection=proj,
+                   signals=signals, pad_tall=aspace.pad_tall_graphs, **kw)
+
+    def warmup(self) -> None:
+        """Compile the fused multi-chip energy step (and the repair
+        programs) so serving is dispatch-only."""
+        from ..index import warm_step
+        warm_step(self._step, self.batch_size, self._dim, self._dt,
+                  repair=self._repair, k=self.k)
+
+    def search_stream(self, batches):
+        """Yield (scores, ids) per input batch with ``depth`` batches in
+        flight across the mesh (shared driver: index.stream_search)."""
+        from ..index import stream_search
+        return stream_search(self._step, batches, self.batch_size,
+                             self.depth, self._dt, dim=self._dim,
+                             repair=self._repair)
+
+
 def distributed_index_step(
     items: jax.Array,       # (N, F) sharded
     centroids: jax.Array,   # (X, F) replicated (from host clustering)

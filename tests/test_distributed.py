@@ -550,3 +550,210 @@ def test_distributed_session_prepared_corpus_matches_raw(mesh):
                                       raw.search_stream(batches)):
         np.testing.assert_array_equal(i_p, i_r)
         np.testing.assert_array_equal(s_p, s_r)
+
+
+# ---------------------------------------------------------------------------
+# DistributedEnergySearchSession — the mesh ENERGY serving session
+# (energymaps.rs:368-407 semantics over the sharded z-plane)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def energy_index_800():
+    from arrowspace_tpu.builder import ArrowSpaceBuilder
+    from arrowspace_tpu.energymaps import EnergyParams, build_energy
+    from arrowspace_tpu.index import ArrowIndex
+    rng = np.random.default_rng(5)
+    centers = rng.uniform(0, 1, (40, 16))
+    rows = centers[rng.integers(0, 40, 800)] + rng.normal(0, 0.02,
+                                                          (800, 16))
+    b = (ArrowSpaceBuilder().with_seed(7).with_dims_reduction(True, 0.3)
+         .with_inline_sampling(None))
+    aspace, gl = build_energy(
+        b, rows.tolist(),
+        EnergyParams(split_quantile=0.2, allow_tall_graphs=True))
+    return ArrowIndex(aspace, gl, b), rows
+
+
+def test_distributed_energy_session_matches_single(mesh, energy_index_800):
+    """from_index over a built energy index: the mesh session (per-shard
+    z-plane + all_gather merge) must reproduce the one-shot
+    search_energy API exactly on CPU/f64, incl. a partial tail batch."""
+    from arrowspace_tpu.parallel import DistributedEnergySearchSession
+
+    idx, rows = energy_index_800
+    assert idx.nitems % 8 == 0, idx.nitems
+    sess = DistributedEnergySearchSession.from_index(
+        idx, mesh, batch_size=8, k=5, w_lambda=1.0, w_dirichlet=0.5)
+    sess.warmup()
+    batches = [rows[:8] * 1.01, rows[8:11] * 1.01]  # tail of 3
+    got = list(sess.search_stream(batches))
+    assert got[0][1].shape == (8, 5) and got[1][1].shape == (3, 5)
+    for qb, (s, i) in zip(batches, got):
+        s_ref, i_ref = idx.search_energy(qb, k=5, w_lambda=1.0,
+                                         w_dirichlet=0.5)
+        np.testing.assert_array_equal(i, np.asarray(i_ref))
+        np.testing.assert_allclose(s, np.asarray(s_ref), rtol=1e-9)
+
+
+def test_distributed_energy_weight_sweep(mesh, energy_index_800):
+    """Weights ride as closure constants per session; each pair matches
+    the one-shot API (mirrors the single-chip weight-sweep test)."""
+    from arrowspace_tpu.parallel import DistributedEnergySearchSession
+
+    idx, rows = energy_index_800
+    queries = rows[5:9] * 1.02
+    for wl, wd in ((0.3, 1.7), (0.0, 1.0)):
+        sess = DistributedEnergySearchSession.from_index(
+            idx, mesh, batch_size=4, k=5, w_lambda=wl, w_dirichlet=wd)
+        (s, i), = list(sess.search_stream([queries]))
+        s_ref, i_ref = idx.search_energy(queries, k=5, w_lambda=wl,
+                                         w_dirichlet=wd)
+        np.testing.assert_array_equal(i, np.asarray(i_ref))
+        np.testing.assert_allclose(s, np.asarray(s_ref), rtol=1e-9)
+
+
+def test_distributed_energy_binned_matches_chunked(mesh):
+    """The per-shard BINNED energy kernel session equals the exact
+    chunked-scorer session on storm-free data (end to end through the
+    stream driver)."""
+    from arrowspace_tpu.parallel import DistributedEnergySearchSession
+    from arrowspace_tpu.taumode import TauMode
+
+    rng = np.random.default_rng(23)
+    n, f, b, k = 8 * 1024, 16, 4, 5
+    items = jnp.asarray(rng.uniform(0.1, 1.0, (n, f)))
+    lambdas = jnp.asarray(rng.uniform(0, 1, n))
+    _, lap = _setup(64, f, seed=5)
+    lap = jnp.asarray(np.asarray(lap)[:f, :f])
+    batches = [np.asarray(rng.uniform(0.1, 1.0, (b, f)))
+               for _ in range(2)]
+
+    ref = DistributedEnergySearchSession(items, lambdas, lap, mesh, b,
+                                         k=k, kernel="chunked",
+                                         taumode=TauMode.median())
+    bn = DistributedEnergySearchSession(items, lambdas, lap, mesh, b,
+                                        k=k, kernel="binned",
+                                        taumode=TauMode.median())
+    assert bn._repair is not None and ref._repair is None
+    for (s_b, i_b), (s_r, i_r) in zip(bn.search_stream(batches),
+                                      ref.search_stream(batches)):
+        np.testing.assert_array_equal(i_b, i_r)
+        np.testing.assert_allclose(s_b, s_r, rtol=1e-5)
+
+
+def test_distributed_energy_prepared_corpus_matches_raw(mesh):
+    """The per-shard prepared z corpus (pad + ||z||² hoisted to
+    construction) must be bitwise-identical to the raw path."""
+    from arrowspace_tpu.parallel import DistributedEnergySearchSession
+    from arrowspace_tpu.taumode import TauMode
+
+    rng = np.random.default_rng(29)
+    n, f, b = 8 * 1024, 16, 4
+    items = jnp.asarray(rng.uniform(0.1, 1.0, (n, f)))
+    lambdas = jnp.asarray(rng.uniform(0, 1, n))
+    _, lap = _setup(64, f, seed=5)
+    lap = jnp.asarray(np.asarray(lap)[:f, :f])
+    batches = [np.asarray(rng.uniform(0.1, 1.0, (b, f)))
+               for _ in range(2)]
+
+    prep = DistributedEnergySearchSession(items, lambdas, lap, mesh, b,
+                                          k=5, kernel="binned",
+                                          taumode=TauMode.median())
+    raw = DistributedEnergySearchSession(items, lambdas, lap, mesh, b,
+                                         k=5, kernel="binned",
+                                         prepare_corpus=False,
+                                         taumode=TauMode.median())
+    for (s_p, i_p), (s_r, i_r) in zip(prep.search_stream(batches),
+                                      raw.search_stream(batches)):
+        np.testing.assert_array_equal(i_p, i_r)
+        np.testing.assert_array_equal(s_p, s_r)
+
+
+def test_distributed_energy_strided_repair_restores_exactness(mesh):
+    """A >depth duplicate storm inside ONE shard's bin must flag, and the
+    mesh strided ENERGY repair (fired (shard, local-bin) slices rescored
+    against the sharded z corpus) must restore the exact chunked-session
+    result end-to-end through the stream driver."""
+    from arrowspace_tpu.ops.pallas_bintopk import (binned_energy_layout,
+                                                   binned_topk_depth_for)
+    from arrowspace_tpu.parallel import DistributedEnergySearchSession
+    from arrowspace_tpu.taumode import TauMode
+
+    rng = np.random.default_rng(31)
+    shard_n, f, b, k = 8192, 16, 4, 6
+    n = 8 * shard_n
+    depth = binned_topk_depth_for(k)
+    items = np.asarray(rng.uniform(0.1, 1.0, (n, f)))
+    q0 = np.asarray(rng.uniform(0.1, 1.0, (b, f)))
+    # duplicates of query 0 (z == items here: no projection/signals, so
+    # d² = 0 ties them at the top) in ONE local bin of shard 3
+    _, tile, lane_split, _, _ = binned_energy_layout(b, shard_n, f, k)
+    bins = tile // lane_split
+    base = 3 * shard_n
+    dup_rows = [base + 5 + j * bins for j in range(depth + 2)
+                if 5 + j * bins < shard_n]
+    assert len(dup_rows) > depth, (dup_rows, bins, shard_n)
+    for g in dup_rows:
+        items[g] = q0[0]
+    lambdas = jnp.asarray(np.full(n, 0.5))
+    _, lap = _setup(64, f, seed=3)
+    lap = jnp.asarray(np.asarray(lap)[:f, :f])
+
+    ref = DistributedEnergySearchSession(jnp.asarray(items), lambdas,
+                                         lap, mesh, b, k=k,
+                                         kernel="chunked",
+                                         taumode=TauMode.median())
+    bn = DistributedEnergySearchSession(jnp.asarray(items), lambdas,
+                                        lap, mesh, b, k=k,
+                                        kernel="binned",
+                                        taumode=TauMode.median())
+    repair_calls = []
+    inner = bn._repair
+
+    def spy(q_block, qlam, rows, **kw):
+        repair_calls.append((rows.copy(), kw.get("det_rows")))
+        return inner(q_block, qlam, rows, **kw)
+
+    bn._repair = spy
+    (s_b, i_b), = list(bn.search_stream([q0]))
+    (s_r, i_r), = list(ref.search_stream([q0]))
+    assert repair_calls and 0 in repair_calls[0][0], \
+        "the duplicate storm must flag query 0 into the repair path"
+    assert repair_calls[0][1] is not None, \
+        "the driver must hand the repair the gathered det plane rows"
+    np.testing.assert_array_equal(i_b, i_r)
+    np.testing.assert_allclose(s_b, s_r, rtol=1e-6)
+    assert list(i_r[0][:len(dup_rows)]) == dup_rows
+
+
+def test_distributed_energy_session_projected_index(mesh):
+    """from_index over a dims-reduced ENERGY index: queries must project
+    inside the step (λ prep AND z-plane in reduced space) and match the
+    one-shot search_energy exactly — regression for handing the session
+    pre-projected items with no query projection."""
+    from arrowspace_tpu.builder import ArrowSpaceBuilder
+    from arrowspace_tpu.energymaps import EnergyParams, build_energy
+    from arrowspace_tpu.index import ArrowIndex
+    from arrowspace_tpu.parallel import DistributedEnergySearchSession
+
+    rng = np.random.default_rng(17)
+    centers = rng.uniform(0.2, 0.8, (6, 96))
+    rows = centers[rng.integers(0, 6, 512)] + rng.normal(0, 0.05,
+                                                         (512, 96))
+    b = (ArrowSpaceBuilder().with_seed(9).with_dims_reduction(True, 0.9)
+         .with_inline_sampling(None))
+    aspace, gl = build_energy(
+        b, rows.tolist(),
+        EnergyParams(split_quantile=0.2, allow_tall_graphs=True))
+    assert aspace.projection_matrix is not None
+    idx = ArrowIndex(aspace, gl, b)
+    assert idx.nitems % 8 == 0, idx.nitems
+
+    sess = DistributedEnergySearchSession.from_index(idx, mesh,
+                                                     batch_size=8, k=7)
+    sess.warmup()
+    q = rows[:8] * 1.01
+    (s, i), = tuple(sess.search_stream([q]))
+    s_ref, i_ref = idx.search_energy(q, k=7)
+    np.testing.assert_array_equal(i, np.asarray(i_ref))
+    np.testing.assert_allclose(s, np.asarray(s_ref), rtol=1e-9)
