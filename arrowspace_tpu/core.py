@@ -417,7 +417,7 @@ class ArrowSpace:
             use_pallas = (jax.default_backend() == "tpu"
                           and self.nitems >= 65536 and k_eff <= 128)
         if use_pallas:
-            if (k_eff <= 48 and self.data.shape[1] <= 1536
+            if (k_eff <= 128 and self.data.shape[1] <= 1536
                     and jax.default_backend() == "tpu"):
                 # bin-accumulator streaming kernel + rare exact repair
                 # (ops/pallas_bintopk.py) — the fast serving path

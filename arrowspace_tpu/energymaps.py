@@ -489,7 +489,7 @@ def _use_binned_energy(nitems: int, k: int, g: int) -> bool:
     z-width whose double-buffered tile fits scoped VMEM."""
     import jax
     return (jax.default_backend() == "tpu" and nitems > ENERGY_CHUNK
-            and k <= 48 and g <= 1536)
+            and k <= 128 and g <= 1536)
 
 
 def _energy_z_items(aspace: ArrowSpace, items_proj, signals, use_signals):

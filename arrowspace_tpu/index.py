@@ -181,18 +181,19 @@ def energy_session_config(nitems: int, k: int, z_width: int
 def session_kernel_kind(nitems: int, k: int, f: int = None) -> str:
     """The serving step's kernel dispatch (shared with precompile):
     "binned" — bin-accumulator streaming kernel + rare exact repair
-    (the fast path; its pool and flush extraction grow with k, and the
-    collision rate with k², so it is gated at k <= 48; the double-
-    buffered f32 item tile caps F at ~1536 under the 16 MB scoped-VMEM
-    limit even at the smallest block);
-    "merge" — the exact streaming-merge kernel (k <= 128; per-slot
-    unrolled); "xla" — matmul + lax.top_k."""
+    (the fast path; k <= 128 — the (48, 128] band rides the depth-4 /
+    bins-512 layout instead of falling off onto the per-slot-unrolled
+    merge kernel, whose honest B=2048 wall is ~7x the binned kernel's;
+    the double-buffered f32 item tile caps F at ~1536 under the 16 MB
+    scoped-VMEM limit even at the smallest block);
+    "merge" — the exact streaming-merge kernel (manual/repair use only
+    since r4); "xla" — matmul + lax.top_k (any k, any F)."""
     import jax
     if jax.default_backend() != "tpu" or nitems < 65536:
         return "xla"
-    if k <= 48 and (f is None or f <= 1536):
+    if k <= 128 and (f is None or f <= 1536):
         return "binned"
-    return "merge" if k <= 128 and (f is None or f <= 1536) else "xla"
+    return "xla"
 
 
 def session_uses_pallas(nitems: int, k: int) -> bool:

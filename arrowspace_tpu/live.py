@@ -514,13 +514,13 @@ class LiveSearchSession(_LiveBase):
         self._aspace, self._gl = aspace, gl
 
         # kernel choice is made at CAPACITY so it never changes as the
-        # live count moves; k > 48 has no dynamic-count Pallas kernel
-        # (the merge kernel's SMEM N is reachable the same way — left
-        # for a future round), so large live corpora gate on k.
+        # live count moves; k > 128 has no dynamic-count Pallas kernel,
+        # so large live corpora gate on k (k in (48, 128] rides the
+        # binned depth-4 layout since r4).
         kernel = session_kernel_kind(cap, self.k, self._dim)
         if kernel == "merge":
             raise ValueError(
-                f"LiveSearchSession supports k <= 48 on large corpora "
+                f"LiveSearchSession supports k <= 128 on large corpora "
                 f"(got k={k}); use a static SearchSession or lower k")
         self._kernel = kernel
         self._use_bf16 = precision == "bf16" and kernel == "binned"

@@ -61,11 +61,16 @@ INT_MAX = np.iinfo(np.int32).max
 def binned_topk_depth_for(k: int) -> int:
     """Bin depth D for a requested k: deep enough that the miss-detector
     fires ~never (P ~ C(k, D+1)/L^D), shallow enough to keep the
-    insertion network cheap.  k > 48 callers should use the exact merge
-    kernel instead (the pool and the flush extraction grow linearly)."""
+    insertion network cheap.  The k in (48, 128] band rides depth 4 at
+    bins 512 (flag expectation C(k, 5)/512⁴ ≈ 1e-4..4e-3 per query, all
+    absorbed by the strided repair) — before r4 that band fell off a 7×
+    cliff onto the per-slot-unrolled merge kernel.  k > 128 callers take
+    the XLA sort path (the reference supports any k, core.rs:760-798)."""
     if k <= 4:
         return 2
-    return 3
+    if k <= 48:
+        return 3
+    return 4
 
 
 _VMEM_BUDGET = int(14.5 * 1024 * 1024)
@@ -119,7 +124,15 @@ def _bins_target(k: int) -> int:
     past that the two costs stay within ~1.5 ms of each other either
     way (k=32: bins 256 = 11.5 ms + ~4.4 repair vs bins 512 ~ 14 ms +
     ~1.8 expected repair), so the backoff keeps the cheaper fold and
-    accepts the repair.
+    accepts the repair.  The (48, 128] band keeps bins 512 with depth 4
+    (see binned_topk_depth_for): measured on chip at 1M x 128 B=2048
+    (benchmarks/kband_tpu_smoke.py) the flag rate is 9/34/56 per 2048 at
+    k=64/100/128 (the naive C(k, 5)/512⁴ model underestimates the tail —
+    near-boundary slots collide more than uniform bins predict), all
+    inside the strided repair's budget (~1 ms device work per flagged
+    row set), while bins 1024 would double the fold + flush work for
+    every batch; kernel wall is flat across the band at 13.2 ms/2048 vs
+    k=32's 9.9 ms — against the ~70.7 ms merge-kernel cliff it replaces.
 
     Re-measured after the STRIDED repair made flags ~15x cheaper
     (benchmarks/kband_backoff_bench.py, 1M x 128 B=2048): the narrow

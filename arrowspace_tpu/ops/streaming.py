@@ -71,7 +71,7 @@ def streamed_lambda_topk(
     best_s = np.full((b, k), -np.inf, dtype=np.float32)
     best_i = np.zeros((b, k), dtype=np.int64)
     on_tpu = jax.default_backend() == "tpu"
-    use_binned = on_tpu and k <= 48
+    use_binned = on_tpu and k <= 128
     use_pallas = on_tpu and k <= 128
 
     for c0 in range(0, n, chunk):
