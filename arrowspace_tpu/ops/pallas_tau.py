@@ -92,6 +92,52 @@ def fused_select_tau_fits(f: int, tile: int = 1024) -> bool:
         <= 14 * 1024 * 1024 - 2 * tile * f * 4
 
 
+def _sortable_int(x):
+    """Monotone bijection f32 -> i32 (f64 -> i64 on the CPU/f64 test
+    configs): bitcast, then flip the magnitude bits of negatives so
+    SIGNED integer order equals float order (-inf lowest, +inf highest;
+    -0.0 orders just below +0.0 exactly like the sort path's total
+    order).  Returns (y, int_dtype, n_bits)."""
+    if x.dtype == jnp.float64:
+        it, bits = jnp.int64, 64
+    else:
+        it, bits = jnp.int32, 32
+    xi = jax.lax.bitcast_convert_type(x, it)
+    mask = jnp.asarray(jnp.iinfo(it).max, it)      # 0x7FFF... (sign clear)
+    return jnp.where(xi < 0, xi ^ mask, xi), it, bits
+
+
+def _from_sortable(y, out_dtype):
+    it = y.dtype
+    mask = jnp.asarray(jnp.iinfo(it).max, it)
+    return jax.lax.bitcast_convert_type(
+        jnp.where(y < 0, y ^ mask, y), out_dtype)
+
+
+def _bisect_order_stat(y, rank1, axis: int, it, bits: int):
+    """Exact order statistic by branchless binary search on the sortable
+    integer VALUE range: after `bits` halvings lo == hi == the smallest
+    v with count(y <= v) >= rank1.  Each pass is one broadcast compare +
+    one count-reduce over the row — pure VPU work, no exchange network
+    (the bitonic alternative moves data every stage through pltpu.roll
+    pairs that cost ~3x their naive op count; see module docstring).
+    rank1 is rank+1, shaped like the keepdims-reduce of y along `axis`.
+    Rows whose rank1 exceeds the row length converge to +inf's pattern
+    (callers mask those out)."""
+    one = jnp.asarray(1, it)
+    lo = jnp.full(rank1.shape, jnp.iinfo(it).min, it)
+    hi = jnp.full(rank1.shape, jnp.iinfo(it).max, it)
+    for _ in range(bits):
+        # overflow-safe floor((lo + hi) / 2) in the signed domain
+        mid = (lo >> one) + (hi >> one) + (lo & hi & one)
+        cnt = jnp.sum((y <= mid).astype(jnp.int32), axis=axis,
+                      keepdims=True)
+        ge = cnt >= rank1
+        hi = jnp.where(ge, mid, hi)
+        lo = jnp.where(ge, lo, mid + one)
+    return lo
+
+
 def _bitonic_sort_lanes(x, f2: int):
     """Ascending bitonic sort along the last axis (width f2, power of 2),
     exchanges via pltpu.roll — stays on-chip.
@@ -170,6 +216,44 @@ def _tau_rows(x, f: int, f2: int, kind: str, pct: float,
 
     big = jnp.asarray(jnp.inf, dtype=x.dtype)
     xs = jnp.where(finite, x, big)
+
+    if layout in ("bisect", "bisect_lane"):
+        # Selection, not sort: binary-search each row's order statistic
+        # over the sortable-int value range (32 count passes at f32) —
+        # ~3 VPU element-ops per pass vs the bitonic's 28 stages of
+        # roll+blend networks, and no pad to the next power of two.
+        yi, it, bits = _sortable_int(xs)
+        if layout == "bisect":                 # count along SUBLANES
+            y, axis = yi.T, 0
+            shp = lambda v: v[None, :]         # (T,) -> (1, T)
+        else:                                  # count along lanes
+            y, axis = yi, 1
+            shp = lambda v: v[:, None]         # (T,) -> (T, 1)
+        one = jnp.asarray(1, jnp.int32)
+        if kind == "percentile":
+            pp = min(max(pct, 0.0), 1.0)
+            idx = jnp.floor((m - 1).astype(jnp.float32) * pp + 0.5) \
+                .astype(jnp.int32)
+            idx = jnp.clip(idx, 0, f - 1)
+            v = _bisect_order_stat(y, shp(idx + one), axis, it, bits)
+            out = jnp.where(m > 0,
+                            _from_sortable(v, x.dtype).reshape(t),
+                            TAU_FLOOR)
+        else:  # median: rank hi from rank lo's value + one masked min
+            lo_r = jnp.clip((jnp.maximum(m, 1) - 1) // 2, 0, f - 1)
+            hi_r = jnp.clip(jnp.maximum(m, 1) // 2, 0, f - 1)
+            v_lo = _bisect_order_stat(y, shp(lo_r + one), axis, it, bits)
+            cnt_lo = jnp.sum((y <= v_lo).astype(jnp.int32), axis=axis,
+                             keepdims=True)
+            nxt = jnp.min(jnp.where(y > v_lo,
+                                    y, jnp.asarray(jnp.iinfo(it).max, it)),
+                          axis=axis, keepdims=True)
+            v_hi = jnp.where(cnt_lo < shp(hi_r + one), nxt, v_lo)
+            med = 0.5 * (_from_sortable(v_lo, x.dtype)
+                         + _from_sortable(v_hi, x.dtype))
+            out = jnp.where(m > 0, med.reshape(t), TAU_FLOOR)
+        return jnp.maximum(out, TAU_FLOOR)
+
     if f2 != f:
         pad = jnp.full((t, f2 - f), big, dtype=x.dtype)
         xs = jnp.concatenate([xs, pad], axis=1)

@@ -400,6 +400,72 @@ def test_resolve_layout_partial_pin_keeps_auto_pre_reduce():
     assert (r, pre) == (1, False)
 
 
+@pytest.mark.parametrize("k", [64, 100, 128])
+def test_binned_topk_kband_matches_xla(k):
+    """The (48, 128] band (VERDICT r3 item 4): depth-4 insertion network,
+    exact vs the XLA oracle on collision-free data, flags quiet."""
+    from arrowspace_tpu.ops.pallas_bintopk import (binned_lambda_topk,
+                                                   binned_topk_depth_for)
+    assert binned_topk_depth_for(k) == 4
+    q, qlam, x, xlam = _bin_data(2048, 32, 3, seed=k)
+    s1, i1, fl = binned_lambda_topk(q, qlam, x, xlam, 0.9, k=k, tile=512,
+                                    interpret=True, block_b=3)
+    s2, i2 = batched_lambda_aware_topk(q, qlam, x, xlam,
+                                       jnp.float32(0.9), k=k)
+    assert (np.asarray(fl) == 0).all()
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_binned_topk_kband_deep_collision_repairs():
+    """k=64 with > depth (4) same-bin duplicates must flag and repair to
+    the exact result through pallas_binned_topk_with_repair."""
+    from arrowspace_tpu.ops.pallas_bintopk import binned_lambda_topk
+    from arrowspace_tpu.ops.search import pallas_binned_topk_with_repair
+
+    rng = np.random.default_rng(64)
+    n, f, tile, k = 4096, 32, 512, 64
+    q = jnp.asarray(rng.uniform(0.1, 1.0, (2, f)), jnp.float32)
+    qlam = jnp.asarray(rng.uniform(0, 1, (2,)), jnp.float32)
+    x = np.asarray(rng.uniform(0.1, 1.0, (n, f)), np.float32)
+    xlam = jnp.asarray(rng.uniform(0, 1, (n,)), jnp.float32)
+    binpos = 11
+    for j in range(6):                    # > depth 4 same-bin copies
+        x[j * tile + binpos] = np.asarray(q[0])
+    xj = jnp.asarray(x)
+    _, _, fl = binned_lambda_topk(q, qlam, xj, xlam, 1.0, k=k, tile=tile,
+                                  interpret=True, block_b=2)
+    assert np.asarray(fl)[0] == 1
+    rs, ri = pallas_binned_topk_with_repair(q, qlam, xj, xlam, 1.0, k=k,
+                                            tile=tile, interpret=True)
+    s2, i2 = batched_lambda_aware_topk(q, qlam, xj, xlam,
+                                       jnp.float32(1.0), k=k)
+    np.testing.assert_allclose(np.asarray(rs), np.asarray(s2), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(ri), np.asarray(i2))
+
+
+def test_kband_auto_layout_fits_and_dispatches_binned():
+    """Layout pins for the (48, 128] serving band: the auto layout keeps
+    bins 512 at depth 4 inside the VMEM budget, and the serving dispatch
+    (session_kernel_kind) routes the whole band to the binned kernel —
+    the r3 auto-dispatch fell off to the ~7x-slower merge kernel here."""
+    from arrowspace_tpu.index import session_kernel_kind
+    from arrowspace_tpu.ops.pallas_bintopk import (_layout_fits,
+                                                   binned_layout,
+                                                   binned_topk_depth_for)
+    for k in (64, 100, 128):
+        d = binned_topk_depth_for(k)
+        b, t, r, pre, n_pad = binned_layout(2048, 1_000_000, 128, k)
+        assert t // r == 512, (k, b, t, r)
+        assert _layout_fits(b, t, 128, d, 4, 6 if pre else 3, r), (b, t, r)
+        assert k <= d * (t // r)
+    import jax
+    if jax.default_backend() == "tpu":       # gate is backend-dependent
+        for k in (64, 100, 128):
+            assert session_kernel_kind(1_000_000, k, 128) == "binned"
+        assert session_kernel_kind(1_000_000, 129, 128) == "xla"
+
+
 def test_binned_topk_prepared_corpus_matches_raw():
     """prepare_binned_corpus + prepared=True must be bitwise-identical
     to the raw-items path (the session hoists the normalise+bucket-pad
@@ -574,9 +640,12 @@ def test_binned_energy_fuzz_shapes_and_k():
                                    np.asarray(s2)[ok], atol=2e-5)
 
 
-@pytest.mark.parametrize("layout", ["sublane", "sublane_mm"])
+@pytest.mark.parametrize("layout", ["sublane", "sublane_mm",
+                                    "bisect", "bisect_lane"])
 def test_fused_select_tau_sublane_layouts_match_lane(layout):
-    """The sublane-sorted τ layouts (sublane = production) must agree
+    """The sublane-sorted τ layouts (sublane = sort production) and the
+    bisection SELECTION layouts (bisect = r4 candidate: binary search on
+    the sortable-int value range, no exchange network) must agree
     bitwise with the lane layout (same values, same extraction
     arithmetic), including non-finite filtering, non-power-of-two F and
     percentile.  (On the real chip sublane ≡ lane exactly too, but
@@ -599,6 +668,32 @@ def test_fused_select_tau_sublane_layouts_match_lane(layout):
                                             layout=layout))
             np.testing.assert_array_equal(a, b,
                                           err_msg=f"f={f} kind={kind}")
+
+
+def test_bisect_tau_duplicates_and_signed_zero():
+    """Selection-specific edges the sort path gets for free: (a) ties —
+    the even-m upper statistic must resolve to the SAME duplicated value
+    (the cnt_lo >= hi+1 shortcut), (b) the next-distinct-value hop when
+    the two middle ranks straddle different values, (c) -0.0/+0.0 whose
+    sortable-int patterns differ but values compare equal."""
+    from arrowspace_tpu.ops.pallas_tau import fused_select_tau
+    rng = np.random.default_rng(31)
+    f = 32
+    x = rng.choice([-2.0, -0.5, 0.25, 1.5, 3.0], size=(700, f)) \
+        .astype(np.float32)                       # heavy duplicates
+    x[5, :] = 7.0                                 # all-equal row
+    x[9, : f // 2] = -0.0
+    x[9, f // 2:] = 0.0                           # median spans -0/+0
+    x[12, ::3] = np.nan                           # odd/even m mix
+    xj = jnp.asarray(x)
+    for kind, pct in (("median", 0.5), ("percentile", 0.5)):
+        ref = np.asarray(fused_select_tau(xj, kind=kind, pct=pct,
+                                          tile=256, interpret=True,
+                                          layout="lane"))
+        got = np.asarray(fused_select_tau(xj, kind=kind, pct=pct,
+                                          tile=256, interpret=True,
+                                          layout="bisect"))
+        np.testing.assert_array_equal(ref, got, err_msg=kind)
 
 
 @pytest.mark.parametrize("lane_split", [2, 4])
