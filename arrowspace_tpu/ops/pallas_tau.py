@@ -16,20 +16,35 @@ to HBM gathers).  This kernel keeps the whole sort in registers/VMEM:
 
 Each item row is read exactly once; output is the (N,) τ vector.
 
-Alternatives evaluated and rejected (so they are not re-tried):
+Alternatives evaluated (measured, so they are not re-guessed):
 - jnp-level bitonic network outside Pallas: 3.4× SLOWER than jnp.sort at
   1M×128 on v5e (168 ms vs 50 ms wall) — each of the 28 stages' lane
   permutes lowers to a full-array HBM gather.  The in-register variant
   here is the same network with pltpu.roll keeping exchanges on-chip.
-- bit-level binary-search (radix) selection: ~31 iterations of
-  compare+lane-reduce per order statistic (~6 vector ops each), and the
-  exact median needs TWO statistics ((m-1)//2 and m//2), so ~370 vector
-  ops vs the bitonic's ~140 (28 stages × 2 rolls + select + min/max) —
-  analytically ~2.6× worse, never worth prototyping.  A 256-bucket
-  histogram select is worse still: Mosaic has no per-lane scatter, so a
-  per-row histogram is 256 masked reductions.
+- bit-level binary-search SELECTION ("bisect*" layouts, r4): the r3
+  analysis rejected it at ~370 est. vector ops vs the bitonic's ~140,
+  but that both overestimated the selection (the exact median's second
+  statistic needs ONE extra masked min, not a second 32-pass search;
+  a pass is compare+count ≈ 3 element-ops) and underestimated the sort
+  (a pltpu.roll measures ~3× its naive op count).  Measured on v5e
+  (benchmarks/tau_select_ab.py, tau_mm_ab): τ 1M×128 13.39 → 11.97 ms,
+  fused τ+λ 17.59 → 15.5-15.7 ms, and τ 500k×384 27.82 → 14.17
+  ("bisect") → 11.71 ms ("bisect_mm", counts on the idle MXU as a
+  ones-matvec) — the wide-F win is 2.4× because selection skips the
+  pad to the next power of two and scales with VALUE BITS (32 passes)
+  instead of log²(f2) exchange stages.  At F=128 the gain is only
+  ~1.13×: the count-reduce is latency-bound (sequential pass chain,
+  cross-vreg reduce trees), not throughput-bound, so the ~1.75×
+  op-count advantage does not fully cash.  bisect_lane (counts along
+  lanes) measured 2.3× WORSE than bisect — lane reduces are the
+  expensive axis, as with the sort.
+- a 256-bucket histogram select: Mosaic has no per-lane scatter, so a
+  per-row histogram is 256 masked reductions — strictly dominated by
+  the 32-pass bisection.
 - approximate/bf16 medians are out: τ feeds λ directly and select_tau
-  parity with the reference is exact (tests pin it).
+  parity with the reference is exact (tests pin it; all bisect layouts
+  are bitwise-exact too — selection returns elements, and the even-m
+  mean uses the same 0.5·(lo+hi) arithmetic).
 - hoisting the lane-index masks to (1, f2) broadcasts (r3): measured
   NEUTRAL (25.1 vs 24.5 ms amortised for the fused kernel at 1M×128) —
   Mosaic already constant-folds iota-derived masks; the cost sits in
@@ -43,17 +58,17 @@ Alternatives evaluated and rejected (so they are not re-tried):
   Mosaic relayout transpose (13.78 vs 13.52 ms at 1M×128).  τ parity
   is bitwise by contract, so it is measurement-only.
 
-PRODUCTION LAYOUT: "sublane" — the sub-block is transposed in-kernel
-and sorted along the SUBLANE axis, where exchange distances j >= 8
-cross whole 8-sublane registers (register operand selection, not data
-movement) and only j in {1,2,4} rotate within a register; the lane
-layout pays two multi-micro-op lane rolls at EVERY stage.  Measured
-amortised on v5e (bitwise-equal outputs): τ 1M×128 20.6 → 13.5 ms,
-τ 500k×384 52.6 → 27.9 ms, fused τ+λ 1M×128 24.8 → 17.6 ms
-(benchmarks/tau_layout_bench.py, tau_layout_widef.py).
-Mosaic overlaps this VPU-bound sort with the MXU λ matmul chain in the
-fused τ+λ kernel (ops/pallas_taulambda.py), so the sort bounds the whole
-λτ pipeline.
+PRODUCTION LAYOUT (r4): "auto" — "bisect" (selection along sublanes)
+for τ+λ and for τ-alone at F <= 128; "bisect_mm" (MXU ones-matvec
+counting) for τ-alone at wider F, where the MXU idles and the win is
+2.4× over the sort.  The sort layouts remain selectable: "sublane"
+(the r3 production sort — the sub-block is transposed in-kernel and
+sorted along the SUBLANE axis, where exchange distances j >= 8 cross
+whole 8-sublane registers; measured 1.5-1.9× over "lane"), "lane",
+and "sublane_mm" (interpret-only).  All layouts are bitwise-equal on
+CPU and chip.  Mosaic overlaps the VPU selection with the MXU λ matmul
+chain in the fused τ+λ kernel (ops/pallas_taulambda.py), so the
+selection bounds the whole λτ pipeline.
 """
 
 from __future__ import annotations
@@ -114,25 +129,39 @@ def _from_sortable(y, out_dtype):
         jnp.where(y < 0, y ^ mask, y), out_dtype)
 
 
-def _bisect_order_stat(y, rank1, axis: int, it, bits: int):
+def _count_vpu(y, mid, axis: int):
+    return jnp.sum((y <= mid).astype(jnp.int32), axis=axis, keepdims=True)
+
+
+def _count_mxu(y, mid, ones_row):
+    """count(y <= mid) per column of a (F, T) plane as a ones-matvec:
+    the MXU does the 128-deep accumulate in one systolic pass while the
+    VPU only pays the compare + 0/1 select.  Counts <= F are exact in
+    f32.  Only useful where the MXU idles (the τ-alone kernel); the
+    fused τ+λ kernel's MXU is busy with the λ matmul chain."""
+    mask = jnp.where(y <= mid, 1.0, 0.0).astype(jnp.float32)
+    return jax.lax.dot_general(
+        ones_row, mask, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)          # (1, T)
+
+
+def _bisect_order_stat(y, rank1, axis: int, it, bits: int, count_fn):
     """Exact order statistic by branchless binary search on the sortable
     integer VALUE range: after `bits` halvings lo == hi == the smallest
     v with count(y <= v) >= rank1.  Each pass is one broadcast compare +
-    one count-reduce over the row — pure VPU work, no exchange network
-    (the bitonic alternative moves data every stage through pltpu.roll
-    pairs that cost ~3x their naive op count; see module docstring).
-    rank1 is rank+1, shaped like the keepdims-reduce of y along `axis`.
-    Rows whose rank1 exceeds the row length converge to +inf's pattern
-    (callers mask those out)."""
+    one count-reduce over the row — no exchange network (the bitonic
+    alternative moves data every stage through pltpu.roll pairs that
+    cost ~3x their naive op count; see module docstring).  rank1 is
+    rank+1 (dtype matching count_fn's output), shaped like the keepdims-
+    reduce of y along `axis`.  Rows whose rank1 exceeds the row length
+    converge to +inf's pattern (callers mask those out)."""
     one = jnp.asarray(1, it)
     lo = jnp.full(rank1.shape, jnp.iinfo(it).min, it)
     hi = jnp.full(rank1.shape, jnp.iinfo(it).max, it)
     for _ in range(bits):
         # overflow-safe floor((lo + hi) / 2) in the signed domain
         mid = (lo >> one) + (hi >> one) + (lo & hi & one)
-        cnt = jnp.sum((y <= mid).astype(jnp.int32), axis=axis,
-                      keepdims=True)
-        ge = cnt >= rank1
+        ge = count_fn(y, mid) >= rank1
         hi = jnp.where(ge, mid, hi)
         lo = jnp.where(ge, lo, mid + one)
     return lo
@@ -217,38 +246,48 @@ def _tau_rows(x, f: int, f2: int, kind: str, pct: float,
     big = jnp.asarray(jnp.inf, dtype=x.dtype)
     xs = jnp.where(finite, x, big)
 
-    if layout in ("bisect", "bisect_lane"):
+    if layout in ("bisect", "bisect_lane", "bisect_mm"):
         # Selection, not sort: binary-search each row's order statistic
         # over the sortable-int value range (32 count passes at f32) —
         # ~3 VPU element-ops per pass vs the bitonic's 28 stages of
         # roll+blend networks, and no pad to the next power of two.
+        # bisect_mm counts on the (otherwise idle) MXU instead.
         yi, it, bits = _sortable_int(xs)
-        if layout == "bisect":                 # count along SUBLANES
-            y, axis = yi.T, 0
-            shp = lambda v: v[None, :]         # (T,) -> (1, T)
-        else:                                  # count along lanes
+        if layout == "bisect_lane":            # count along lanes
             y, axis = yi, 1
             shp = lambda v: v[:, None]         # (T,) -> (T, 1)
+        else:                                  # count along SUBLANES
+            y, axis = yi.T, 0
+            shp = lambda v: v[None, :]         # (T,) -> (1, T)
+        if layout == "bisect_mm":
+            ones_row = jnp.ones((1, f), jnp.float32)
+            count_fn = functools.partial(_count_mxu, ones_row=ones_row)
+            rank_t = jnp.float32                # counts <= F exact in f32
+        else:
+            count_fn = functools.partial(_count_vpu, axis=axis)
+            rank_t = jnp.int32
         one = jnp.asarray(1, jnp.int32)
         if kind == "percentile":
             pp = min(max(pct, 0.0), 1.0)
             idx = jnp.floor((m - 1).astype(jnp.float32) * pp + 0.5) \
                 .astype(jnp.int32)
             idx = jnp.clip(idx, 0, f - 1)
-            v = _bisect_order_stat(y, shp(idx + one), axis, it, bits)
+            v = _bisect_order_stat(y, shp(idx + one).astype(rank_t),
+                                   axis, it, bits, count_fn)
             out = jnp.where(m > 0,
                             _from_sortable(v, x.dtype).reshape(t),
                             TAU_FLOOR)
         else:  # median: rank hi from rank lo's value + one masked min
             lo_r = jnp.clip((jnp.maximum(m, 1) - 1) // 2, 0, f - 1)
             hi_r = jnp.clip(jnp.maximum(m, 1) // 2, 0, f - 1)
-            v_lo = _bisect_order_stat(y, shp(lo_r + one), axis, it, bits)
-            cnt_lo = jnp.sum((y <= v_lo).astype(jnp.int32), axis=axis,
-                             keepdims=True)
+            v_lo = _bisect_order_stat(y, shp(lo_r + one).astype(rank_t),
+                                      axis, it, bits, count_fn)
+            cnt_lo = count_fn(y, v_lo)
             nxt = jnp.min(jnp.where(y > v_lo,
                                     y, jnp.asarray(jnp.iinfo(it).max, it)),
                           axis=axis, keepdims=True)
-            v_hi = jnp.where(cnt_lo < shp(hi_r + one), nxt, v_lo)
+            v_hi = jnp.where(cnt_lo < shp(hi_r + one).astype(rank_t),
+                             nxt, v_lo)
             med = 0.5 * (_from_sortable(v_lo, x.dtype)
                          + _from_sortable(v_hi, x.dtype))
             out = jnp.where(m > 0, med.reshape(t), TAU_FLOOR)
@@ -326,9 +365,14 @@ def fused_select_tau(
     pct: float = 0.5,
     tile: int = 1024,
     interpret: bool = False,
-    layout: str = "sublane",  # "sublane" | "lane" | "sublane_mm"
+    layout: str = "auto",    # auto | bisect | bisect_mm | bisect_lane
+                             # | sublane | lane | sublane_mm
 ) -> jax.Array:
     n, f = items.shape
+    if layout == "auto":
+        # counts on the idle MXU win at wide F (2.4x at 384); at
+        # F <= 128 the VPU count is marginally ahead (tau_mm_ab)
+        layout = "bisect_mm" if f > 128 else "bisect"
     f2 = 1 << (f - 1).bit_length()
     dt = items.dtype
 

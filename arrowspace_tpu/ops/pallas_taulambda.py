@@ -99,8 +99,13 @@ def fused_taulambda_batch(
     fixed: float = 0.0,
     tile: int = 1024,
     interpret: bool = False,
-    layout: str = "sublane",  # τ sort layout (see pallas_tau._tau_rows)
+    layout: str = "auto",    # τ selection layout (pallas_tau._tau_rows)
 ) -> jax.Array:
+    if layout == "auto":
+        # bisection select; MXU counting is neutral here (the λ matmul
+        # chain keeps the MXU busy — benchmarks/tau_mm_ab measured
+        # 15.44 vs 15.58 ms at 1Mx128, within noise)
+        layout = "bisect"
     n_items, f = items.shape
     n = laplacian.shape[0]
     if n > f:
