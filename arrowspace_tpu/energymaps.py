@@ -458,13 +458,20 @@ def _energy_score_topk_chunked(z_q, lambda_q, z_items, item_lambdas,
         z_c = jax.lax.dynamic_slice(z_p, (c0, jnp.zeros_like(c0)),
                                     (chunk, g))
         lam_c = jax.lax.dynamic_slice(lam_p, (c0,), (chunk,))
-        d2 = (qn[:, None]
-              - 2.0 * jnp.dot(z_q, z_c.T, preferred_element_type=dt)
-              + jnp.sum(z_c * z_c, axis=1)[None, :])
-        num = jnp.sqrt(jnp.maximum(d2, 0.0))
-        d_dir = jnp.minimum(num / (1.0 + num), 1.0)
+        # canonical r4 fast form — byte-identical to _energy_kernel
+        # (ops/pallas_bintopk): d2 = (qn + xn) - 2·dot, then the scores
+        # stay SHIFTED by +wd (sc' = wd/(1+s) - wl·|Δλ|; true = sc'-wd)
+        # through the whole scan; the -wd restore happens once at the
+        # end so chunk merges and the final tie order match the kernel
+        # flush exactly.  The reference's min(num/(1+num),1) clamp is
+        # dead for finite num and this form gives the correct limit (0)
+        # at num=inf where num/(1+num) would be NaN.
+        d2 = ((qn[:, None] + jnp.sum(z_c * z_c, axis=1)[None, :])
+              - 2.0 * jnp.dot(z_q, z_c.T, preferred_element_type=dt))
+        s_dir = jnp.sqrt(jnp.maximum(d2, 0.0))
+        u = w_dirichlet / (1.0 + s_dir)
         d_lam = jnp.abs(lambda_q[:, None] - lam_c[None, :])
-        sc = -(w_lambda * d_lam + w_dirichlet * d_dir)
+        sc = u - w_lambda * d_lam
         gidx = jnp.arange(chunk, dtype=jnp.int32) + c0.astype(jnp.int32)
         sc = jnp.where(gidx[None, :] < n_eff, sc, neg_inf)
         s_c, i_local = jax.lax.top_k(sc, k)
@@ -479,7 +486,8 @@ def _energy_score_topk_chunked(z_q, lambda_q, z_items, item_lambdas,
             jnp.zeros((b, k), dtype=jnp.int32))
     (run_s, run_i), _ = jax.lax.scan(
         body, init, jnp.arange(n_pad // chunk, dtype=jnp.int32))
-    return run_s, run_i
+    # restore the +wd shift (see body); -inf masked slots stay -inf
+    return run_s - w_dirichlet, run_i
 
 
 def _use_binned_energy(nitems: int, k: int, g: int) -> bool:

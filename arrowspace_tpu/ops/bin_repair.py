@@ -205,15 +205,22 @@ def _lambda_repair_chunk(q, qlam, base, limits, out_idx, items,
                          0.0).astype(mm_dt)
     qn = jnp.sqrt(jnp.sum(q * q, axis=-1, keepdims=True))
     qok = qn > 0.0
-    qhat = jnp.where(qok, q / jnp.where(qok, qn, 1.0), 0.0).astype(mm_dt)
-    cos = jax.lax.dot_general(
+    a32 = alpha.astype(dt)
+    c1 = 1.0 - a32
+    # canonical fma form (ops/search._shifted_lambda_plane): α rides the
+    # prescaled query (multiply in dt, THEN cast — matches the kernel
+    # wrapper's bits), the merge sorts the SHIFTED plane exactly like
+    # the kernel flush, and +c1 is restored on the way out
+    qhat = (jnp.where(qok, q / jnp.where(qok, qn, 1.0), 0.0)
+            .astype(dt) * a32).astype(mm_dt)
+    acos = jax.lax.dot_general(
         qhat, xhat, dimension_numbers=(((1,), (2,)), ((0,), (0,))),
         preferred_element_type=dt,
         precision=jax.lax.Precision.HIGHEST)                # (R, C)
-    a32 = alpha.astype(dt)
     dl = jnp.abs(qlam.astype(dt)[:, None] - lams.astype(dt))
-    scores = a32 * cos + (1.0 - a32) * (1.0 - jnp.minimum(dl, 1.0))
-    return _merge_topk(scores, cand, valid, k)
+    scores = acos - c1 * jnp.minimum(dl, 1.0)
+    s, i = _merge_topk(scores, cand, valid, k)
+    return s + c1, i
 
 
 @functools.partial(jax.jit, static_argnames=("k", "stride", "m",
@@ -236,13 +243,18 @@ def _energy_repair_chunk(zq, qlam, base, limits, out_idx, z_items,
         zq, zx, dimension_numbers=(((1,), (2,)), ((0,), (0,))),
         preferred_element_type=dt,
         precision=jax.lax.Precision.HIGHEST)                # (R, C)
-    # identical expression order to the kernel / chunked path
-    d2 = (qn[:, None] - 2.0 * dot) + xn
-    num = jnp.sqrt(jnp.maximum(d2, 0.0))
-    d_dir = jnp.minimum(num / (1.0 + num), 1.0)
+    # identical expression order to the kernel / chunked path (r4 fast
+    # form): d2 = (qn + xn) - 2·dot, scores SHIFTED by +wd through the
+    # merge (exactly what the kernel flush sorts), -wd restored on the
+    # way out
+    wd_d = wd.astype(dt)
+    d2 = (qn[:, None] + xn) - 2.0 * dot
+    s_dir = jnp.sqrt(jnp.maximum(d2, 0.0))
+    u = wd_d / (1.0 + s_dir)
     d_lam = jnp.abs(qlam.astype(dt)[:, None] - lams.astype(dt))
-    scores = -(wl.astype(dt) * d_lam + wd.astype(dt) * d_dir)
-    return _merge_topk(scores, cand, valid, k)
+    scores = u - wl.astype(dt) * d_lam
+    s, i = _merge_topk(scores, cand, valid, k)
+    return s - wd_d, i
 
 
 def _run_chunked(chunk_fn, r_total: int, r_cap: int, pack_fn):

@@ -174,6 +174,19 @@ def _auto_layout(bsz: int, n: int, f: int, k: int, depth: int,
     elem = 2 if use_bf16 else 4
     if n >= 65536:
         bins = _bins_target(k)
+        if bsz <= 256:
+            # Small-batch latency: at B<=256 the B=2048 resident-block
+            # logic degenerates to block 256 / tile 2048 and the wall is
+            # grid-step overhead (1M x 128 = 488 steps).  Tile 4096
+            # halves the steps; bins widen to keep r <= 16 (per-pair
+            # fold work scales with bins*r/tile, so wider-bins-same-r
+            # costs nothing and the flag rate only drops) and the layout
+            # fits scoped VMEM at block 256 (state+planes ~7.5 MB f32).
+            bw = max(bins, 4096 // 16)
+            r = 4096 // bw
+            planes = planes_pre if r > 1 else planes_plain
+            if _layout_fits(256, 4096, f, depth, elem, planes, r):
+                return 256, 4096, r, r > 1
         for block in (1024, 512, 256, 128, 64):
             if block > max(bsz, 256):
                 continue          # sub-256 batches pad up to one block
@@ -407,21 +420,30 @@ def _kernel(qhat_ref, qlam_ref, xhat_ref, xlam_ref, alpha_ref, n_ref,
     # every score plane, ~14% of the per-item VPU budget — via a second
     # predication level; only the boundary tile pays it.
     def _body_for(masked: bool):
-        alpha = alpha_ref[0, 0]
-        qhat = qhat_ref[:]                       # (B, F)
+        c1 = alpha_ref[0, 0]                     # carries 1 - alpha
+        qhat = qhat_ref[:]                       # (B, F), alpha-scaled
         qlam = qlam_ref[:].reshape(-1, 1)
         local = jax.lax.broadcasted_iota(
             jnp.int32, (qhat.shape[0], bins), 1)
 
         def tile_scores(j):
             xhat = xhat_ref[j * bins:(j + 1) * bins, :]  # (bins, F)
-            cos = jax.lax.dot_general(
+            # qhat arrives pre-scaled by alpha (wrapper), so the matmul
+            # yields alpha*cos directly and the per-pair VPU fold is
+            # sub+abs+min+fma — the kernel works on scores SHIFTED by
+            # -c1 = alpha*cos - c1*min(|dlam|,1); the flush restores +c1.
+            # The shift is rank-preserving per batch (same c1 for every
+            # pair), so the fold, det plane and flag compares are all
+            # self-consistent; at alpha=1 c1=0 and the bitwise cosine
+            # anchor is untouched.  (Was: 6 VPU ops/pair for the
+            # two-FMA reference expression; measured fold-bound at
+            # B=2048 — VERDICT r3 item 2.)
+            acos = jax.lax.dot_general(
                 qhat, xhat, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)  # (B, bins) f32 acc
             dl = jnp.abs(qlam - xlam_ref[j * bins:(j + 1) * bins]
                          .reshape(1, -1))
-            lam_sim = 1.0 - jnp.minimum(dl, 1.0)
-            scores = alpha * cos + (1.0 - alpha) * lam_sim
+            scores = acos - c1 * jnp.minimum(dl, 1.0)
             gidx = local + (base + j * bins)
             if masked:
                 scores = jnp.where(gidx < n, scores, NEG_INF)
@@ -585,7 +607,13 @@ def binned_lambda_topk(
         xhat = _unit_padded(items, n_pad - n, mm_dt)
         xlam = jnp.pad(item_lambdas.astype(dt), (0, n_pad - n))
 
-    qhat = _unit_padded(queries, 0, mm_dt)
+    # alpha rides INSIDE the prepared query (one (B, F) multiply per
+    # dispatch, f32 before any bf16 cast) so the matmul emits alpha*cos
+    # and the kernel's per-pair fold is sub+abs+min+fma on shifted
+    # scores; c1 = 1 - alpha goes to SMEM and the flush restores it.
+    alpha_f = jnp.asarray(alpha, dtype=dt)
+    c1 = 1.0 - alpha_f
+    qhat = (_unit_padded(queries, 0, dt) * alpha_f).astype(mm_dt)
     qlam = query_lambdas.astype(dt)
     n_tiles = n_pad // tile
 
@@ -632,11 +660,11 @@ def binned_lambda_topk(
             transcendentals=0,
         ),
     )(qhat, qlam, xhat, xlam,
-      jnp.asarray(alpha, dtype=dt).reshape(1, 1),
+      c1.reshape(1, 1),
       jnp.asarray(n if n_live is None else n_live,
                   dtype=jnp.int32).reshape(1, 1))
 
-    return _flush_pool(outs, depth, k, return_det=return_det)
+    return _flush_pool(outs, depth, k, return_det=return_det, shift=c1)
 
 
 def _energy_kernel(zq_ref, qn_ref, qlam_ref, zx_ref, xn_ref, xlam_ref,
@@ -677,15 +705,23 @@ def _energy_kernel(zq_ref, qn_ref, qlam_ref, zx_ref, xn_ref, xlam_ref,
             dot = jax.lax.dot_general(
                 zq, zx, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)  # (B, bins)
-            # identical expression order to the XLA chunked path:
-            # (qn - 2·dot) + xn, then sqrt(max(.,0)), then num/(1+num)
-            d2 = (qn - 2.0 * dot) \
-                + xn_ref[j * bins:(j + 1) * bins].reshape(1, -1)
-            num = jnp.sqrt(jnp.maximum(d2, 0.0))
-            d_dir = jnp.minimum(num / (1.0 + num), 1.0)
+            # r4 fast form (VERDICT-r3 item 3): the kernel works on
+            # scores SHIFTED by +wd — score' = wd/(1+s) - wl*|dlam|
+            # where s = sqrt(max(d2,0)); algebra: -(wl*dl + wd*s/(1+s))
+            # = -wl*dl + wd*(1/(1+s)) - wd.  Rank-preserving per batch
+            # (same wd for every pair), restored at flush; saves the
+            # 1-minus / negate / second-multiply chain of the reference
+            # expression (~5 of ~19 per-pair VPU ops).  The reference's
+            # min(num/(1+num), 1) is dead for finite num (num/(1+num)<1)
+            # and at num=inf this form gives the correct limit (0)
+            # where inf/inf would yield NaN.
+            d2 = (qn + xn_ref[j * bins:(j + 1) * bins].reshape(1, -1)) \
+                - 2.0 * dot
+            s = jnp.sqrt(jnp.maximum(d2, 0.0))
+            u = wd / (1.0 + s)
             d_lam = jnp.abs(qlam - xlam_ref[j * bins:(j + 1) * bins]
                             .reshape(1, -1))
-            scores = -(wl * d_lam + wd * d_dir)
+            scores = u - wl * d_lam
             gidx = local + (base + j * bins)
             if masked:
                 scores = jnp.where(gidx < n, scores, NEG_INF)
@@ -872,10 +908,14 @@ def binned_energy_topk(
       jnp.asarray(w_dirichlet, dtype=dt).reshape(1, 1),
       jnp.asarray(n if n_live is None else n_live,
                   dtype=jnp.int32).reshape(1, 1))
-    return _flush_pool(outs, depth, k, return_det=return_det)
+    # the kernel folds on scores shifted by +wd (see _energy_kernel's
+    # fast form); restore the true scale after the sort + flag compare
+    return _flush_pool(outs, depth, k, return_det=return_det,
+                       shift=-jnp.asarray(w_dirichlet, dtype=dt))
 
 
-def _flush_pool(outs, depth: int, k: int, return_det: bool = False):
+def _flush_pool(outs, depth: int, k: int, return_det: bool = False,
+                shift=None):
     """Exact top-k over the (B, D·L) bin pool + the miss detector.
 
     Top-k with lax.top_k's tie order (lowest global index) via a two-key
@@ -885,7 +925,15 @@ def _flush_pool(outs, depth: int, k: int, return_det: bool = False):
     Miss detector: a hidden (D+1)-th same-bin element could belong in the
     top-k iff it ties-or-beats the pool's kth score; the (det > NEG_INF)
     guard keeps the degenerate n < k·depth case (both still at the
-    sentinel) from flagging."""
+    sentinel) from flagging.
+
+    shift (the λ-kernel's c1 = 1-alpha) restores the kernel's rank-
+    preserving score shift AFTER the sort and the flag compare (both run
+    on kernel-exact values).  Restoring det and scores by the same f32
+    addition keeps downstream det >= kth compares (bin_repair's fired-
+    bin decode) conservative: x >= y implies x+c >= y+c under monotone
+    rounding, so a flagged row always decodes at least one fired bin;
+    the NEG_INF sentinel is bitwise-unchanged (c below its ulp)."""
     pool_s = jnp.concatenate(outs[:depth], axis=1)          # (B, D·L)
     pool_i = jnp.concatenate(outs[depth:2 * depth], axis=1)
     det = outs[2 * depth]                                   # (B, L)
@@ -899,6 +947,9 @@ def _flush_pool(outs, depth: int, k: int, return_det: bool = False):
     flags = jnp.max(
         jnp.where((det >= kth[:, None]) & (det > NEG_INF), 1, 0),
         axis=1).astype(jnp.int32)
+    if shift is not None:
+        out_s = out_s + shift
+        det = det + shift
     if return_det:
         return out_s, out_i, flags, det
     return out_s, out_i, flags

@@ -97,16 +97,20 @@ def _kernel(qhat_ref, qlam_ref, xhat_ref, xlam_ref, alpha_ref, n_ref,
         run_s[:] = jnp.full_like(run_s, NEG_INF)
         run_i[:] = jnp.zeros_like(run_i)
 
-    alpha = alpha_ref[0, 0]
-    qhat = qhat_ref[:]                       # (B, F), f32 or bf16
+    c1 = alpha_ref[0, 0]                     # carries 1 - alpha
+    qhat = qhat_ref[:]                       # (B, F), alpha-prescaled
     xhat = xhat_ref[:]                       # (T, F) current tile
-    cos = jax.lax.dot_general(
+    # canonical fma form (ops/search._shifted_lambda_plane): the matmul
+    # emits alpha*cos and the merge runs on scores SHIFTED by -c1; the
+    # wrapper restores +c1 — bitwise-consistent with the binned kernel
+    # and the XLA oracle (the shift is constant per batch, so the
+    # threshold gate and tie order are unaffected)
+    acos = jax.lax.dot_general(
         qhat, xhat, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)  # (B, T) f32 accumulation
 
     dl = jnp.abs(qlam_ref[:].reshape(-1, 1) - xlam_ref[:].reshape(1, -1))
-    lam_sim = 1.0 - jnp.minimum(dl, 1.0)
-    scores = alpha * cos + (1.0 - alpha) * lam_sim
+    scores = acos - c1 * jnp.minimum(dl, 1.0)
 
     # mask padding rows beyond N (true N arrives as an SMEM scalar so the
     # compiled Mosaic module is reusable across corpus sizes in a bucket)
@@ -215,7 +219,14 @@ def fused_lambda_topk(
         return jnp.where(ok, rows_p / jnp.where(ok, nrm_p, 1.0),
                          0.0).astype(mm_dt)
 
-    qhat = unit_padded(queries, 0)
+    # alpha rides inside the prepared query (multiply in f32, then the
+    # mm_dt cast) — see ops/search._shifted_lambda_plane for the form
+    alpha_f = jnp.asarray(alpha, dtype=dt)
+    c1 = 1.0 - alpha_f
+    nrm_q = jnp.sqrt(jnp.sum(queries * queries, axis=-1, keepdims=True))
+    qok = nrm_q > 0.0
+    qhat = (jnp.where(qok, queries / jnp.where(qok, nrm_q, 1.0), 0.0)
+            .astype(dt) * alpha_f).astype(mm_dt)
     xhat = unit_padded(items, n_pad - n)
     qlam = query_lambdas.astype(dt)
     xlam = jnp.pad(item_lambdas.astype(dt), (0, n_pad - n))
@@ -261,6 +272,8 @@ def fused_lambda_topk(
             transcendentals=0,
         ),
     )(qhat, qlam, xhat, xlam,
-      jnp.asarray(alpha, dtype=dt).reshape(1, 1),
+      c1.reshape(1, 1),
       jnp.asarray(n, dtype=jnp.int32).reshape(1, 1))
-    return out_s, out_i
+    # restore the -c1 shift (kernel sorts pre-shift); -inf slots from
+    # the n < k degenerate case stay -inf
+    return out_s + c1, out_i

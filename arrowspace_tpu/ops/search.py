@@ -136,6 +136,29 @@ def cosine_scores(queries: jax.Array, items: jax.Array) -> jax.Array:
     return jnp.dot(q, x.T, preferred_element_type=queries.dtype)
 
 
+def _shifted_lambda_plane(queries, query_lambdas, items, item_lambdas,
+                          alpha):
+    """The canonical fma score arithmetic, SHIFTED by -c1 = -(1-α):
+
+        s' = (α·q̂)·x̂ᵀ - c1·min(|Δλ|, 1)      (true score = s' + c1)
+
+    α rides inside the prescaled query so the matmul emits α·cos in one
+    pass; this is a rank-preserving reassociation of the reference
+    expression α·cos + (1-α)·(1-min(|Δλ|,1)) (core.rs:135-175) and is
+    byte-for-byte the arithmetic of the binned/merge Pallas kernels
+    (ops/pallas_bintopk, ops/pallas_topk), so kernel-vs-oracle id parity
+    is bitwise.  At α=1, c1=0 and the plane is exactly the f32 cosine.
+    Top-k callers sort on s' (the kernels sort pre-shift) and restore
+    +c1 on the returned scores only."""
+    a = jnp.asarray(alpha, queries.dtype)
+    c1 = 1.0 - a
+    q = _safe_unit(queries) * a
+    x = _safe_unit(items)
+    acos = jnp.dot(q, x.T, preferred_element_type=queries.dtype)
+    dl = jnp.abs(query_lambdas[:, None] - item_lambdas[None, :])
+    return acos - c1 * jnp.minimum(dl, 1.0), c1
+
+
 @jax.jit
 def lambda_aware_scores(
     queries: jax.Array,       # (B, F)
@@ -144,11 +167,12 @@ def lambda_aware_scores(
     item_lambdas: jax.Array,   # (N,)
     alpha: jax.Array,          # scalar
 ) -> jax.Array:
-    """score = α·cos + (1-α)·(1 - min(|Δλ|, 1))  (core.rs:135-175)."""
-    cos = cosine_scores(queries, items)
-    dl = jnp.abs(query_lambdas[:, None] - item_lambdas[None, :])
-    lam_sim = 1.0 - jnp.minimum(dl, 1.0)
-    return alpha * cos + (1.0 - alpha) * lam_sim
+    """score = α·cos + (1-α)·(1 - min(|Δλ|, 1))  (core.rs:135-175),
+    computed via the canonical fma form (see _shifted_lambda_plane) so
+    every XLA score plane matches the Pallas kernels' arithmetic."""
+    shifted, c1 = _shifted_lambda_plane(queries, query_lambdas, items,
+                                        item_lambdas, alpha)
+    return shifted + c1
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -161,10 +185,14 @@ def batched_lambda_aware_topk(
     *,
     k: int,
 ):
-    """Fused scoring + top-k. Returns (scores (B,k), indices (B,k))."""
-    scores = lambda_aware_scores(queries, query_lambdas, items,
-                                 item_lambdas, alpha)
-    return jax.lax.top_k(scores, k)
+    """Fused scoring + top-k. Returns (scores (B,k), indices (B,k)).
+    Sorts on the SHIFTED plane (exactly what the binned kernel's flush
+    sorts) and restores +c1 afterwards, so ids AND scores are bitwise
+    vs binned_lambda_topk's unflagged rows."""
+    shifted, c1 = _shifted_lambda_plane(queries, query_lambdas, items,
+                                        item_lambdas, alpha)
+    s, i = jax.lax.top_k(shifted, k)
+    return s + c1, i
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -185,11 +213,13 @@ def masked_lambda_aware_topk(
     the live prefix are identical to batched_lambda_aware_topk (scores,
     lax.top_k tie order); the mask also kills any NaN the stale padded
     rows might produce."""
-    scores = lambda_aware_scores(queries, query_lambdas, items,
-                                 item_lambdas, alpha)
+    shifted, c1 = _shifted_lambda_plane(queries, query_lambdas, items,
+                                        item_lambdas, alpha)
     live = jnp.arange(items.shape[0])[None, :] < n_live
-    neg_inf = jnp.asarray(-jnp.inf, dtype=scores.dtype)
-    return jax.lax.top_k(jnp.where(live, scores, neg_inf), k)
+    neg_inf = jnp.asarray(-jnp.inf, dtype=shifted.dtype)
+    s, i = jax.lax.top_k(jnp.where(live, shifted, neg_inf), k)
+    # -inf masked slots (n_live < k) stay -inf through the restore
+    return s + c1, i
 
 
 @functools.partial(jax.jit, static_argnames=("k",))

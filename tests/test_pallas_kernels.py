@@ -670,6 +670,26 @@ def test_fused_select_tau_sublane_layouts_match_lane(layout):
                                           err_msg=f"f={f} kind={kind}")
 
 
+def test_binned_topk_alpha1_bitwise_cosine_anchor():
+    """The fma score form must keep the alpha=1 cosine anchor BITWISE:
+    c1=0 so the kernel score is exactly the f32-accumulated cosine and
+    the flush shift adds 0.0 (value-preserving)."""
+    from arrowspace_tpu.ops.pallas_bintopk import binned_lambda_topk
+    rng = np.random.default_rng(41)
+    n, f, b = 4096, 16, 4
+    x = jnp.asarray(rng.uniform(0.1, 1.0, (n, f)).astype(np.float32))
+    xlam = jnp.asarray(rng.uniform(0, 1, (n,)).astype(np.float32))
+    q = jnp.asarray(rng.uniform(0.1, 1.0, (b, f)).astype(np.float32))
+    qlam = jnp.asarray(rng.uniform(0, 1, (b,)).astype(np.float32))
+    s1, i1, fl = binned_lambda_topk(q, qlam, x, xlam, 1.0, k=5, tile=512,
+                                    interpret=True, block_b=b)
+    s2, i2 = batched_lambda_aware_topk(q, qlam, x, xlam,
+                                       jnp.float32(1.0), k=5)
+    ok = np.asarray(fl) == 0
+    np.testing.assert_array_equal(np.asarray(i1)[ok], np.asarray(i2)[ok])
+    np.testing.assert_array_equal(np.asarray(s1)[ok], np.asarray(s2)[ok])
+
+
 def test_bisect_tau_duplicates_and_signed_zero():
     """Selection-specific edges the sort path gets for free: (a) ties —
     the even-m upper statistic must resolve to the SAME duplicated value
@@ -792,9 +812,11 @@ def test_binned_topk_auto_layout_decision():
         (1024, 2048, 16, True)
     assert _auto_layout(2048, 1_000_000, 128, 10, 3, True, 3, 6) == \
         (1024, 2048, 16, True)
-    # latency config: block capped by the batch
+    # latency config: block capped by the batch; tile 4096 halves the
+    # grid steps (r4 rule — bins widen to 256 to keep r <= 16; per-pair
+    # fold work scales with bins*r/tile so the economics are unchanged)
     assert _auto_layout(256, 1_000_000, 128, 10, 3, False, 3, 6) == \
-        (256, 2048, 16, True)
+        (256, 4096, 16, True)
     # sub-256 batches pad up to one 256 block
     assert _auto_layout(100, 1_000_000, 128, 10, 3, False, 3, 6)[0] == 256
     # wider pools as k grows (flag rate ~ C(k, D+1)/bins^D; thresholds
@@ -819,8 +841,11 @@ def test_binned_topk_auto_layout_decision():
 
 def test_binned_topk_auto_pre_reduce_exact_at_gate():
     """End-to-end: at n >= 65536 the default dispatch takes the
-    pre-reduce fold and unflagged rows stay bitwise-exact vs the XLA
-    oracle; flagged rows (if any) repair to exactness."""
+    pre-reduce fold and unflagged rows stay BITWISE-exact vs the XLA
+    oracle — the r4 fma score form (alpha folded into the query, c1
+    shift restored post-sort) is canonical in BOTH programs
+    (ops/search._shifted_lambda_plane), so the r3 contract holds;
+    flagged rows (if any) repair to exactness."""
     from arrowspace_tpu.ops.pallas_bintopk import binned_lambda_topk
     from arrowspace_tpu.ops.search import pallas_binned_topk_with_repair
     rng = np.random.default_rng(29)
