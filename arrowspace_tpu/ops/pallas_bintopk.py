@@ -669,7 +669,8 @@ def binned_lambda_topk(
 
 def _energy_kernel(zq_ref, qn_ref, qlam_ref, zx_ref, xn_ref, xlam_ref,
                    wl_ref, wd_ref, n_ref, *run_refs, tile: int, depth: int,
-                   lane_split: int = 1, pre_reduce: bool = False):
+                   lane_split: int = 1, pre_reduce: bool = False,
+                   score_form: str = "div"):
     """Energy-score variant of _kernel (same bins/fold/flush contract,
     same lane_split/pre_reduce fold variants).
 
@@ -717,8 +718,26 @@ def _energy_kernel(zq_ref, qn_ref, qlam_ref, zx_ref, xn_ref, xlam_ref,
             # where inf/inf would yield NaN.
             d2 = (qn + xn_ref[j * bins:(j + 1) * bins].reshape(1, -1)) \
                 - 2.0 * dot
-            s = jnp.sqrt(jnp.maximum(d2, 0.0))
-            u = wd / (1.0 + s)
+            if score_form == "div":
+                s = jnp.sqrt(jnp.maximum(d2, 0.0))
+                u = wd / (1.0 + s)
+            elif score_form == "rsqrt2":
+                # u = wd*rsqrt((1+s)^2) = wd*rsqrt(1 + 2s + d2) with
+                # s = d2*rsqrt(d2): two rsqrt + muls, NO divide — a
+                # timing probe for whether Mosaic's div chain is the
+                # transcendental-plane cost (exact-equal in real math;
+                # rounding differs, so this form is A/B-only until it
+                # wins and the oracles adopt it)
+                d2c = jnp.maximum(d2, 1e-30)
+                s = d2c * jax.lax.rsqrt(d2c)
+                u = wd * jax.lax.rsqrt(1.0 + 2.0 * s + d2c)
+            elif score_form == "sqrt_rsqrt":
+                # keep sqrt, replace the divide with rsqrt(t*t)
+                s = jnp.sqrt(jnp.maximum(d2, 0.0))
+                t_ = 1.0 + s
+                u = wd * jax.lax.rsqrt(t_ * t_)
+            else:
+                raise ValueError(score_form)
             d_lam = jnp.abs(qlam - xlam_ref[j * bins:(j + 1) * bins]
                             .reshape(1, -1))
             scores = u - wl * d_lam
@@ -745,7 +764,8 @@ def _energy_kernel(zq_ref, qn_ref, qlam_ref, zx_ref, xn_ref, xlam_ref,
 @functools.partial(jax.jit,
                    static_argnames=("k", "depth", "tile", "interpret",
                                     "block_b", "lane_split", "pre_reduce",
-                                    "prepared", "n_items", "return_det"))
+                                    "prepared", "n_items", "return_det",
+                                    "score_form"))
 def binned_energy_topk(
     z_q: jax.Array,            # (B, G) — queries already in z-space
     query_lambdas: jax.Array,  # (B,)
@@ -766,6 +786,7 @@ def binned_energy_topk(
     z_norms=None,              # prepared per-row ||z||² (n_pad,)
     return_det: bool = False,  # also return the det plane (B, bins)
     n_live=None,               # traced live row count (see binned_lambda_topk)
+    score_form: str = "div",   # per-pair u form; non-default is A/B-only
 ):
     """Bin-accumulator streaming top-k for the ENERGY score
     (search_energy semantics, energymaps.rs:368-407) — the serving-rate
@@ -817,7 +838,7 @@ def binned_energy_topk(
             depth=depth, tile=tile, interpret=interpret, block_b=block_b,
             lane_split=lane_split, pre_reduce=pre_reduce,
             prepared=prepared, n_items=n_items, z_norms=z_norms,
-            return_det=return_det, n_live=n_live)
+            return_det=return_det, n_live=n_live, score_form=score_form)
         return tuple(o[:bsz] for o in outs)
 
     if bsz > max_b:
@@ -831,7 +852,7 @@ def binned_energy_topk(
                                    pre_reduce=pre_reduce,
                                    prepared=prepared, n_items=n_items,
                                    z_norms=z_norms, return_det=return_det,
-                                   n_live=n_live)
+                                   n_live=n_live, score_form=score_form)
                 for i in range(0, bsz, max_b)]
         return tuple(jnp.concatenate([o[j] for o in outs], axis=0)
                      for j in range(len(outs[0])))
@@ -888,7 +909,8 @@ def binned_energy_topk(
 
     kernel = functools.partial(_energy_kernel, tile=tile, depth=depth,
                                lane_split=lane_split,
-                               pre_reduce=pre_reduce)
+                               pre_reduce=pre_reduce,
+                               score_form=score_form)
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
