@@ -468,8 +468,12 @@ def _energy_score_topk_chunked(z_q, lambda_q, z_items, item_lambdas,
         # at num=inf where num/(1+num) would be NaN.
         d2 = ((qn[:, None] + jnp.sum(z_c * z_c, axis=1)[None, :])
               - 2.0 * jnp.dot(z_q, z_c.T, preferred_element_type=dt))
-        s_dir = jnp.sqrt(jnp.maximum(d2, 0.0))
-        u = w_dirichlet / (1.0 + s_dir)
+        # rsqrt2 form, byte-identical to _energy_kernel: u =
+        # wd*rsqrt((1+s)^2) with s = d2*rsqrt(d2); the clamp keeps
+        # duplicates exact (u=wd) and the d2=inf overflow finite (~0)
+        d2c = jnp.clip(d2, 1e-30, 3e38)
+        s_dir = d2c * jax.lax.rsqrt(d2c)
+        u = w_dirichlet * jax.lax.rsqrt(1.0 + 2.0 * s_dir + d2c)
         d_lam = jnp.abs(lambda_q[:, None] - lam_c[None, :])
         sc = u - w_lambda * d_lam
         gidx = jnp.arange(chunk, dtype=jnp.int32) + c0.astype(jnp.int32)

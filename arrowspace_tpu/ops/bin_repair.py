@@ -35,18 +35,15 @@ is preserved.  Current-top-k entries whose bin fired are masked out
 Rows with more than MAX_FIRED fired bins — possible under adversarial
 tie storms — fall back to the caller's full-corpus exact repair.
 
-On-chip f32 caveat (measured, 1M×128 k=32 A/B vs the merge-kernel
-repair): the TPU lowers f32 matmuls through bf16 MXU passes, so any
-two scoring programs disagree by ~1e-4 on individual scores and may
-swap ADJACENT near-ties in the returned order — the candidate SETS
-matched exactly in the A/B; only tie order within ~1e-4 differed.
-This is a property of every repair path (the merge kernel recomputes
-scores with its own arithmetic too), not of the strided construction;
-the CPU/f32 tests pin bitwise id equality where matmul arithmetic is
-deterministic.  The repair's own dots run at Precision.HIGHEST — on
-the tiny candidate set that is free, and makes the repair at least as
-accurate as both full-corpus paths.  Callers needing exact f64 tie
-order use precision="f64_rescore" (index.ArrowIndex.search).
+Arithmetic consistency (r4): the repair chunks evaluate the ONE
+canonical score expression at DEFAULT matmul precision — the same
+bf16-pass decomposition the kernels and the XLA oracle lower to on
+chip — so repaired rows agree BITWISE with the oracle (measured:
+exactness_r4b before this change showed 5.8e-4 deltas confined to
+repaired rows at k>=32; the earlier Precision.HIGHEST dots were "more
+accurate" per pair but broke cross-program id equality on near-ties).
+Callers needing exact f64 tie order use precision="f64_rescore"
+(index.ArrowIndex.search).
 
 Reference anchor: the per-thread-heap merge of core.rs:818-888 (the
 exact semantics all repair paths restore).
@@ -185,6 +182,29 @@ def _merge_topk(scores, cand, valid, k: int):
     return -sorted_neg[:, :k], sorted_idx[:, :k]
 
 
+def _block_diag_dot(qmat, rows3, dt):
+    """Per-row candidate dots with MATMUL (not matvec) rounding.
+
+    A batched dot_general over (R, C, F) is per-batch-element a (F)·(C,F)
+    MATVEC, and TPU matvecs round differently from real matmuls (measured:
+    a B=1 oracle slice disagrees with the B>=16 oracle / Mosaic kernels by
+    ~1e-4, /tmp/prec_probe 2026-08-19) — which made repaired rows the one
+    program family that broke bitwise cross-path parity.  This computes
+    ONE 2D (max(R,16), R·C) matmul — the query side zero-padded to >= 16
+    rows, the shape family measured bitwise-consistent with the kernels
+    and the batched oracle — and takes the (i, i·C:(i+1)·C) block diagonal.
+    Extra flops are R x the minimum, trivial at repair scale (R <= 32)."""
+    r, c, f = rows3.shape
+    flat = rows3.reshape(r * c, f)
+    m_pad = max(16, r)
+    qpad = jnp.pad(qmat, ((0, m_pad - r), (0, 0)))
+    all_ = jax.lax.dot_general(
+        qpad, flat, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=dt)                       # (m_pad, R*C)
+    idx = jnp.arange(r)
+    return all_[:r].reshape(r, r, c)[idx, idx]           # (R, C)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "stride", "m",
                                              "prepared", "use_bf16"))
 def _lambda_repair_chunk(q, qlam, base, limits, out_idx, items,
@@ -213,10 +233,7 @@ def _lambda_repair_chunk(q, qlam, base, limits, out_idx, items,
     # the kernel flush, and +c1 is restored on the way out
     qhat = (jnp.where(qok, q / jnp.where(qok, qn, 1.0), 0.0)
             .astype(dt) * a32).astype(mm_dt)
-    acos = jax.lax.dot_general(
-        qhat, xhat, dimension_numbers=(((1,), (2,)), ((0,), (0,))),
-        preferred_element_type=dt,
-        precision=jax.lax.Precision.HIGHEST)                # (R, C)
+    acos = _block_diag_dot(qhat, xhat, dt)                  # (R, C)
     dl = jnp.abs(qlam.astype(dt)[:, None] - lams.astype(dt))
     scores = acos - c1 * jnp.minimum(dl, 1.0)
     s, i = _merge_topk(scores, cand, valid, k)
@@ -239,18 +256,17 @@ def _energy_repair_chunk(zq, qlam, base, limits, out_idx, z_items,
         xn = jnp.sum(zx * zx, axis=-1)
     zq = zq.astype(dt)
     qn = jnp.sum(zq * zq, axis=1)
-    dot = jax.lax.dot_general(
-        zq, zx, dimension_numbers=(((1,), (2,)), ((0,), (0,))),
-        preferred_element_type=dt,
-        precision=jax.lax.Precision.HIGHEST)                # (R, C)
+    dot = _block_diag_dot(zq, zx, dt)                       # (R, C)
     # identical expression order to the kernel / chunked path (r4 fast
     # form): d2 = (qn + xn) - 2·dot, scores SHIFTED by +wd through the
     # merge (exactly what the kernel flush sorts), -wd restored on the
     # way out
     wd_d = wd.astype(dt)
     d2 = (qn[:, None] + xn) - 2.0 * dot
-    s_dir = jnp.sqrt(jnp.maximum(d2, 0.0))
-    u = wd_d / (1.0 + s_dir)
+    # rsqrt2 form, byte-identical to _energy_kernel / the chunked oracle
+    d2c = jnp.clip(d2, 1e-30, 3e38)
+    s_dir = d2c * jax.lax.rsqrt(d2c)
+    u = wd_d * jax.lax.rsqrt(1.0 + 2.0 * s_dir + d2c)
     d_lam = jnp.abs(qlam.astype(dt)[:, None] - lams.astype(dt))
     scores = u - wl.astype(dt) * d_lam
     s, i = _merge_topk(scores, cand, valid, k)

@@ -670,7 +670,7 @@ def binned_lambda_topk(
 def _energy_kernel(zq_ref, qn_ref, qlam_ref, zx_ref, xn_ref, xlam_ref,
                    wl_ref, wd_ref, n_ref, *run_refs, tile: int, depth: int,
                    lane_split: int = 1, pre_reduce: bool = False,
-                   score_form: str = "div"):
+                   score_form: str = "rsqrt2"):
     """Energy-score variant of _kernel (same bins/fold/flush contract,
     same lane_split/pre_reduce fold variants).
 
@@ -718,24 +718,24 @@ def _energy_kernel(zq_ref, qn_ref, qlam_ref, zx_ref, xn_ref, xlam_ref,
             # where inf/inf would yield NaN.
             d2 = (qn + xn_ref[j * bins:(j + 1) * bins].reshape(1, -1)) \
                 - 2.0 * dot
-            if score_form == "div":
-                s = jnp.sqrt(jnp.maximum(d2, 0.0))
-                u = wd / (1.0 + s)
-            elif score_form == "rsqrt2":
-                # u = wd*rsqrt((1+s)^2) = wd*rsqrt(1 + 2s + d2) with
-                # s = d2*rsqrt(d2): two rsqrt + muls, NO divide — a
-                # timing probe for whether Mosaic's div chain is the
-                # transcendental-plane cost (exact-equal in real math;
-                # rounding differs, so this form is A/B-only until it
-                # wins and the oracles adopt it)
-                d2c = jnp.maximum(d2, 1e-30)
+            if score_form == "rsqrt2":
+                # CANONICAL (r4): u = wd*rsqrt((1+s)^2) = wd*rsqrt(1 +
+                # 2s + d2) with s = d2*rsqrt(d2) — two rsqrt chains, NO
+                # divide; measured 19.16 -> 17.98 ms at 1M x 64 B=2048
+                # (benchmarks/energy_form_ab.py).  The clamp makes the
+                # edges exact: d2=0 (duplicates) gives s=1e-15 -> u=wd
+                # bitwise (1+2e-15 rounds to 1.0f), and an overflowed
+                # d2=inf clamps to 3e38 -> u ~= 5e-20 ~ the correct 0
+                # limit (bare rsqrt2 would yield inf*0 = NaN there).
+                # Mirrored byte-for-byte by the chunked oracle and the
+                # energy repair chunk.
+                d2c = jnp.clip(d2, 1e-30, 3e38)
                 s = d2c * jax.lax.rsqrt(d2c)
                 u = wd * jax.lax.rsqrt(1.0 + 2.0 * s + d2c)
-            elif score_form == "sqrt_rsqrt":
-                # keep sqrt, replace the divide with rsqrt(t*t)
+            elif score_form == "div":
+                # legacy A/B form (r4 fast form, pre-rsqrt2)
                 s = jnp.sqrt(jnp.maximum(d2, 0.0))
-                t_ = 1.0 + s
-                u = wd * jax.lax.rsqrt(t_ * t_)
+                u = wd / (1.0 + s)
             else:
                 raise ValueError(score_form)
             d_lam = jnp.abs(qlam - xlam_ref[j * bins:(j + 1) * bins]
@@ -786,7 +786,7 @@ def binned_energy_topk(
     z_norms=None,              # prepared per-row ||z||² (n_pad,)
     return_det: bool = False,  # also return the det plane (B, bins)
     n_live=None,               # traced live row count (see binned_lambda_topk)
-    score_form: str = "div",   # per-pair u form; non-default is A/B-only
+    score_form: str = "rsqrt2",  # per-pair u form ("div" = legacy A/B)
 ):
     """Bin-accumulator streaming top-k for the ENERGY score
     (search_energy semantics, energymaps.rs:368-407) — the serving-rate
