@@ -145,25 +145,61 @@ def _count_mxu(y, mid, ones_row):
         preferred_element_type=jnp.float32)          # (1, T)
 
 
-def _bisect_order_stat(y, rank1, axis: int, it, bits: int, count_fn):
+def _bisect_order_stat(y, rank1, axis: int, it, bits: int, count_fn,
+                       ary: int = 2):
     """Exact order statistic by branchless binary search on the sortable
-    integer VALUE range: after `bits` halvings lo == hi == the smallest
-    v with count(y <= v) >= rank1.  Each pass is one broadcast compare +
-    one count-reduce over the row — no exchange network (the bitonic
+    integer VALUE range: converges to lo == hi == the smallest v with
+    count(y <= v) >= rank1.  Each pass is broadcast compare(s) + count-
+    reduce(s) over the row — no exchange network (the bitonic
     alternative moves data every stage through pltpu.roll pairs that
     cost ~3x their naive op count; see module docstring).  rank1 is
     rank+1 (dtype matching count_fn's output), shaped like the keepdims-
     reduce of y along `axis`.  Rows whose rank1 exceeds the row length
-    converge to +inf's pattern (callers mask those out)."""
+    converge to +inf's pattern (callers mask those out).
+
+    ary=4 probes THREE midpoints per pass (the three independent counts
+    overlap on the VPU) and cuts the range 4x, so the SEQUENTIAL chain
+    is 17 passes instead of 32 — the pass chain, not count throughput,
+    bounds the kernel at F <= 128 (r3 measurement), so fewer deeper
+    passes trade ~1.6x total ops for ~1.9x less latency.  Invariant
+    (count(y <= hi) >= rank1, count(y <= lo-1) < rank1) is preserved by
+    the monotone-count quadrant selects; when lo == hi every mid == lo
+    and the c1 branch holds, so converged rows stay fixed."""
     one = jnp.asarray(1, it)
     lo = jnp.full(rank1.shape, jnp.iinfo(it).min, it)
     hi = jnp.full(rank1.shape, jnp.iinfo(it).max, it)
-    for _ in range(bits):
-        # overflow-safe floor((lo + hi) / 2) in the signed domain
-        mid = (lo >> one) + (hi >> one) + (lo & hi & one)
-        ge = count_fn(y, mid) >= rank1
-        hi = jnp.where(ge, mid, hi)
-        lo = jnp.where(ge, lo, mid + one)
+
+    def mid_of(a, b):
+        # overflow-safe floor((a + b) / 2) in the signed domain
+        return (a >> one) + (b >> one) + (a & b & one)
+
+    if ary == 2:
+        for _ in range(bits):
+            mid = mid_of(lo, hi)
+            ge = count_fn(y, mid) >= rank1
+            hi = jnp.where(ge, mid, hi)
+            lo = jnp.where(ge, lo, mid + one)
+        return lo
+
+    assert ary == 4, ary
+    # width shrinks to <= ceil((w+1)/4) per pass; 17 passes cover 2^32
+    for _ in range((bits + 1) // 2 + 1):
+        m2 = mid_of(lo, hi)
+        m1 = mid_of(lo, m2)
+        m3 = mid_of(m2, hi)          # mid_of(m2+1, hi) could overflow;
+        # the (m2, m3] quadrant only degenerates when lo == hi, where
+        # the c1 branch already holds (see docstring invariant)
+        c1 = count_fn(y, m1) >= rank1
+        c2 = count_fn(y, m2) >= rank1
+        c3 = count_fn(y, m3) >= rank1
+        # quadrant select, innermost-first (counts are monotone)
+        new_lo = jnp.where(c1, lo,
+                           jnp.where(c2, m1 + one,
+                                     jnp.where(c3, m2 + one, m3 + one)))
+        new_hi = jnp.where(c1, m1,
+                           jnp.where(c2, m2,
+                                     jnp.where(c3, m3, hi)))
+        lo, hi = new_lo, new_hi
     return lo
 
 
@@ -246,12 +282,15 @@ def _tau_rows(x, f: int, f2: int, kind: str, pct: float,
     big = jnp.asarray(jnp.inf, dtype=x.dtype)
     xs = jnp.where(finite, x, big)
 
-    if layout in ("bisect", "bisect_lane", "bisect_mm"):
+    if layout.startswith("bisect"):
         # Selection, not sort: binary-search each row's order statistic
         # over the sortable-int value range (32 count passes at f32) —
         # ~3 VPU element-ops per pass vs the bitonic's 28 stages of
         # roll+blend networks, and no pad to the next power of two.
-        # bisect_mm counts on the (otherwise idle) MXU instead.
+        # bisect_mm counts on the (otherwise idle) MXU instead;
+        # bisect4* probe 3 midpoints per pass (17-deep chain, see
+        # _bisect_order_stat).
+        ary = 4 if layout.startswith("bisect4") else 2
         yi, it, bits = _sortable_int(xs)
         if layout == "bisect_lane":            # count along lanes
             y, axis = yi, 1
@@ -259,7 +298,7 @@ def _tau_rows(x, f: int, f2: int, kind: str, pct: float,
         else:                                  # count along SUBLANES
             y, axis = yi.T, 0
             shp = lambda v: v[None, :]         # (T,) -> (1, T)
-        if layout == "bisect_mm":
+        if layout in ("bisect_mm", "bisect4_mm"):
             ones_row = jnp.ones((1, f), jnp.float32)
             count_fn = functools.partial(_count_mxu, ones_row=ones_row)
             rank_t = jnp.float32                # counts <= F exact in f32
@@ -273,7 +312,7 @@ def _tau_rows(x, f: int, f2: int, kind: str, pct: float,
                 .astype(jnp.int32)
             idx = jnp.clip(idx, 0, f - 1)
             v = _bisect_order_stat(y, shp(idx + one).astype(rank_t),
-                                   axis, it, bits, count_fn)
+                                   axis, it, bits, count_fn, ary=ary)
             out = jnp.where(m > 0,
                             _from_sortable(v, x.dtype).reshape(t),
                             TAU_FLOOR)
@@ -281,7 +320,7 @@ def _tau_rows(x, f: int, f2: int, kind: str, pct: float,
             lo_r = jnp.clip((jnp.maximum(m, 1) - 1) // 2, 0, f - 1)
             hi_r = jnp.clip(jnp.maximum(m, 1) // 2, 0, f - 1)
             v_lo = _bisect_order_stat(y, shp(lo_r + one).astype(rank_t),
-                                      axis, it, bits, count_fn)
+                                      axis, it, bits, count_fn, ary=ary)
             cnt_lo = count_fn(y, v_lo)
             nxt = jnp.min(jnp.where(y > v_lo,
                                     y, jnp.asarray(jnp.iinfo(it).max, it)),

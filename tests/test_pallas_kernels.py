@@ -641,7 +641,8 @@ def test_binned_energy_fuzz_shapes_and_k():
 
 
 @pytest.mark.parametrize("layout", ["sublane", "sublane_mm",
-                                    "bisect", "bisect_lane"])
+                                    "bisect", "bisect_lane",
+                                    "bisect4", "bisect4_mm"])
 def test_fused_select_tau_sublane_layouts_match_lane(layout):
     """The sublane-sorted τ layouts (sublane = sort production) and the
     bisection SELECTION layouts (bisect = r4 candidate: binary search on
