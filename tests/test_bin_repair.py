@@ -395,3 +395,42 @@ def test_stream_driver_routes_det_plane_to_repair():
     assert seen["det_rows"][0, 5] == 9.0
     np.testing.assert_allclose(seen["kth"], [1.0])
     assert (i0[1] == 77).all() and (i0[0] == [0, 1, 2]).all()
+
+
+def test_block_diag_dot_matches_batched():
+    """_block_diag_dot (the matvec-rounding fix: per-row candidate dots
+    restructured as ONE 2D matmul + block diagonal) must extract the
+    right (i, i-th block) entries for every row count including R < 16
+    (the zero-padded query block) and R = 1.  Exact equality is pinned
+    against a plain 2D matmul of the same shape family (the whole point
+    of the fix); the batched dot_general it replaced is only allclose —
+    even on CPU a per-batch-element MATVEC rounds differently from a
+    matmul, which is precisely the cross-program divergence the fix
+    removed on chip."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from arrowspace_tpu.ops.bin_repair import _block_diag_dot
+
+    rng = np.random.default_rng(5)
+    for r in (1, 2, 3, 16, 20):
+        for f in (8, 33):
+            q = jnp.asarray(rng.normal(size=(r, f)).astype(np.float32))
+            rows = jnp.asarray(
+                rng.normal(size=(r, 7, f)).astype(np.float32))
+            got = np.asarray(_block_diag_dot(q, rows, jnp.float32))
+            # same-family reference: one 2D matmul over the flattened
+            # candidate rows, sliced to the block diagonal
+            flat = rows.reshape(r * 7, f)
+            full = np.asarray(jax.jit(
+                lambda a, b: jax.lax.dot_general(
+                    a, b, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32))(
+                        jnp.pad(q, ((0, max(16, r) - r), (0, 0))), flat))
+            want = np.stack([full[i, i * 7:(i + 1) * 7] for i in range(r)])
+            np.testing.assert_array_equal(got, want, err_msg=f"r={r} f={f}")
+            batched = np.asarray(jax.lax.dot_general(
+                q, rows, dimension_numbers=(((1,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32))
+            np.testing.assert_allclose(got, batched, rtol=2e-6, atol=2e-6,
+                                       err_msg=f"r={r} f={f}")
