@@ -38,6 +38,15 @@ Alternatives evaluated (measured, so they are not re-guessed):
   op-count advantage does not fully cash.  bisect_lane (counts along
   lanes) measured 2.3× WORSE than bisect — lane reduces are the
   expensive axis, as with the sort.
+- 4-ary bisection ("bisect4*", r4): three midpoints per pass, 17-deep
+  chain instead of 32 — the latency-bound hypothesis predicted a win,
+  but MEASURED SLOWER everywhere on v5e (benchmarks/tau_bisect4_ab.py:
+  τ 1M×128 12.42 → 13.82 ms, fused 15.47 → 17.35 ms, 500k×384 mm
+  11.92 → 13.45 ms; chip parity EXACT): Mosaic serialises the three
+  counts, so the ~1.6× op increase is paid in full while the chain
+  shortening is not — the count-reduce chain is closer to throughput-
+  bound than the r3 note suggested.  Layouts stay selectable for
+  re-measurement on other TPU generations.
 - a 256-bucket histogram select: Mosaic has no per-lane scatter, so a
   per-row histogram is 256 masked reductions — strictly dominated by
   the 32-pass bisection.
