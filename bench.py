@@ -428,6 +428,20 @@ def big_corpus_suite(jax, jnp, rtt_s: float) -> None:
                qps_device=round(2048 / dev), wall_ms=round(w * 1e3, 2),
                note="median of 7 real dispatches, full result fetch, "
                     "RTT subtracted")
+
+    # amortised PREPARED kernel — the serving session's steady-state
+    # device cost (the raw amortised metric above still pays whatever
+    # producer remnant XLA cannot hoist out of the scan)
+    t_prep = amortised_device_time(
+        jax, jnp,
+        lambda q, x, il: binned_lambda_topk(q, ql2048, x, il, 0.9, k=10,
+                                            prepared=True, n_items=n_big),
+        q2048, (xh, xl), repeats=8)
+    log(f"query kernel (binned, amortised, PREPARED) B=2048 f32: "
+        f"{t_prep * 1e3:.2f} ms/batch = {2048 / t_prep:.0f} QPS device")
+    record("query_kernel_prepared_amortised_b2048_f32", t_prep * 1e3,
+           "ms", qps_device=round(2048 / t_prep),
+           kernel="binned_lambda_topk prepared=True (amortised scan x8)")
     del xh, xl
 
     qps_256 = results[(256, "f32")][0]
