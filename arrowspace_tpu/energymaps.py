@@ -471,7 +471,8 @@ def _energy_score_topk_chunked(z_q, lambda_q, z_items, item_lambdas,
         # rsqrt2 form, byte-identical to _energy_kernel: u =
         # wd*rsqrt((1+s)^2) with s = d2*rsqrt(d2); the clamp keeps
         # duplicates exact (u=wd) and the d2=inf overflow finite (~0)
-        d2c = jnp.clip(d2, 1e-30, 3e38)
+        d2c = jnp.clip(d2, jnp.finfo(d2.dtype).tiny,
+                 jnp.finfo(d2.dtype).max * 0.5)
         s_dir = d2c * jax.lax.rsqrt(d2c)
         u = w_dirichlet * jax.lax.rsqrt(1.0 + 2.0 * s_dir + d2c)
         d_lam = jnp.abs(lambda_q[:, None] - lam_c[None, :])

@@ -339,10 +339,10 @@ class _LiveBase:
             # position; XLA's .at[pos].set order for duplicates is
             # implementation-defined, so the surviving row would be
             # nondeterministic — refuse instead of guessing intent
-            dupes = ids[np.flatnonzero(
-                np.bincount(ids - ids.min())[ids - ids.min()] > 1)]
+            uniq, counts = np.unique(ids, return_counts=True)
+            dupes = uniq[counts > 1]
             raise ValueError(
-                f"update(): duplicate external ids {np.unique(dupes)[:8]}"
+                f"update(): duplicate external ids {dupes[:8]}"
                 f" — deduplicate on the caller side (keep the intended "
                 f"occurrence) before dispatch")
         positions = np.array([self._position_of(i) for i in ids])
@@ -514,14 +514,10 @@ class LiveSearchSession(_LiveBase):
         self._aspace, self._gl = aspace, gl
 
         # kernel choice is made at CAPACITY so it never changes as the
-        # live count moves; k > 128 has no dynamic-count Pallas kernel,
-        # so large live corpora gate on k (k in (48, 128] rides the
-        # binned depth-4 layout since r4).
+        # live count moves; k in (48, 128] rides the binned depth-4
+        # layout (r4) and k > 128 routes to the masked XLA top-k step
+        # (exact for any k — session_kernel_kind returns "xla" there)
         kernel = session_kernel_kind(cap, self.k, self._dim)
-        if kernel == "merge":
-            raise ValueError(
-                f"LiveSearchSession supports k <= 128 on large corpora "
-                f"(got k={k}); use a static SearchSession or lower k")
         self._kernel = kernel
         self._use_bf16 = precision == "bf16" and kernel == "binned"
         mm_dt = jnp.bfloat16 if self._use_bf16 else jnp.float32

@@ -264,7 +264,8 @@ def _energy_repair_chunk(zq, qlam, base, limits, out_idx, z_items,
     wd_d = wd.astype(dt)
     d2 = (qn[:, None] + xn) - 2.0 * dot
     # rsqrt2 form, byte-identical to _energy_kernel / the chunked oracle
-    d2c = jnp.clip(d2, 1e-30, 3e38)
+    d2c = jnp.clip(d2, jnp.finfo(d2.dtype).tiny,
+                 jnp.finfo(d2.dtype).max * 0.5)
     s_dir = d2c * jax.lax.rsqrt(d2c)
     u = wd_d * jax.lax.rsqrt(1.0 + 2.0 * s_dir + d2c)
     d_lam = jnp.abs(qlam.astype(dt)[:, None] - lams.astype(dt))

@@ -729,7 +729,8 @@ def _energy_kernel(zq_ref, qn_ref, qlam_ref, zx_ref, xn_ref, xlam_ref,
                 # limit (bare rsqrt2 would yield inf*0 = NaN there).
                 # Mirrored byte-for-byte by the chunked oracle and the
                 # energy repair chunk.
-                d2c = jnp.clip(d2, 1e-30, 3e38)
+                d2c = jnp.clip(d2, jnp.finfo(d2.dtype).tiny,
+                          jnp.finfo(d2.dtype).max * 0.5)
                 s = d2c * jax.lax.rsqrt(d2c)
                 u = wd * jax.lax.rsqrt(1.0 + 2.0 * s + d2c)
             elif score_form == "div":

@@ -131,9 +131,18 @@ def distributed_lambda_aware_topk(
                 interpret=interpret)
             local_scores = local_scores.astype(x.dtype)
         else:
-            # local scores for this shard's rows: (B, shard_n)
-            scores = lambda_aware_scores(q, qlam, x, xlam, a)
-            local_scores, local_idx = jax.lax.top_k(scores, k_local)
+            # local scores for this shard's rows: (B, shard_n) — sort
+            # the SHIFTED plane (exactly what the kernels' flush and
+            # batched_lambda_aware_topk sort) and restore +c1 after, so
+            # the LOCAL selection's tie order matches every other r4
+            # scoring program; the cross-shard merge below still ranks
+            # restored values (the kernels only expose those), which
+            # can collapse a ~2^-25 cross-shard near-tie — documented,
+            # not observable in any pinned test
+            from ..ops.search import _shifted_lambda_plane
+            shifted, c1 = _shifted_lambda_plane(q, qlam, x, xlam, a)
+            local_scores, local_idx = jax.lax.top_k(shifted, k_local)
+            local_scores = local_scores + c1
         # globalise indices by shard offset
         shard_id = jax.lax.axis_index(ITEMS_AXIS)
         global_idx = local_idx + shard_id * shard_n
@@ -194,8 +203,11 @@ def distributed_lambda_aware_topk_2d(
                        NamedSharding(mesh, P()))
 
     def _shard_fn(q, qlam, x, xlam, a):
-        scores = lambda_aware_scores(q, qlam, x, xlam, a)
-        local_scores, local_idx = jax.lax.top_k(scores, k_local)
+        # shifted-plane local sort, restored after (see the 1-D merge)
+        from ..ops.search import _shifted_lambda_plane
+        shifted, c1 = _shifted_lambda_plane(q, qlam, x, xlam, a)
+        local_scores, local_idx = jax.lax.top_k(shifted, k_local)
+        local_scores = local_scores + c1
         dcn_id = jax.lax.axis_index("dcn")
         ici_id = jax.lax.axis_index("ici")
         shard_id = dcn_id * n_ici + ici_id
@@ -638,8 +650,12 @@ class DistributedSearchSession:
                 ls = ls.astype(dt)
                 fl = jnp.zeros((q.shape[0],), dtype=jnp.int32)
             else:
-                scores = lambda_aware_scores(q, qlam, x, xlam, a)
-                ls, li = jax.lax.top_k(scores, k_local)
+                # shifted-plane local sort, restored after (see the
+                # 1-D merge's note on cross-shard restored ranking)
+                from ..ops.search import _shifted_lambda_plane
+                shifted, c1 = _shifted_lambda_plane(q, qlam, x, xlam, a)
+                ls, li = jax.lax.top_k(shifted, k_local)
+                ls = ls + c1
                 fl = jnp.zeros((q.shape[0],), dtype=jnp.int32)
             shard_id = jax.lax.axis_index(ITEMS_AXIS)
             gidx = li + shard_id * shard_n
@@ -860,10 +876,13 @@ class DistributedEnergySearchSession:
             step_z, step_lam, step_zn = jax.jit(prep)(z_items,
                                                       item_lambdas)
         else:
-            step_zn = jax.jit(shard_map(
-                lambda z: jnp.sum(z * z, axis=1), mesh=mesh,
-                in_specs=P(ITEMS_AXIS, None), out_specs=P(ITEMS_AXIS),
-                check_vma=False))(z_items)
+            # placeholder operand only: the non-prepared binned kernel
+            # computes norms internally and the chunked scorer never
+            # reads them — a device-built sharded zeros avoids a full
+            # corpus pass and a dead (N,) array held for the session
+            step_zn = jax.jit(
+                lambda: jnp.zeros((z_items.shape[0],), dtype=jnp.float32),
+                out_shardings=NamedSharding(mesh, P(ITEMS_AXIS)))()
 
         def _shard_fn(q, z, zlam, zn, lap, pr, sg):
             q_prep = q if not has_proj else jnp.dot(

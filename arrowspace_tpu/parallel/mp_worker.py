@@ -148,8 +148,6 @@ def main(argv=None) -> None:
     from arrowspace_tpu.parallel import (distributed_lambda_aware_topk,
                                          distributed_lambda_aware_topk_2d,
                                          make_mesh_2d)
-    qlam = lam_ref[:b]  # λ of rows 0..b-1 — process-0 rows, but lam_ref
-    # is only local; recompute query λ properly instead:
     from arrowspace_tpu.taumode import (select_tau_batch,
                                         synthetic_lambda_batch)
     qj = jnp.asarray(queries)
