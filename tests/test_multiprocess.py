@@ -72,3 +72,30 @@ def test_two_process_build_query_serve():
     assert r["hierarchical_topk_equal"] is True
     # per-host ingestion: process 0 loaded only the first half
     assert r["local_rows"] == [0, 16384]
+
+
+def test_four_process_build_query_serve():
+    """4 localhost processes × 2 virtual CPU devices each — a DIFFERENT
+    (dcn, ici) split of the same 8-device world than the 2×4 test, so
+    the hierarchical merge's dcn-frugality and the per-host ingestion
+    contract are exercised at a second process topology."""
+    from arrowspace_tpu.parallel import run_cpu_multiprocess_dryrun
+
+    try:
+        r = run_cpu_multiprocess_dryrun(num_processes=4, local_devices=2,
+                                        n_rows=32768, f=64, timeout=900)
+    except RuntimeError as e:
+        msg = str(e)
+        if ("gloo" in msg.lower() or "coordinator" in msg.lower()
+                or "address already in use" in msg.lower()):
+            pytest.skip(f"multi-process runtime unavailable: {msg[:200]}")
+        raise
+    assert r["ok"] is True
+    assert r["process_count"] == 4
+    assert r["global_devices"] == 8
+    assert r["self_match"] == "16/16"
+    assert r["session_self_match"] == "16/16"
+    assert r["binned_self_match"] == "16/16"
+    assert r["hierarchical_topk_equal"] is True
+    # per-host ingestion: process 0 loaded only the first quarter
+    assert r["local_rows"] == [0, 8192]
