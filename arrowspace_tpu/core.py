@@ -360,16 +360,21 @@ class ArrowSpace:
     def search_lambda_aware(self, query: ArrowItem, k: int,
                             alpha: float) -> List[Tuple[int, float]]:
         """λ-aware top-k (reference: core.rs:760-798).  One matmul +
-        lax.top_k instead of the reference's sequential scan."""
+        lax.top_k instead of the reference's sequential scan.
+
+        Delegates to the batched path with B=1 so BOTH single-query APIs
+        share one engine selection: sub-SMALL_SCAN_ELEMS workloads take
+        the host small-scan (exact, no ~23 ms dispatch round trip) and
+        everything else scores on device with the 16-row query pad —
+        i.e. search_one(q) is bitwise-equal to search(q)[...,0] at every
+        corpus size (it previously bypassed the small gate and could
+        disagree with B=1 search on near-ties at sub-gate sizes)."""
         assert query.lambda_ != 0.0, (
             "Lambda of the item is 0.0, prepare the item before searching")
         k_eff = min(k, self.nitems)
-        dt = self.data.dtype
-        q = jnp.asarray(query.item, dtype=dt)[None, :]
-        qlam = jnp.asarray([query.lambda_], dtype=dt)
-        scores, idx = batched_lambda_aware_topk(
-            q, qlam, self.data, self.lambdas, jnp.asarray(alpha, dtype=dt),
-            k=k_eff)
+        q = np.atleast_2d(np.asarray(query.item))
+        scores, idx = self.search_lambda_aware_batch(
+            q, np.asarray([query.lambda_]), k_eff, alpha)
         return [(int(i), float(s)) for i, s in
                 zip(np.asarray(idx[0]), np.asarray(scores[0]))]
 

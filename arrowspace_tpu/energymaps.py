@@ -38,6 +38,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .ops.search import _pad_query_rows
+
 from .core import ArrowSpace
 from .graph import GraphLaplacian, GraphParams
 from .laplacian import build_laplacian_matrix
@@ -443,6 +445,15 @@ def _energy_score_topk_chunked(z_q, lambda_q, z_items, item_lambdas,
     Reference anchor: energymaps.rs:368-407 (search_energy scoring).
     """
     b, g = z_q.shape
+    # on TPU, sub-16-row batches pad to 16 query rows (sliced back at
+    # return): a (1, G) dot is a TPU MATVEC with ~1e-4 different rounding
+    # from every matmul-shaped program.  TPU-only — the CPU blocked matmul
+    # rounds per-column NON-uniformly, which would break exact-duplicate
+    # tie order (see ops/search._shifted_lambda_plane / _pad_query_rows).
+    pad_b = _pad_query_rows(b)
+    if pad_b:
+        z_q = jnp.pad(z_q, ((0, pad_b), (0, 0)))
+        lambda_q = jnp.pad(lambda_q, (0, pad_b))
     n = z_items.shape[0]
     n_eff = n if n_live is None else n_live
     dt = z_q.dtype
@@ -487,12 +498,12 @@ def _energy_score_topk_chunked(z_q, lambda_q, z_items, item_lambdas,
         i2 = jnp.take_along_axis(ci, pos, axis=1)
         return (s2, i2), None
 
-    init = (jnp.full((b, k), neg_inf, dtype=dt),
-            jnp.zeros((b, k), dtype=jnp.int32))
+    init = (jnp.full((b + pad_b, k), neg_inf, dtype=dt),
+            jnp.zeros((b + pad_b, k), dtype=jnp.int32))
     (run_s, run_i), _ = jax.lax.scan(
         body, init, jnp.arange(n_pad // chunk, dtype=jnp.int32))
     # restore the +wd shift (see body); -inf masked slots stay -inf
-    return run_s - w_dirichlet, run_i
+    return run_s[:b] - w_dirichlet, run_i[:b]
 
 
 def _use_binned_energy(nitems: int, k: int, g: int) -> bool:

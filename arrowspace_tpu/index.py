@@ -235,16 +235,22 @@ def stream_search(step, batches, batch_size: int, depth: int, dt,
     from concurrent.futures import ThreadPoolExecutor
 
     def finish(out, m, qb):
+        # Fetch the FULL device arrays and slice partial tails on the
+        # host: a device-side s[:m] compiles one slice program PER
+        # NOVEL TAIL SIZE (~1 s each through the remote-compile
+        # tunnel), while the full fetch costs at most a few extra KB
+        # on the one tail batch a stream ends with.
         if len(out) == 2:
             s, i = out
-            s, i = jax.device_get((s[:m], i[:m]))
-            return s, i
+            s, i = jax.device_get((s, i))
+            return s[:m], i[:m]
         s, ii, qlam = out[:3]
         det = out[3] if len(out) > 3 else None
         # ONE device_get for both arrays: the tunnel batches a tuple
         # fetch into a single round trip (measured 24.8 vs 49.7 ms for
         # two sequential np.asarray fetches)
-        s, ii = jax.device_get((s[:m], ii[:m]))
+        s, ii = jax.device_get((s, ii))
+        s, ii = s[:m], ii[:m]
         i, flags = ii[:, :-1], ii[:, -1]
         if flags.any() and repair is not None:
             rows = np.nonzero(flags)[0]
@@ -269,7 +275,16 @@ def stream_search(step, batches, batch_size: int, depth: int, dt,
     try:
         pending = deque()
         for qb in batches:
-            qb = np.ascontiguousarray(qb)
+            # Cast to the session dtype on the HOST: a raw f64 batch
+            # otherwise crosses the tunnel at double width (256x128 f64
+            # = 256 KB vs 128 KB, ~4 ms at the ~35 MB/s tunnel) and
+            # compiles a device-side convert_element_type on the first
+            # production search (the post-warmup ~1 s compile
+            # benchmarks/live_tpu_session.py measured).  np and XLA
+            # round f64->f32 identically (to-nearest-even), so scores
+            # are bitwise-unchanged; repair callbacks receive the same
+            # once-rounded values they would have produced themselves.
+            qb = np.ascontiguousarray(qb, dtype=np.dtype(dt))
             nq = qb.shape[0]
             if dim is not None and qb.shape[1] != dim:
                 raise ValueError(
@@ -309,6 +324,14 @@ def warm_step(step, batch_size: int, dim: int, dt, repair=None,
     batch in production — a multi-second XLA compile landing on the
     serving fetch thread at an unpredictable time."""
     import jax.numpy as jnp
+    # One full-batch pass through the PRODUCTION stream driver first:
+    # this compiles every program of the unflagged serving path exactly
+    # as a real search runs it (host upload, step, result fetch) —
+    # probing the step directly missed the driver-level programs and
+    # left benchmarks/live_tpu_session.py's first searches paying ~1 s
+    # one-off compiles after warmup.
+    list(stream_search(step, [np.ones((batch_size, dim))], batch_size,
+                       1, dt, dim=dim, repair=None, async_fetch=False))
     out = step(jnp.ones((batch_size, dim), dtype=dt))
     np.asarray(out[0][:1, :1])
     if repair is not None and len(out) > 3 and k > 0:

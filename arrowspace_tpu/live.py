@@ -433,7 +433,9 @@ class _LiveBase:
         (B, F) -> (scores (B, k), external ids (B, k) int64)."""
         from .index import stream_search
         self._check_k_vs_live()
-        queries = np.atleast_2d(np.asarray(queries, dtype=np.float64))
+        # no f64 intermediate: stream_search host-casts to the session
+        # dtype, so widening here would only double the tunnel upload
+        queries = np.atleast_2d(np.asarray(queries))
         out = []
         for lo in range(0, queries.shape[0], self.batch_size):
             qb = queries[lo:lo + self.batch_size]

@@ -463,7 +463,26 @@ def _kernel(qhat_ref, qlam_ref, xhat_ref, xlam_ref, alpha_ref, n_ref,
 
 def _fold_subtiles(run_refs, tile_scores, depth, lane_split, pre_reduce):
     """Shared sub-tile fold driver for both kernels (see _kernel for the
-    pre-reduce contract)."""
+    pre-reduce contract).
+
+    Why there is NO packed (quantized score | slot)-in-one-i32 fold
+    (the STATUS r4 candidate): every production layout is pre-reduce
+    (r > 1 — including the B<=256 latency layout, block 256 / tile 4096
+    / r16), so the depth-D insertion network below already runs once
+    per TILE, amortised r x; the per-(query, item) cost is the score
+    plane (4 VPU ops: sub, abs, min, fma) + THIS combine (5 ops: cmp,
+    loser-min, lmax-max, 2 selects) ~= 9 ops/pair.  A packed key cuts
+    the combine to 3 ops (max, min, lmax-max — the index rides in the
+    word) but packing itself costs >= 4 ops/pair (bias-add, f32->i32
+    convert, low-bit mask, or-slot; the affine scale can ride the
+    existing fma but the convert/mask/or cannot, because the slot bits
+    must be exact for identity recovery) — net 10 vs 9, a REGRESSION.
+    Packing after the combine instead (amortised r x) keeps the 5-op
+    combine and saves only (5D+1 - (2D+1))/r ~= 0.56 ops/pair at D=3/
+    r16, minus ~0.25 pack — a ~3% delta, below harness noise, not
+    worth the flush-rescore + quantum-margin-flag exactness machinery
+    it would need.  Only the legacy non-pre-reduce fold (4 + 5D
+    ops/pair) would gain ~26%, and no production shape uses it."""
     if pre_reduce and lane_split > 1:
         # Max-combine the r lane sub-tiles into ONE fold: fold work
         # (the VPU bound at large batch) drops by r; the discarded

@@ -136,6 +136,25 @@ def cosine_scores(queries: jax.Array, items: jax.Array) -> jax.Array:
     return jnp.dot(q, x.T, preferred_element_type=queries.dtype)
 
 
+def _pad_query_rows(b: int) -> int:
+    """Rows of zero-padding that lift a sub-16-row query block to a
+    matmul-shaped dot — TPU only (see _shifted_lambda_plane's docstring:
+    the CPU matvec is already column-uniform and the CPU blocked matmul
+    is NOT, so padding there breaks exact-duplicate tie order).
+
+    The device check honours jax.default_device: core.py's small-scan
+    fallback runs this plane on the HOST CPU backend of a TPU machine
+    (``with jax.default_device(cpu)``), where jax.default_backend()
+    still reports the accelerator — keying on the backend alone would
+    apply the TPU pad to the CPU matmul and break the tie order the
+    fallback exists to preserve."""
+    dev = jax.config.jax_default_device
+    platform = dev.platform if dev is not None else jax.default_backend()
+    if platform == "cpu":
+        return 0
+    return max(0, 16 - b)
+
+
 def _shifted_lambda_plane(queries, query_lambdas, items, item_lambdas,
                           alpha):
     """The canonical fma score arithmetic, SHIFTED by -c1 = -(1-α):
@@ -149,14 +168,35 @@ def _shifted_lambda_plane(queries, query_lambdas, items, item_lambdas,
     (ops/pallas_bintopk, ops/pallas_topk), so kernel-vs-oracle id parity
     is bitwise.  At α=1, c1=0 and the plane is exactly the f32 cosine.
     Top-k callers sort on s' (the kernels sort pre-shift) and restore
-    +c1 on the returned scores only."""
+    +c1 on the returned scores only.
+
+    On TPU, sub-16-row batches are zero-padded to 16 query rows before
+    the dot and sliced back: TPU lowers a (1, F)x(F, N) dot as a MATVEC
+    whose rounding differs ~1e-4 from every matmul-shaped program
+    (measured, /tmp/prec_probe r4), which made single-query searches the
+    one API path whose scores could disagree with a serving session's.
+    The pad keeps the corpus stream identical and the extra query rows
+    are a rounding error in FLOPs.  The pad is TPU-ONLY (_pad_query_rows):
+    the CPU matvec already rounds uniformly per corpus column, while the
+    CPU blocked MATMUL does not — bitwise-identical corpus rows landing
+    in different SIMD remainder lanes round 1 ulp apart, flipping the
+    duplicate tie-order the reference pins (quora rows 1/14 in
+    tests/test_reference_parity.py; probed on f64: col14 = 1.0000000000000004
+    vs col1 = 0.9999999999999999 under the padded matmul, equal under
+    the matvec)."""
     a = jnp.asarray(alpha, queries.dtype)
     c1 = 1.0 - a
+    b = queries.shape[0]
+    pad = _pad_query_rows(b)
+    if pad:
+        queries = jnp.pad(queries, ((0, pad), (0, 0)))
+        query_lambdas = jnp.pad(query_lambdas, (0, pad))
     q = _safe_unit(queries) * a
     x = _safe_unit(items)
     acos = jnp.dot(q, x.T, preferred_element_type=queries.dtype)
     dl = jnp.abs(query_lambdas[:, None] - item_lambdas[None, :])
-    return acos - c1 * jnp.minimum(dl, 1.0), c1
+    shifted = acos - c1 * jnp.minimum(dl, 1.0)
+    return (shifted[:b] if pad else shifted), c1
 
 
 @jax.jit

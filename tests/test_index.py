@@ -269,6 +269,63 @@ def test_stream_driver_repairs_flagged_rows():
     np.testing.assert_array_equal(calls[1][0], [1])
 
 
+def test_stream_driver_host_casts_batches():
+    """The driver casts batches to the session dtype on the HOST: the
+    step must receive dt arrays (an f64 batch would otherwise cross
+    the interconnect at double width and compile a device-side convert
+    on the first production search)."""
+    import jax.numpy as jnp
+    from arrowspace_tpu.index import stream_search
+
+    seen = []
+
+    def step(q):
+        seen.append((q.dtype, np.asarray(q)))
+        s = jnp.zeros((4, 3), jnp.float32)
+        i = jnp.zeros((4, 3), jnp.int32)
+        return s, i
+
+    batches = [np.ones((4, 8), dtype=np.float64) * 0.1,
+               np.ones((4, 8), dtype=np.int32)]
+    list(stream_search(step, batches, 4, 1, np.float32))
+    assert [d for d, _ in seen] == [jnp.float32, jnp.float32]
+    # values match a single host-side rounding of the f64 input
+    np.testing.assert_array_equal(
+        seen[0][1], (np.ones((4, 8)) * 0.1).astype(np.float32))
+
+
+def test_warm_step_compiles_production_driver_path():
+    """warm_step must push one batch through the production stream
+    driver (not just probe the step): the step sees a full driver-cast
+    batch, and the repair sweep runs the flag-count buckets."""
+    import jax.numpy as jnp
+    from arrowspace_tpu.index import warm_step
+
+    bsz, dim, k = 4, 8, 3
+    step_calls, repair_calls = [], []
+
+    def step(q):
+        step_calls.append(np.asarray(q).dtype)
+        s = jnp.zeros((bsz, k), jnp.float32)
+        ii = jnp.zeros((bsz, k + 1), jnp.int32)
+        qlam = jnp.zeros((bsz,), jnp.float32)
+        det = jnp.full((bsz, 16), -1.0, jnp.float32)
+        return s, ii, qlam, det
+
+    def repair(q_block, qlam, rows, scores=None, ids=None,
+               det_rows=None):
+        repair_calls.append(len(rows))
+        return (np.zeros((len(rows), k), np.float32),
+                np.zeros((len(rows), k), np.int32))
+
+    warm_step(step, bsz, dim, jnp.float32, repair=repair, k=k)
+    # one production-driver pass + the det-shape probe
+    assert len(step_calls) >= 2
+    assert all(d == np.float32 for d in step_calls)
+    # the flag-count sweep clamps each bucket to the batch size
+    assert repair_calls == [1, 2, 4, 4, 4]
+
+
 def test_f64_rescore_pool_parameter():
     """rescore_pool widens the f64_rescore candidate pool; with a pool
     covering the duplicate multiplicity the exact f64 order is

@@ -228,3 +228,29 @@ def test_hybrid_fused_matches_host_union_oracle():
     got = dict(res)
     assert 40 in got and 61 in got
     assert got[40] == pytest.approx(1.0, abs=1e-6)
+
+def test_search_one_delegates_to_batched_engine(monkeypatch):
+    """search_lambda_aware must route through search_lambda_aware_batch
+    so BOTH single-query APIs share one engine selection (small-scan
+    gate included): it previously dispatched straight to the device and
+    could disagree with a B=1 batched search on near-ties at sub-gate
+    corpus sizes (measured on chip, r4)."""
+    data = make_moons_hd(60, noise=0.1, hd_noise=0.05, dims=10, seed=13)
+    aspace, gl = _build(data)
+    q = data[5] * 1.02
+    qlam = aspace.prepare_query_item(q, gl)
+
+    calls = []
+    orig = aspace.search_lambda_aware_batch
+
+    def spy(queries, qlams, k, alpha, **kw):
+        calls.append(np.shape(queries))
+        return orig(queries, qlams, k, alpha, **kw)
+
+    monkeypatch.setattr(aspace, "search_lambda_aware_batch", spy)
+    res = aspace.search_lambda_aware(ArrowItem(q, qlam), 5, 0.8)
+    assert calls == [(1, 10)]
+    s, i = orig(q[None, :], np.asarray([qlam]), 5, 0.8)
+    assert [(j, v) for j, v in res] == \
+        [(int(j), float(v)) for j, v in zip(np.asarray(i[0]),
+                                            np.asarray(s[0]))]
