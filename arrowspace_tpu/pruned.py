@@ -1,0 +1,431 @@
+"""Exact cell-screened low-latency search (the "fewer pairs" path).
+
+The full-scan serving kernels stream every corpus row per query — the
+right shape for large batches (the binned kernel runs at 57-69 % of the
+MXU roofline at B=2048), but a single query still pays the whole corpus
+stream.  This module prunes that work EXACTLY for small batches: the
+corpus is grouped into balanced cells with precomputed score upper
+bounds, a query exact-scores only the cells whose bound can reach its
+top-k, and a conservative margin + full-scan fallback preserves the
+library's exactness contract (the same flag + repair design language as
+ops/pallas_bintopk's miss detector).
+
+Reference anchor: core.rs:760-798 (search_lambda_aware) — the reference
+has no pruned path; this is a TPU-native latency feature on top of the
+same scoring semantics.
+
+How the bound works (on the shifted canonical plane of
+ops/search._shifted_lambda_plane, s' = α·(q̂·x̂) − c1·min(|Δλ|, 1)):
+
+  for every row x in a cell with unit centroid ĉ, radius
+  r = max ||x̂ − ĉ||₂ and λ-range [λlo, λhi]:
+
+    q̂·x̂ = q̂·ĉ + q̂·(x̂ − ĉ) ≤ q̂·ĉ + r          (Cauchy-Schwarz, ‖q̂‖=1)
+    min over cell |λq − λx| ≥ dmin := max(0, λlo − λq, λq − λhi)
+
+    s'(q, x) ≤ α·(q̂·ĉ) + α·r − c1·min(dmin, 1) =: U'(q, cell)
+
+A query exact-scores its top-M cells by U'; if the (M+1)-th bound plus
+a margin stays below its k-th candidate score, no pruned row can enter
+the top-k — including ties, since the comparison is strict after the
+margin — and the result equals the full scan.  Otherwise the query is
+FLAGGED and the caller re-runs it through the oracle path (rare on
+clustered data; universal on adversarially uniform data, where
+high-dimensional cosine bounds are vacuous — the session degrades to
+the full scan's cost, never to wrong results).
+
+The margin absorbs floating-point slop between the bound arithmetic and
+the score arithmetic (both ~1e-5 at f32 on unit-scale data; the default
+1e-3 is generous).  Scores for unflagged queries are computed by the
+canonical plane with the corpus rows as the MATMUL LHS — on TPU this is
+the same rounding family as every batched program (CLAUDE.md "TPU f32
+dot ROUNDING IS SHAPE-FAMILY-DEPENDENT"), and duplicate corpus rows
+stay bitwise-tied on every backend because they are LHS rows sharing
+one K-loop.  Tie order among candidates is restored to the oracle's
+(lowest GLOBAL id) by a two-key device sort.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .utils.log import get_logger
+
+logger = get_logger(__name__)
+
+__all__ = ["PrunedCells", "build_cells", "pruned_topk",
+           "PrunedSearchSession"]
+
+
+class PrunedCells(NamedTuple):
+    """Cell-grouped corpus layout (device arrays).
+
+    grouped rows are the UNIT-NORMALISED corpus in unit order, each unit
+    padded to `cap` slots; `ids` is -1 in padded slots.  `radius` is -2.0
+    in bucket-padding dummy units so their bound sorts below every real
+    unit's (a real unit's worst bound is α·(q̂·ĉ) + α·0 − c1 ≥ −α − c1;
+    a dummy's is α·0 − 2α − c1)."""
+    x: jax.Array        # (U*cap, F) unit-normalised rows, grouped
+    lam: jax.Array      # (U*cap,) item λ, grouped (0 in padded slots)
+    ids: jax.Array      # (U*cap,) int32 global row ids, -1 in padding
+    cent: jax.Array     # (U, F) unit centroids (unit-normalised)
+    radius: jax.Array   # (U,) max ||x̂ - ĉ|| per unit (+slack); -2 dummy
+    lam_lo: jax.Array   # (U,) min λ per unit (+inf in dummies)
+    lam_hi: jax.Array   # (U,) max λ per unit (-inf in dummies)
+    cap: int
+    n_units: int        # real (non-dummy) units
+
+
+def _assign_chunked(xhat, cent, chunk: int):
+    """argmax_c x̂·ĉ per row, scanned in fixed-size row chunks so the
+    (chunk, C) score block — not an (N, C) matrix — is the working set."""
+    n, f = xhat.shape
+    n_pad = -n % chunk
+    xp = jnp.pad(xhat, ((0, n_pad), (0, 0)))
+    blocks = xp.reshape(-1, chunk, f)
+
+    def body(_, xb):
+        s = jnp.dot(xb, cent.T, preferred_element_type=xb.dtype)
+        return None, jnp.argmax(s, axis=1).astype(jnp.int32)
+
+    _, assign = jax.lax.scan(body, None, blocks)
+    return assign.reshape(-1)[:n]
+
+
+@functools.partial(jax.jit, static_argnames=("n_cells", "chunk", "iters"))
+def _lloyd_device(xhat, cent0, *, n_cells: int, chunk: int, iters: int):
+    """Cosine-space Lloyd iterations (assign to max-dot centroid, update
+    to the normalised member mean).  Empty clusters keep their previous
+    centroid.  One jitted program; the (chunk, C) assign block keeps the
+    working set bounded at any N."""
+    n, f = xhat.shape
+
+    def iteration(cent, _):
+        assign = _assign_chunked(xhat, cent, chunk)
+        sums = jax.ops.segment_sum(xhat, assign, num_segments=n_cells)
+        counts = jax.ops.segment_sum(jnp.ones((n,), xhat.dtype), assign,
+                                     num_segments=n_cells)
+        norms = jnp.sqrt(jnp.sum(sums * sums, axis=1, keepdims=True))
+        new = jnp.where((counts[:, None] > 0) & (norms > 0),
+                        sums / jnp.where(norms > 0, norms, 1.0), cent)
+        return new, None
+
+    cent, _ = jax.lax.scan(iteration, cent0, None, length=iters)
+    return cent, _assign_chunked(xhat, cent, chunk)
+
+
+def _unit_norm_np(rows: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(rows, axis=1, keepdims=True)
+    return np.where(norms > 0, rows / np.where(norms > 0, norms, 1.0), 0.0)
+
+
+def build_cells(data, lambdas, cap: int = 256, seed: int = 0,
+                iters: int = 8, dtype=None) -> PrunedCells:
+    """Group the corpus into ≤cap-row units with bound metadata.
+
+    Clusters with a device Lloyd pass (C ≈ N/cap centroids seeded from
+    a random row sample), then splits each cluster into units of at most
+    `cap` rows.  Unit centroids/radii/λ-ranges are computed from the
+    unit's OWN rows in f64 on the host (tighter than the parent
+    cluster's, and the radius gets a 1e-6 slack so the f32 bound
+    arithmetic stays conservative).  The grouped layout duplicates the
+    corpus (like SearchSession's prepare_binned_corpus) — the price of
+    contiguous cell gathers.
+    """
+    rows = np.asarray(data, dtype=np.float64)
+    lam64 = np.asarray(lambdas, dtype=np.float64)
+    n, f = rows.shape
+    dt = dtype or (jnp.asarray(data).dtype if hasattr(data, "dtype")
+                   else jnp.float32)
+    cap = int(cap)
+    assert cap > 0 and n > 0
+
+    xhat64 = _unit_norm_np(rows)
+    n_cells = max(1, min(n, -(-n // cap)))
+    rng = np.random.default_rng(seed)
+    seed_rows = rng.choice(n, size=n_cells, replace=False)
+    xhat_dev = jnp.asarray(xhat64, dtype=dt)
+    if n_cells == 1:
+        assign = np.zeros((n,), dtype=np.int32)
+    else:
+        chunk = min(65536, max(1024, 1 << int(np.ceil(np.log2(max(2, n))))))
+        chunk = min(chunk, 65536)
+        cent0 = jnp.asarray(xhat64[seed_rows], dtype=dt)
+        _, assign = _lloyd_device(xhat_dev, cent0, n_cells=n_cells,
+                                  chunk=chunk, iters=iters)
+        assign = np.asarray(assign)
+
+    # host pass: split clusters into ≤cap units, compute metadata in f64
+    order = np.argsort(assign, kind="stable")
+    sorted_assign = assign[order]
+    starts = np.searchsorted(sorted_assign, np.arange(n_cells))
+    ends = np.searchsorted(sorted_assign, np.arange(n_cells), side="right")
+
+    unit_rows = []
+    for c in range(n_cells):
+        members = order[starts[c]:ends[c]]
+        for lo in range(0, len(members), cap):
+            unit_rows.append(members[lo:lo + cap])
+    u_real = len(unit_rows)
+    u_pad = max(8, 1 << int(np.ceil(np.log2(u_real))))
+
+    gx = np.zeros((u_pad * cap, f), dtype=np.float64)
+    glam = np.zeros((u_pad * cap,), dtype=np.float64)
+    gids = np.full((u_pad * cap,), -1, dtype=np.int32)
+    cent = np.zeros((u_pad, f), dtype=np.float64)
+    radius = np.full((u_pad,), -2.0, dtype=np.float64)
+    lam_lo = np.full((u_pad,), np.inf, dtype=np.float64)
+    lam_hi = np.full((u_pad,), -np.inf, dtype=np.float64)
+    for u, members in enumerate(unit_rows):
+        m = len(members)
+        xs = xhat64[members]
+        gx[u * cap:u * cap + m] = xs
+        glam[u * cap:u * cap + m] = lam64[members]
+        gids[u * cap:u * cap + m] = members
+        c_raw = xs.mean(axis=0)
+        c_norm = np.linalg.norm(c_raw)
+        c_hat = c_raw / c_norm if c_norm > 0 else np.zeros((f,))
+        cent[u] = c_hat
+        # radius in f64 + slack: covers the f32 cast of cent and the f32
+        # bound arithmetic (unit-scale values, error ~F*eps_f32 ≪ 1e-6;
+        # the session margin adds another 1e-3 on top)
+        radius[u] = float(np.sqrt(((xs - c_hat) ** 2).sum(axis=1).max())) \
+            + 1e-6
+        lam_lo[u] = lam64[members].min()
+        lam_hi[u] = lam64[members].max()
+
+    logger.info("pruned cells: %d rows -> %d units (cap %d, %d clusters, "
+                "padded to %d)", n, u_real, cap, n_cells, u_pad)
+    return PrunedCells(
+        x=jnp.asarray(gx, dtype=dt), lam=jnp.asarray(glam, dtype=dt),
+        ids=jnp.asarray(gids), cent=jnp.asarray(cent, dtype=dt),
+        radius=jnp.asarray(radius, dtype=dt),
+        lam_lo=jnp.asarray(lam_lo, dtype=dt),
+        lam_hi=jnp.asarray(lam_hi, dtype=dt), cap=cap, n_units=u_real)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "m_cells", "cap", "margin"))
+def pruned_topk(queries, query_lambdas, cells_x, cells_lam, cells_ids,
+                cent, radius, lam_lo, lam_hi, alpha, *, k: int,
+                m_cells: int, cap: int, margin: float):
+    """Cell-screened exact top-k.  Returns (scores (B, k), ids (B, k),
+    flags (B,) bool) — flags=True means exactness is NOT certified for
+    that query (the (M+1)-th cell bound + margin reached its k-th score,
+    or fewer than k real rows were gathered) and the caller must re-run
+    it through the full scan.  Unflagged rows match the full-scan oracle:
+    same ids (lowest-global-id tie order via the two-key sort), scores
+    from the canonical shifted plane in the matmul rounding family.
+
+    All shapes static: (B, U) bounds matmul, top-(M+1) cell select,
+    (B·M·cap, F) row gather, one (B·M·cap, F)x(F, max(B,16)) scoring
+    matmul — the corpus rows ride the LHS so each row's dot shares one
+    K-loop (duplicate rows stay bitwise-tied on every backend; see
+    ops/bin_repair._block_diag_dot for the family probe)."""
+    from .ops.search import _safe_unit
+
+    b, f = queries.shape
+    u = cent.shape[0]
+    m = min(m_cells, u)
+    dt = queries.dtype
+    a = jnp.asarray(alpha, dt)
+    c1 = 1.0 - a
+
+    qa = _safe_unit(queries) * a                      # α·q̂ (B, F)
+    # --- cell bounds on the shifted plane ---
+    bcos = jnp.dot(qa, cent.T, preferred_element_type=dt)   # α·(q̂·ĉ)
+    dmin = jnp.maximum(
+        0.0, jnp.maximum(lam_lo[None, :] - query_lambdas[:, None],
+                         query_lambdas[:, None] - lam_hi[None, :]))
+    bounds = bcos + a * radius[None, :] - c1 * jnp.minimum(dmin, 1.0)
+
+    if m < u:
+        bb, bi = jax.lax.top_k(bounds, m + 1)
+        sel, next_bound = bi[:, :m], bb[:, m]
+    else:
+        bb, bi = jax.lax.top_k(bounds, m)
+        sel = bi
+        next_bound = jnp.full((b,), -jnp.inf, dtype=dt)
+
+    # --- gather the selected units' rows ---
+    flat = (sel[:, :, None] * cap
+            + jnp.arange(cap, dtype=sel.dtype)[None, None, :]
+            ).reshape(b, m * cap)                     # (B, M·cap)
+    g = cells_x[flat.reshape(-1)]                     # (B·M·cap, F)
+    glam = cells_lam[flat.reshape(-1)].reshape(b, m * cap)
+    gids = cells_ids[flat.reshape(-1)].reshape(b, m * cap)
+
+    # --- exact canonical-plane scores, matmul family ---
+    qcols = max(16, b)
+    q_padded = jnp.pad(qa, ((0, qcols - b), (0, 0))) if qcols > b else qa
+    dots = jnp.dot(g, q_padded.T, preferred_element_type=dt)  # (B·Mcap, Q)
+    dots = dots.reshape(b, m * cap, qcols)
+    onehot = jnp.eye(b, qcols, dtype=dt)              # pick column b of row b
+    acos = jnp.sum(dots * onehot[:, None, :], axis=2)  # exact: 0s + x
+    dl = jnp.abs(query_lambdas[:, None] - glam)
+    shifted = acos - c1 * jnp.minimum(dl, 1.0)
+    neg_inf = jnp.asarray(-jnp.inf, dtype=dt)
+    shifted = jnp.where(gids >= 0, shifted, neg_inf)
+
+    # --- oracle tie order: sort by (score desc, global id asc) ---
+    s_sorted, id_sorted = jax.lax.sort((-shifted, gids), num_keys=2)
+    top_s = -s_sorted[:, :k]
+    top_i = id_sorted[:, :k]
+
+    kth = top_s[:, k - 1]
+    flags = (next_bound + jnp.asarray(margin, dt) >= kth) | ~jnp.isfinite(kth)
+    return top_s + c1, top_i, flags
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "taumode", "alpha", "k", "m_cells", "cap", "margin", "has_proj",
+    "pad_tall"))
+def _pruned_step(q_raw, cells_x, cells_lam, cells_ids, cent, radius,
+                 lam_lo, lam_hi, lap, proj, *, taumode, alpha, k,
+                 m_cells, cap, margin, has_proj, pad_tall):
+    """Module-level jitted serving step: fused query-λ prep + cell
+    screening + exact candidate scoring.  The cell arrays are ARGUMENTS,
+    not closure captures — a captured corpus embeds as HLO constants and
+    blows the remote-compile request limit (see index._session_step_jit);
+    statics carry the session config so same-config sessions share one
+    executable."""
+    from .taumode import select_tau_batch, synthetic_lambda_batch
+    q_prep = q_raw if not has_proj else jnp.dot(
+        q_raw, proj, preferred_element_type=q_raw.dtype)
+    taus = select_tau_batch(q_prep, taumode)
+    qlam = synthetic_lambda_batch(q_prep, lap, taus, pad_items=pad_tall)
+    s, i, fl = pruned_topk(
+        q_raw, qlam, cells_x, cells_lam, cells_ids, cent, radius,
+        lam_lo, lam_hi, alpha, k=k, m_cells=m_cells, cap=cap,
+        margin=margin)
+    return s, i, fl, qlam
+
+
+class PrunedSearchSession:
+    """Small-batch exact serving with cell screening.
+
+    Build once per index (the cell layout duplicates the corpus on
+    device), then `search(queries)` any number of (≤batch_size)-row
+    blocks: unflagged queries cost one centroid matmul + an M·cap-row
+    gather+score instead of the full corpus stream; flagged queries
+    (bounds couldn't certify exactness) transparently re-run through the
+    oracle full scan with the SAME query λ the step computed, so every
+    returned row is exactly what the full scan returns.
+
+    batch_size is capped at 16: the scoring matmul carries max(B, 16)
+    query columns (the matmul-family pad), so per-pair work grows
+    linearly in B beyond 16 — larger batches belong to the streaming
+    kernels, which beat pruning as soon as gathered bytes approach the
+    corpus size (B·M·cap ≳ N).
+    """
+
+    def __init__(self, index, batch_size: int = 16, k: int = 10,
+                 alpha: float = 0.9, cap: int = 256,
+                 m_cells: Optional[int] = None, margin: float = 1e-3,
+                 seed: int = 0, iters: int = 8,
+                 cells: Optional[PrunedCells] = None):
+        aspace, gl = index.aspace, index.gl
+        if not (1 <= batch_size <= 16):
+            raise ValueError("pruned sessions serve batch_size in [1, 16]; "
+                             "use SearchSession for larger batches")
+        self.batch_size = int(batch_size)
+        self.k = min(int(k), index.nitems)
+        self.alpha = float(alpha)
+        self.margin = float(margin)
+        self._index = index
+        dt = aspace.data.dtype
+        self._dt = dt
+        self._dim = aspace.nfeatures
+
+        self.cells = cells if cells is not None else build_cells(
+            aspace.data, aspace.lambdas, cap=cap, seed=seed, iters=iters,
+            dtype=dt)
+        u = self.cells.cent.shape[0]
+        if m_cells is None:
+            # enough cells that k real rows are certain (≥1 row per unit)
+            # and the gather covers a few thousand candidates
+            m_cells = max(self.k, min(u, -(-4096 // self.cells.cap) * 4))
+        self.m_cells = min(int(m_cells), u)
+
+        lap = jnp.asarray(gl.matrix, dtype=dt)
+        proj = None
+        if aspace.projection_matrix is not None:
+            proj = aspace.projection_matrix.matrix(dtype=dt)
+        has_proj = proj is not None
+        dummy_proj = proj if has_proj else jnp.zeros((1, 1), dtype=dt)
+        taumode = aspace.taumode
+        pad_tall = aspace.pad_tall_graphs
+        c = self.cells
+        self._step = lambda q_raw: _pruned_step(
+            q_raw, c.x, c.lam, c.ids, c.cent, c.radius, c.lam_lo,
+            c.lam_hi, lap, dummy_proj, taumode=taumode,
+            alpha=self.alpha, k=self.k, m_cells=self.m_cells, cap=c.cap,
+            margin=self.margin, has_proj=has_proj, pad_tall=pad_tall)
+        self.flagged_total = 0
+        self.queries_total = 0
+
+    def warmup(self) -> None:
+        """Compile the step and the fallback programs (serving becomes
+        dispatch-only)."""
+        q = np.ones((self.batch_size, self._dim))
+        self.search(q)
+
+    def _fallback(self, q_block: np.ndarray, qlam: np.ndarray):
+        """Oracle full scan for flagged rows, with the step's own qlam
+        (no host re-prep — identical operands, identical result).  The
+        row count is padded to the session batch size so ONE compiled
+        program serves every flagged count."""
+        from .ops.search import batched_lambda_aware_topk
+        aspace = self._index.aspace
+        m = q_block.shape[0]
+        pad = self.batch_size - m
+        if pad:
+            q_block = np.pad(q_block, ((0, pad), (0, 0)),
+                             constant_values=1.0)
+            qlam = np.pad(qlam, (0, pad))
+        s, i = batched_lambda_aware_topk(
+            jnp.asarray(q_block, dtype=self._dt),
+            jnp.asarray(qlam, dtype=self._dt),
+            aspace.data, aspace.lambdas,
+            jnp.asarray(self.alpha, dtype=self._dt), k=self.k)
+        return np.asarray(s)[:m], np.asarray(i)[:m]
+
+    def search(self, queries) -> Tuple[np.ndarray, np.ndarray]:
+        """(B ≤ batch_size, F) -> (scores (B, k), ids (B, k)).  Exact:
+        certified-by-bound rows come from the pruned scan, the rest from
+        the full scan."""
+        q = np.atleast_2d(np.asarray(queries, dtype=np.dtype(self._dt)))
+        b = q.shape[0]
+        if b > self.batch_size:
+            raise ValueError(
+                f"pruned session batch is {self.batch_size}; got {b} "
+                "(loop on the host or use SearchSession)")
+        if q.shape[1] != self._dim:
+            raise ValueError(f"query dim {q.shape[1]} != {self._dim}")
+        pad = self.batch_size - b
+        if pad:
+            q = np.pad(q, ((0, pad), (0, 0)), constant_values=1.0)
+        s, i, fl, qlam = self._step(jnp.asarray(q))
+        s, i, fl = jax.device_get((s, i, fl))
+        s, i, fl = s[:b], i[:b], fl[:b]
+        self.queries_total += b
+        if fl.any():
+            rows = np.nonzero(fl)[0]
+            self.flagged_total += len(rows)
+            qlam_h = np.asarray(qlam)
+            rs, ri = self._fallback(q[rows], qlam_h[rows])
+            s = s.copy()
+            i = i.copy()
+            s[rows] = rs
+            i[rows] = ri
+        return s, i
+
+    @property
+    def flag_rate(self) -> float:
+        return (self.flagged_total / self.queries_total
+                if self.queries_total else 0.0)

@@ -1,0 +1,264 @@
+"""Exact cell-screened search (arrowspace_tpu/pruned.py).
+
+The pruning contract: a query's unflagged result equals the full-scan
+oracle exactly (same ids, lowest-global-id tie order); flagged queries
+fall back to the oracle path, so the SESSION result always equals the
+oracle.  Bounds are validated brute-force in f64.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from arrowspace_tpu.index import ArrowIndex
+from arrowspace_tpu.ops.search import batched_lambda_aware_topk
+from arrowspace_tpu.pruned import PrunedCells, build_cells, pruned_topk
+
+
+def _clustered(n=600, f=24, centers=8, noise=0.03, seed=3):
+    rng = np.random.default_rng(seed)
+    c = rng.uniform(0.2, 0.8, (centers, f))
+    rows = c[rng.integers(0, centers, n)] + rng.normal(0, noise, (n, f))
+    return rows
+
+
+def _uniform(n=400, f=32, seed=5):
+    return np.random.default_rng(seed).normal(size=(n, f))
+
+
+# ---------------------------------------------------------------- cells
+
+
+def test_build_cells_partitions_rows():
+    rows = _clustered()
+    lam = np.random.default_rng(0).uniform(0, 1, rows.shape[0])
+    cells = build_cells(rows, lam, cap=32, seed=1, iters=4)
+    ids = np.asarray(cells.ids)
+    real = ids[ids >= 0]
+    assert sorted(real.tolist()) == list(range(rows.shape[0]))
+    # grouped rows/λ match the source at each id
+    xhat = rows / np.linalg.norm(rows, axis=1, keepdims=True)
+    gx = np.asarray(cells.x)
+    glam = np.asarray(cells.lam)
+    pos = np.nonzero(ids >= 0)[0]
+    np.testing.assert_allclose(gx[pos], xhat[ids[pos]], rtol=1e-6,
+                               atol=1e-9)
+    np.testing.assert_allclose(glam[pos], lam[ids[pos]], rtol=1e-6)
+    # unit sizes respect cap; dummies carry the -2 radius sentinel
+    u = cells.cent.shape[0]
+    per_unit = ids.reshape(u, cells.cap)
+    rad = np.asarray(cells.radius)
+    for uu in range(u):
+        members = per_unit[uu][per_unit[uu] >= 0]
+        assert len(members) <= cells.cap
+        if len(members) == 0:
+            assert rad[uu] == -2.0
+
+
+def test_cell_bounds_dominate_member_scores():
+    """Brute-force f64 check of the pruning inequality: for every unit
+    and a batch of queries, U'(q, unit) >= max member shifted score."""
+    rows = _clustered(n=300, f=16, seed=7)
+    lam = np.random.default_rng(1).uniform(0, 2, 300)
+    cells = build_cells(rows, lam, cap=16, seed=2, iters=4)
+    alpha = 0.8
+    c1 = 1 - alpha
+    rng = np.random.default_rng(9)
+    queries = rng.normal(size=(5, 16))
+    qlam = rng.uniform(0, 2, 5)
+    qhat = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    xhat = rows / np.linalg.norm(rows, axis=1, keepdims=True)
+
+    ids = np.asarray(cells.ids)
+    cent = np.asarray(cells.cent, dtype=np.float64)
+    rad = np.asarray(cells.radius, dtype=np.float64)
+    lo = np.asarray(cells.lam_lo, dtype=np.float64)
+    hi = np.asarray(cells.lam_hi, dtype=np.float64)
+    u = cent.shape[0]
+    per_unit = ids.reshape(u, cells.cap)
+    for b in range(5):
+        for uu in range(u):
+            members = per_unit[uu][per_unit[uu] >= 0]
+            if len(members) == 0:
+                continue
+            s = alpha * (xhat[members] @ qhat[b]) - c1 * np.minimum(
+                np.abs(qlam[b] - lam[members]), 1.0)
+            dmin = max(0.0, lo[uu] - qlam[b], qlam[b] - hi[uu])
+            bound = alpha * (qhat[b] @ cent[uu] + rad[uu]) \
+                - c1 * min(dmin, 1.0)
+            assert bound >= s.max() - 1e-12
+
+
+# ------------------------------------------------------------ pruned_topk
+
+
+def _oracle(queries, qlam, rows, lam, alpha, k):
+    s, i = batched_lambda_aware_topk(
+        jnp.asarray(queries), jnp.asarray(qlam), jnp.asarray(rows),
+        jnp.asarray(lam), jnp.asarray(alpha), k=k)
+    return np.asarray(s), np.asarray(i)
+
+
+def _run_pruned(cells, queries, qlam, alpha, k, m_cells, margin=1e-3):
+    s, i, fl = pruned_topk(
+        jnp.asarray(queries), jnp.asarray(qlam), cells.x, cells.lam,
+        cells.ids, cells.cent, cells.radius, cells.lam_lo, cells.lam_hi,
+        alpha, k=k, m_cells=m_cells, cap=cells.cap, margin=margin)
+    return np.asarray(s), np.asarray(i), np.asarray(fl)
+
+
+def test_pruned_matches_oracle_on_clustered_data():
+    rows = _clustered(n=800, f=24, seed=11)
+    lam = np.random.default_rng(2).uniform(0, 1, 800)
+    cells = build_cells(rows, lam, cap=32, seed=3)
+    rng = np.random.default_rng(4)
+    queries = rows[rng.integers(0, 800, 6)] * 1.02
+    qlam = lam[rng.integers(0, 800, 6)]
+    for alpha in (1.0, 0.9, 0.0):
+        so, io = _oracle(queries, qlam, rows, lam, alpha, 10)
+        sp, ip, fl = _run_pruned(cells, queries, qlam, alpha, 10,
+                                 m_cells=12)
+        for b in range(6):
+            if not fl[b]:
+                np.testing.assert_array_equal(ip[b], io[b])
+                np.testing.assert_allclose(sp[b], so[b], rtol=1e-12)
+        # clustered data must actually certify most queries, or the
+        # screen is useless
+        assert fl.sum() <= 2, fl
+
+
+def test_pruned_scanning_all_units_is_exact_and_unflagged():
+    """m_cells == all units -> full coverage, next bound is -inf, no
+    flags, exact equality (the degenerate-exhaustive anchor)."""
+    rows = _clustered(n=300, f=16, seed=13)
+    lam = np.random.default_rng(3).uniform(0, 1, 300)
+    cells = build_cells(rows, lam, cap=16, seed=1)
+    u = cells.cent.shape[0]
+    queries = _uniform(4, 16, seed=6)  # adversarial queries
+    qlam = np.random.default_rng(7).uniform(0, 1, 4)
+    so, io = _oracle(queries, qlam, rows, lam, 0.7, 7)
+    sp, ip, fl = _run_pruned(cells, queries, qlam, 0.7, 7, m_cells=u)
+    assert not fl.any()
+    np.testing.assert_array_equal(ip, io)
+    np.testing.assert_allclose(sp, so, rtol=1e-12)
+
+
+def test_pruned_flags_when_bounds_cannot_certify():
+    """Uniform high-d data: cosine bounds are vacuous, so with few
+    scanned cells the kernel must FLAG rather than silently return an
+    uncertified result."""
+    rows = _uniform(n=512, f=64, seed=17)
+    lam = np.random.default_rng(5).uniform(0, 1, 512)
+    cells = build_cells(rows, lam, cap=32, seed=2)
+    queries = _uniform(3, 64, seed=19)
+    qlam = np.random.default_rng(6).uniform(0, 1, 3)
+    sp, ip, fl = _run_pruned(cells, queries, qlam, 0.9, 10, m_cells=2)
+    so, io = _oracle(queries, qlam, rows, lam, 0.9, 10)
+    for b in range(3):
+        if not fl[b]:
+            np.testing.assert_array_equal(ip[b], io[b])
+    assert fl.any()  # at least one uncertifiable query on this data
+
+
+def test_pruned_duplicate_tie_order_matches_oracle():
+    """Exact duplicates far apart in id space (and in different units)
+    must resolve to the LOWEST global id, like lax.top_k."""
+    rows = _clustered(n=200, f=16, seed=23)
+    rows[150] = rows[10]          # duplicate pair across the corpus
+    lam = np.random.default_rng(8).uniform(0, 1, 200)
+    lam[150] = lam[10]
+    cells = build_cells(rows, lam, cap=8, seed=4)
+    q = rows[10:11] * 1.02
+    qlam = lam[10:11]
+    so, io = _oracle(q, qlam, rows, lam, 0.9, 6)
+    sp, ip, fl = _run_pruned(cells, q, qlam, 0.9, 6,
+                             m_cells=cells.cent.shape[0])
+    assert not fl[0]
+    assert 10 in io[0] and 150 in io[0]
+    np.testing.assert_array_equal(ip[0], io[0])
+    # the duplicate pair is bitwise-tied in the pruned scorer too
+    p10 = list(ip[0]).index(10)
+    p150 = list(ip[0]).index(150)
+    assert sp[0][p10] == sp[0][p150]
+
+
+def test_pruned_flags_underfilled_topk():
+    """k larger than the gathered real rows must flag, not fabricate."""
+    rows = _clustered(n=100, f=16, seed=29)
+    lam = np.random.default_rng(9).uniform(0, 1, 100)
+    cells = build_cells(rows, lam, cap=4, seed=5)
+    q = rows[:1] * 1.01
+    sp, ip, fl = _run_pruned(cells, q, lam[:1], 0.9, 8, m_cells=1)
+    assert fl[0]  # 1 unit * cap 4 < k=8
+
+
+# ------------------------------------------------------------- session
+
+
+def _pruned_index(n=700, f=24, seed=31):
+    rows = _clustered(n=n, f=f, seed=seed)
+    idx = ArrowIndex.build(rows.tolist(), eps=1.0, k=5, topk=3, seed=7)
+    return rows, idx
+
+
+def test_session_matches_full_search():
+    rows, idx = _pruned_index()
+    sess = idx.make_pruned_session(batch_size=8, k=5, alpha=0.9, cap=32,
+                                   seed=1)
+    sess.warmup()
+    rng = np.random.default_rng(12)
+    queries = rows[rng.integers(0, rows.shape[0], 8)] * 1.03
+    sp, ip = sess.search(queries)
+    so, io = idx.search(queries, k=5, alpha=0.9)
+    np.testing.assert_array_equal(ip, io)
+    np.testing.assert_allclose(sp, so, rtol=1e-12)
+    assert sess.queries_total >= 8
+
+
+def test_session_fallback_equals_oracle_on_adversarial_data():
+    """Uniform data + tiny m_cells: everything flags, the fallback path
+    carries the result, and it still equals the full search exactly."""
+    rows = _uniform(n=400, f=32, seed=37)
+    idx = ArrowIndex.build(rows.tolist(), eps=1.0, k=5, topk=3, seed=7)
+    sess = idx.make_pruned_session(batch_size=4, k=6, alpha=0.9, cap=32,
+                                   m_cells=1, seed=2)
+    queries = _uniform(4, 32, seed=41)
+    sp, ip = sess.search(queries)
+    so, io = idx.search(queries, k=6, alpha=0.9)
+    np.testing.assert_array_equal(ip, io)
+    np.testing.assert_allclose(sp, so, rtol=1e-12)
+    assert sess.flag_rate > 0.5
+
+
+def test_session_partial_batch_and_single_query():
+    rows, idx = _pruned_index(n=400)
+    sess = idx.make_pruned_session(batch_size=8, k=5, seed=3)
+    sp, ip = sess.search(rows[42] * 1.02)       # single 1-D query
+    assert sp.shape == (1, 5) and ip[0][0] == 42
+    sp3, ip3 = sess.search(rows[:3] * 1.02)     # partial batch
+    assert sp3.shape == (3, 5)
+    for b in range(3):
+        assert ip3[b][0] == b
+
+
+def test_session_validation():
+    rows, idx = _pruned_index(n=300)
+    with pytest.raises(ValueError, match=r"\[1, 16\]"):
+        idx.make_pruned_session(batch_size=32)
+    sess = idx.make_pruned_session(batch_size=4, seed=1)
+    with pytest.raises(ValueError, match="batch"):
+        sess.search(rows[:5])
+    with pytest.raises(ValueError, match="dim"):
+        sess.search(np.ones((2, 7)))
+
+
+def test_session_reuses_prebuilt_cells():
+    rows, idx = _pruned_index(n=300)
+    from arrowspace_tpu.pruned import PrunedSearchSession
+    cells = build_cells(idx.aspace.data, idx.aspace.lambdas, cap=32,
+                        seed=9)
+    s1 = PrunedSearchSession(idx, 4, k=5, cells=cells)
+    s2 = idx.make_pruned_session(batch_size=4, k=5, cap=32, seed=9)
+    q = rows[5:9] * 1.01
+    np.testing.assert_array_equal(s1.search(q)[1], s2.search(q)[1])
