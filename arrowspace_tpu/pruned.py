@@ -37,12 +37,13 @@ the full scan's cost, never to wrong results).
 The margin absorbs floating-point slop between the bound arithmetic and
 the score arithmetic (both ~1e-5 at f32 on unit-scale data; the default
 1e-3 is generous).  Scores for unflagged queries are computed by the
-canonical plane with the corpus rows as the MATMUL LHS — on TPU this is
-the same rounding family as every batched program (CLAUDE.md "TPU f32
-dot ROUNDING IS SHAPE-FAMILY-DEPENDENT"), and duplicate corpus rows
-stay bitwise-tied on every backend because they are LHS rows sharing
-one K-loop.  Tie order among candidates is restored to the oracle's
-(lowest GLOBAL id) by a two-key device sort.
+canonical plane through ops/bin_repair._block_diag_dot — queries as the
+MATMUL LHS padded to >= 16 rows, the one dot shape measured
+bitwise-consistent with the Pallas kernels and the batched oracle on
+TPU (CLAUDE.md "TPU f32 dot ROUNDING IS SHAPE-FAMILY-DEPENDENT");
+duplicate corpus rows are RHS columns sharing the query's K-loop, so
+they stay bitwise-tied on every backend.  Tie order among candidates is
+restored to the oracle's (lowest GLOBAL id) by a two-key device sort.
 """
 
 from __future__ import annotations
@@ -169,6 +170,11 @@ def build_cells(data, lambdas, cap: int = 256, seed: int = 0,
     unit_rows = []
     for c in range(n_cells):
         members = order[starts[c]:ends[c]]
+        # λ-sort within the cluster before chunking: units cut from a
+        # cluster that spans multiple units get tight λ-ranges for free
+        # (the cosine radius is unaffected — members share a cluster),
+        # which keeps the dmin term of the bound useful at low α
+        members = members[np.argsort(lam64[members], kind="stable")]
         for lo in range(0, len(members), cap):
             unit_rows.append(members[lo:lo + cap])
     u_real = len(unit_rows)
@@ -223,10 +229,11 @@ def pruned_topk(queries, query_lambdas, cells_x, cells_lam, cells_ids,
     from the canonical shifted plane in the matmul rounding family.
 
     All shapes static: (B, U) bounds matmul, top-(M+1) cell select,
-    (B·M·cap, F) row gather, one (B·M·cap, F)x(F, max(B,16)) scoring
-    matmul — the corpus rows ride the LHS so each row's dot shares one
-    K-loop (duplicate rows stay bitwise-tied on every backend; see
-    ops/bin_repair._block_diag_dot for the family probe)."""
+    (B·M·cap, F) row gather, one (max(B,16), B·M·cap) scoring matmul via
+    ops/bin_repair._block_diag_dot — queries as the LHS, the shape
+    family measured bitwise-consistent with the kernels and the batched
+    oracle (duplicate candidate rows are RHS columns sharing the query's
+    K-loop, so they stay bitwise-tied on every backend)."""
     from .ops.search import _safe_unit
 
     b, f = queries.shape
@@ -261,12 +268,14 @@ def pruned_topk(queries, query_lambdas, cells_x, cells_lam, cells_ids,
     gids = cells_ids[flat.reshape(-1)].reshape(b, m * cap)
 
     # --- exact canonical-plane scores, matmul family ---
-    qcols = max(16, b)
-    q_padded = jnp.pad(qa, ((0, qcols - b), (0, 0))) if qcols > b else qa
-    dots = jnp.dot(g, q_padded.T, preferred_element_type=dt)  # (B·Mcap, Q)
-    dots = dots.reshape(b, m * cap, qcols)
-    onehot = jnp.eye(b, qcols, dtype=dt)              # pick column b of row b
-    acos = jnp.sum(dots * onehot[:, None, :], axis=2)  # exact: 0s + x
+    # queries ride the LHS padded to >= 16 rows, candidates flattened on
+    # the RHS, block diagonal extracted: the ONE dot shape measured
+    # bitwise-consistent with the kernels and the batched oracle.  The
+    # corpus-as-LHS transpose (dot(g, qa.T)) is NOT in that family on
+    # TPU — measured ~1e-4 off on chip, which reorders near-ties
+    # (benchmarks/pruned_tpu_ab.py r4).
+    from .ops.bin_repair import _block_diag_dot
+    acos = _block_diag_dot(qa, g.reshape(b, m * cap, f), dt)  # (B, Mcap)
     dl = jnp.abs(query_lambdas[:, None] - glam)
     shifted = acos - c1 * jnp.minimum(dl, 1.0)
     neg_inf = jnp.asarray(-jnp.inf, dtype=dt)
