@@ -17,13 +17,22 @@ same scoring semantics.
 How the bound works (on the shifted canonical plane of
 ops/search._shifted_lambda_plane, s' = α·(q̂·x̂) − c1·min(|Δλ|, 1)):
 
-  for every row x in a cell with unit centroid ĉ, radius
-  r = max ||x̂ − ĉ||₂ and λ-range [λlo, λhi]:
+  every member x̂ of a cell lies in the spherical cap of angular radius
+  θr = max_x angle(x̂, ĉ) around the unit centroid ĉ; with
+  θq = angle(q̂, ĉ), the exact supremum of q̂·x̂ over that cap is
 
-    q̂·x̂ = q̂·ĉ + q̂·(x̂ − ĉ) ≤ q̂·ĉ + r          (Cauchy-Schwarz, ‖q̂‖=1)
+    q̂·x̂ ≤ cos(max(0, θq − θr))
+         = 1                            if  c ≥ cos θr   (query inside)
+         = c·cos θr + √(1−c²)·sin θr    otherwise,  c := q̂·ĉ
+
+  (the additive Cauchy-Schwarz form q̂·ĉ + max‖x̂−ĉ‖ is strictly weaker
+  and goes VACUOUS on crowded data — e.g. positive-orthant corpora
+  where all pairwise cosines are ~0.9: measured flag-rate 1.0 on chip
+  vs certification with the cap bound).  With the λ-range [λlo, λhi]:
+
     min over cell |λq − λx| ≥ dmin := max(0, λlo − λq, λq − λhi)
 
-    s'(q, x) ≤ α·(q̂·ĉ) + α·r − c1·min(dmin, 1) =: U'(q, cell)
+    s'(q, x) ≤ α·cos(max(0, θq − θr)) − c1·min(dmin, 1) =: U'(q, cell)
 
 A query exact-scores its top-M cells by U'; if the (M+1)-th bound plus
 a margin stays below its k-th candidate score, no pruned row can enter
@@ -68,14 +77,15 @@ class PrunedCells(NamedTuple):
 
     grouped rows are the UNIT-NORMALISED corpus in unit order, each unit
     padded to `cap` slots; `ids` is -1 in padded slots.  `radius` is -2.0
-    in bucket-padding dummy units so their bound sorts below every real
-    unit's (a real unit's worst bound is α·(q̂·ĉ) + α·0 − c1 ≥ −α − c1;
-    a dummy's is α·0 − 2α − c1)."""
+    in bucket-padding dummy units (the sentinel the kernel masks dummy
+    bounds on, and the dummy marker build tests rely on)."""
     x: jax.Array        # (U*cap, F) unit-normalised rows, grouped
     lam: jax.Array      # (U*cap,) item λ, grouped (0 in padded slots)
     ids: jax.Array      # (U*cap,) int32 global row ids, -1 in padding
     cent: jax.Array     # (U, F) unit centroids (unit-normalised)
     radius: jax.Array   # (U,) max ||x̂ - ĉ|| per unit (+slack); -2 dummy
+    cosr: jax.Array     # (U,) cos of the cap's angular radius (−slack)
+    sinr: jax.Array     # (U,) sin of the cap's angular radius (+slack)
     lam_lo: jax.Array   # (U,) min λ per unit (+inf in dummies)
     lam_hi: jax.Array   # (U,) max λ per unit (-inf in dummies)
     cap: int
@@ -185,6 +195,8 @@ def build_cells(data, lambdas, cap: int = 256, seed: int = 0,
     gids = np.full((u_pad * cap,), -1, dtype=np.int32)
     cent = np.zeros((u_pad, f), dtype=np.float64)
     radius = np.full((u_pad,), -2.0, dtype=np.float64)
+    cosr = np.ones((u_pad,), dtype=np.float64)
+    sinr = np.zeros((u_pad,), dtype=np.float64)
     lam_lo = np.full((u_pad,), np.inf, dtype=np.float64)
     lam_hi = np.full((u_pad,), -np.inf, dtype=np.float64)
     for u, members in enumerate(unit_rows):
@@ -197,11 +209,20 @@ def build_cells(data, lambdas, cap: int = 256, seed: int = 0,
         c_norm = np.linalg.norm(c_raw)
         c_hat = c_raw / c_norm if c_norm > 0 else np.zeros((f,))
         cent[u] = c_hat
-        # radius in f64 + slack: covers the f32 cast of cent and the f32
-        # bound arithmetic (unit-scale values, error ~F*eps_f32 ≪ 1e-6;
-        # the session margin adds another 1e-3 on top)
+        # metadata in f64 + slack: covers the f32 cast of cent and the
+        # f32 bound arithmetic (unit-scale values, error ~F*eps_f32 ≪
+        # 1e-6; the session margin adds another 1e-3 on top).  A
+        # zero-norm centroid (cancelled rows) keeps the full-sphere cap
+        # (cosr −1): every bound is 1, the unit is never pruned wrongly.
         radius[u] = float(np.sqrt(((xs - c_hat) ** 2).sum(axis=1).max())) \
             + 1e-6
+        if c_norm > 0:
+            cr = float(np.clip((xs @ c_hat).min(), -1.0, 1.0)) - 1e-6
+        else:
+            cr = -1.0
+        cosr[u] = max(-1.0, cr)
+        sinr[u] = min(1.0, float(np.sqrt(max(0.0, 1.0 - cosr[u] ** 2)))
+                      + 1e-6)
         lam_lo[u] = lam64[members].min()
         lam_hi[u] = lam64[members].max()
 
@@ -211,6 +232,8 @@ def build_cells(data, lambdas, cap: int = 256, seed: int = 0,
         x=jnp.asarray(gx, dtype=dt), lam=jnp.asarray(glam, dtype=dt),
         ids=jnp.asarray(gids), cent=jnp.asarray(cent, dtype=dt),
         radius=jnp.asarray(radius, dtype=dt),
+        cosr=jnp.asarray(cosr, dtype=dt),
+        sinr=jnp.asarray(sinr, dtype=dt),
         lam_lo=jnp.asarray(lam_lo, dtype=dt),
         lam_hi=jnp.asarray(lam_hi, dtype=dt), cap=cap, n_units=u_real)
 
@@ -218,8 +241,8 @@ def build_cells(data, lambdas, cap: int = 256, seed: int = 0,
 @functools.partial(jax.jit,
                    static_argnames=("k", "m_cells", "cap", "margin"))
 def pruned_topk(queries, query_lambdas, cells_x, cells_lam, cells_ids,
-                cent, radius, lam_lo, lam_hi, alpha, *, k: int,
-                m_cells: int, cap: int, margin: float):
+                cent, radius, cosr, sinr, lam_lo, lam_hi, alpha, *,
+                k: int, m_cells: int, cap: int, margin: float):
     """Cell-screened exact top-k.  Returns (scores (B, k), ids (B, k),
     flags (B,) bool) — flags=True means exactness is NOT certified for
     that query (the (M+1)-th cell bound + margin reached its k-th score,
@@ -243,13 +266,20 @@ def pruned_topk(queries, query_lambdas, cells_x, cells_lam, cells_ids,
     a = jnp.asarray(alpha, dt)
     c1 = 1.0 - a
 
-    qa = _safe_unit(queries) * a                      # α·q̂ (B, F)
-    # --- cell bounds on the shifted plane ---
-    bcos = jnp.dot(qa, cent.T, preferred_element_type=dt)   # α·(q̂·ĉ)
+    qhat = _safe_unit(queries)
+    qa = qhat * a                                     # α·q̂ (B, F)
+    # --- cell bounds on the shifted plane (spherical-cap sup) ---
+    c = jnp.dot(qhat, cent.T, preferred_element_type=dt)     # q̂·ĉ (B, U)
+    s = jnp.sqrt(jnp.maximum(0.0, 1.0 - c * c))
+    cap_sup = jnp.where(c >= cosr[None, :], 1.0,
+                        c * cosr[None, :] + s * sinr[None, :])
     dmin = jnp.maximum(
         0.0, jnp.maximum(lam_lo[None, :] - query_lambdas[:, None],
                          query_lambdas[:, None] - lam_hi[None, :]))
-    bounds = bcos + a * radius[None, :] - c1 * jnp.minimum(dmin, 1.0)
+    bounds = a * cap_sup - c1 * jnp.minimum(dmin, 1.0)
+    # dummy bucket-padding units sort below every real unit's bound
+    # (a real bound is >= -α - c1 >= -1)
+    bounds = jnp.where(radius[None, :] < 0.0, -3.0, bounds)
 
     if m < u:
         bb, bi = jax.lax.top_k(bounds, m + 1)
