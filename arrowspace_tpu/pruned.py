@@ -325,8 +325,8 @@ def pruned_topk(queries, query_lambdas, cells_x, cells_lam, cells_ids,
     "taumode", "alpha", "k", "m_cells", "cap", "margin", "has_proj",
     "pad_tall"))
 def _pruned_step(q_raw, cells_x, cells_lam, cells_ids, cent, radius,
-                 lam_lo, lam_hi, lap, proj, *, taumode, alpha, k,
-                 m_cells, cap, margin, has_proj, pad_tall):
+                 cosr, sinr, lam_lo, lam_hi, lap, proj, *, taumode,
+                 alpha, k, m_cells, cap, margin, has_proj, pad_tall):
     """Module-level jitted serving step: fused query-λ prep + cell
     screening + exact candidate scoring.  The cell arrays are ARGUMENTS,
     not closure captures — a captured corpus embeds as HLO constants and
@@ -340,8 +340,8 @@ def _pruned_step(q_raw, cells_x, cells_lam, cells_ids, cent, radius,
     qlam = synthetic_lambda_batch(q_prep, lap, taus, pad_items=pad_tall)
     s, i, fl = pruned_topk(
         q_raw, qlam, cells_x, cells_lam, cells_ids, cent, radius,
-        lam_lo, lam_hi, alpha, k=k, m_cells=m_cells, cap=cap,
-        margin=margin)
+        cosr, sinr, lam_lo, lam_hi, alpha, k=k, m_cells=m_cells,
+        cap=cap, margin=margin)
     return s, i, fl, qlam
 
 
@@ -401,8 +401,8 @@ class PrunedSearchSession:
         pad_tall = aspace.pad_tall_graphs
         c = self.cells
         self._step = lambda q_raw: _pruned_step(
-            q_raw, c.x, c.lam, c.ids, c.cent, c.radius, c.lam_lo,
-            c.lam_hi, lap, dummy_proj, taumode=taumode,
+            q_raw, c.x, c.lam, c.ids, c.cent, c.radius, c.cosr, c.sinr,
+            c.lam_lo, c.lam_hi, lap, dummy_proj, taumode=taumode,
             alpha=self.alpha, k=self.k, m_cells=self.m_cells, cap=c.cap,
             margin=self.margin, has_proj=has_proj, pad_tall=pad_tall)
         self.flagged_total = 0

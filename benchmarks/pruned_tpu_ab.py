@@ -135,8 +135,9 @@ def pruned_kernel_ab(n=1_000_000, f=128, k=10, b=16, centers=1024):
     for m_cells in (32, 64, 128):
         sp, ip, fl = pruned_topk(
             qd, qld, cells.x, cells.lam, cells.ids, cells.cent,
-            cells.radius, cells.lam_lo, cells.lam_hi, 0.9, k=k,
-            m_cells=m_cells, cap=cells.cap, margin=1e-3)
+            cells.radius, cells.cosr, cells.sinr, cells.lam_lo,
+            cells.lam_hi, 0.9, k=k, m_cells=m_cells, cap=cells.cap,
+            margin=1e-3)
         sp, ip, fl = jax.device_get((sp, ip, fl))
         ok = all(np.array_equal(ip[r], io[r]) and
                  np.array_equal(sp[r], so[r])
@@ -147,16 +148,17 @@ def pruned_kernel_ab(n=1_000_000, f=128, k=10, b=16, centers=1024):
             _, _, f2 = pruned_topk(
                 jnp.asarray(queries[lo:lo+b]), jnp.asarray(qlam[lo:lo+b]),
                 cells.x, cells.lam, cells.ids, cells.cent, cells.radius,
-                cells.lam_lo, cells.lam_hi, 0.9, k=k, m_cells=m_cells,
-                cap=cells.cap, margin=1e-3)
+                cells.cosr, cells.sinr, cells.lam_lo, cells.lam_hi, 0.9,
+                k=k, m_cells=m_cells, cap=cells.cap, margin=1e-3)
             nfl += int(np.asarray(f2).sum())
         ms = amortised(
             lambda q, cx, cl, ci, m_cells=m_cells: (
                 lambda o: (jnp.sum(o[0][:, :1]) + jnp.sum(o[1][:, :1])
                            + jnp.sum(o[2])) * 1e-20)(
                 pruned_topk(q, qld, cx, cl, ci, cells.cent, cells.radius,
-                            cells.lam_lo, cells.lam_hi, 0.9, k=k,
-                            m_cells=m_cells, cap=cells.cap, margin=1e-3)),
+                            cells.cosr, cells.sinr, cells.lam_lo,
+                            cells.lam_hi, 0.9, k=k, m_cells=m_cells,
+                            cap=cells.cap, margin=1e-3)),
             qd, (cells.x, cells.lam, cells.ids)) * 1e3
         log(f"pruned B={b} m_cells={m_cells:<4} {ms:6.2f} ms  "
             f"unflagged-bitwise={ok}  flag_rate {nfl}/256")

@@ -43,7 +43,7 @@ def test_put_global_single_process_is_device_put():
     g = put_global(x, replicated_sharding(mesh))
     np.testing.assert_array_equal(np.asarray(g), x)
     # placing an already-global array is a no-op passthrough
-    assert put_global(g, replicated_sharding(mesh)) is g or True
+    assert put_global(g, replicated_sharding(mesh)) is g
 
 
 def test_two_process_build_query_serve():

@@ -57,8 +57,14 @@ def test_build_cells_partitions_rows():
 
 
 def test_cell_bounds_dominate_member_scores():
-    """Brute-force f64 check of the pruning inequality: for every unit
-    and a batch of queries, U'(q, unit) >= max member shifted score."""
+    """Brute-force f64 check of the pruning inequality pruned_topk
+    actually uses — the spherical-cap supremum: for every unit and a
+    batch of queries,
+
+      U'(q, unit) = α·capsup(q̂·ĉ, cosr, sinr) − c1·min(dmin, 1)
+                  >= max member shifted score,
+
+    where capsup = 1 if c >= cosr else c·cosr + √(1−c²)·sinr."""
     rows = _clustered(n=300, f=16, seed=7)
     lam = np.random.default_rng(1).uniform(0, 2, 300)
     cells = build_cells(rows, lam, cap=16, seed=2, iters=4)
@@ -72,7 +78,8 @@ def test_cell_bounds_dominate_member_scores():
 
     ids = np.asarray(cells.ids)
     cent = np.asarray(cells.cent, dtype=np.float64)
-    rad = np.asarray(cells.radius, dtype=np.float64)
+    cosr = np.asarray(cells.cosr, dtype=np.float64)
+    sinr = np.asarray(cells.sinr, dtype=np.float64)
     lo = np.asarray(cells.lam_lo, dtype=np.float64)
     hi = np.asarray(cells.lam_hi, dtype=np.float64)
     u = cent.shape[0]
@@ -85,9 +92,28 @@ def test_cell_bounds_dominate_member_scores():
             s = alpha * (xhat[members] @ qhat[b]) - c1 * np.minimum(
                 np.abs(qlam[b] - lam[members]), 1.0)
             dmin = max(0.0, lo[uu] - qlam[b], qlam[b] - hi[uu])
-            bound = alpha * (qhat[b] @ cent[uu] + rad[uu]) \
-                - c1 * min(dmin, 1.0)
+            c = float(qhat[b] @ cent[uu])
+            if c >= cosr[uu]:
+                capsup = 1.0
+            else:
+                capsup = c * cosr[uu] \
+                    + np.sqrt(max(0.0, 1.0 - c * c)) * sinr[uu]
+            bound = alpha * capsup - c1 * min(dmin, 1.0)
             assert bound >= s.max() - 1e-12
+            # slack-free cross-check from raw member geometry: the cap
+            # supremum is never weaker than the old additive
+            # Cauchy-Schwarz form it replaced (q̂·ĉ + max‖x̂−ĉ‖).  (The
+            # STORED cosr/sinr carry conservative slacks that near
+            # θr=0 inflate sinr by √(2·slack) ≈ 1.4e-3, so the
+            # comparison must use slack-free values.)
+            cosr0 = float(np.clip((xhat[members] @ cent[uu]).min(),
+                                  -1.0, 1.0))
+            sinr0 = np.sqrt(max(0.0, 1.0 - cosr0 * cosr0))
+            rad0 = float(np.sqrt(
+                ((xhat[members] - cent[uu]) ** 2).sum(axis=1).max()))
+            cap0 = 1.0 if c >= cosr0 else c * cosr0 \
+                + np.sqrt(max(0.0, 1.0 - c * c)) * sinr0
+            assert cap0 <= min(1.0, c + rad0) + 1e-12
 
 
 # ------------------------------------------------------------ pruned_topk
@@ -103,8 +129,9 @@ def _oracle(queries, qlam, rows, lam, alpha, k):
 def _run_pruned(cells, queries, qlam, alpha, k, m_cells, margin=1e-3):
     s, i, fl = pruned_topk(
         jnp.asarray(queries), jnp.asarray(qlam), cells.x, cells.lam,
-        cells.ids, cells.cent, cells.radius, cells.lam_lo, cells.lam_hi,
-        alpha, k=k, m_cells=m_cells, cap=cells.cap, margin=margin)
+        cells.ids, cells.cent, cells.radius, cells.cosr, cells.sinr,
+        cells.lam_lo, cells.lam_hi, alpha, k=k, m_cells=m_cells,
+        cap=cells.cap, margin=margin)
     return np.asarray(s), np.asarray(i), np.asarray(fl)
 
 
