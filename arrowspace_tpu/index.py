@@ -129,11 +129,13 @@ def _energy_step_jit():
                                       "has_proj", "has_signals", "pad_tall",
                                       "n_items"))
         def step(q_raw, z_items, item_lambdas, lap, proj, signals, wl, wd,
-                 z_norms, *, taumode, k, kernel, chunk, has_proj,
-                 has_signals, pad_tall, n_items=0):
+                 z_norms, z_samp=None, xn_samp=None, *, taumode, k, kernel,
+                 chunk, has_proj, has_signals, pad_tall, n_items=0):
             # n_items > 0 (binned only): z_items/item_lambdas/z_norms are
             # the prepared (padded, norms precomputed) corpus — see
-            # prepare_binned_energy_corpus.
+            # prepare_binned_energy_corpus.  kernel == "binned_approx"
+            # additionally takes the chord-fit sample (z_samp, xn_samp)
+            # from ops.energy_approx.prepare_energy_chord_sample.
             from .energymaps import _energy_score_topk_chunked
             from .taumode import select_tau_batch, synthetic_lambda_batch
             dt = q_raw.dtype
@@ -144,6 +146,20 @@ def _energy_step_jit():
                                           pad_items=pad_tall)
             z_q = jnp.dot(q_prep, signals.T, preferred_element_type=dt) \
                 if has_signals else q_prep
+            if kernel == "binned_approx":
+                # chord-surrogate fold + exact candidate rescore; flags
+                # mark UNCERTIFIED rows (margin could not separate the
+                # k-th exact score from the best pruned bound) — the
+                # stream driver re-runs those through the exact chunked
+                # scorer.  No det plane: the certificate covers bin
+                # collisions too (a dropped item is a surrogate loser,
+                # so its bound is ≤ S_cut).
+                from .ops.energy_approx import binned_energy_topk_approx
+                s, i, fl = binned_energy_topk_approx(
+                    z_q, qlam, z_items, item_lambdas, wl, wd,
+                    z_samp, xn_samp, k=k, n_items=n_items,
+                    z_norms=z_norms)
+                return s, jnp.concatenate([i, fl[:, None]], axis=1), qlam
             if kernel == "binned":
                 from .ops.pallas_bintopk import binned_energy_topk
                 s, i, fl, det = binned_energy_topk(
@@ -501,10 +517,16 @@ class EnergySearchSession:
 
     def __init__(self, index: "ArrowIndex", batch_size: int, k: int = 10,
                  w_lambda: float = 1.0, w_dirichlet: float = 0.5,
-                 depth: int = 2, prepare_corpus: bool = True):
+                 depth: int = 2, prepare_corpus: bool = True,
+                 approx: bool = False):
         # prepare_corpus: see SearchSession — hoists the z-plane pad +
         # norm reduce to construction at the cost of a second z-plane-
         # sized resident array.
+        # approx=True routes the binned path through the chord-surrogate
+        # kernel (ops/energy_approx): certified rows are bitwise the
+        # chunked oracle's, uncertified rows transparently re-run through
+        # the exact chunked scorer — results are ALWAYS exact; only the
+        # rate degrades on data whose score margins defeat the bounds.
         import jax.numpy as jnp
 
         from .energymaps import (_energy_score_topk_chunked,
@@ -555,11 +577,26 @@ class EnergySearchSession:
             step_z, step_lam, z_norms = prepare_binned_energy_corpus(
                 z_items, lambdas, bsz=self.batch_size, k=k_eff)
             n_items = index.nitems
+        z_samp = xn_samp = None
+        if approx and kernel == "binned" and n_items > 0:
+            # chord-surrogate path: one-time sampled-row gather for the
+            # per-query knot fit (ops/energy_approx module docstring)
+            from .ops.energy_approx import prepare_energy_chord_sample
+            kernel = "binned_approx"
+            z_samp, xn_samp = prepare_energy_chord_sample(
+                step_z, z_norms, index.nitems)
+        elif approx:
+            raise ValueError(
+                "approx=True needs the binned serving path (TPU backend, "
+                "corpus past the in-memory ceiling, k <= 128, f32 "
+                f"prepared corpus); this session resolved kernel="
+                f"{kernel!r}, prepared={n_items > 0}")
+        self.kernel = kernel
         self._step = lambda q: jitted(
             q, step_z, step_lam, lap, dummy_proj, signals, wl, wd,
-            z_norms, taumode=taumode, k=k_eff, kernel=kernel, chunk=chunk,
-            has_proj=has_proj, has_signals=use_signals, pad_tall=pad_tall,
-            n_items=n_items)
+            z_norms, z_samp, xn_samp, taumode=taumode, k=k_eff,
+            kernel=kernel, chunk=chunk, has_proj=has_proj,
+            has_signals=use_signals, pad_tall=pad_tall, n_items=n_items)
 
         def repair(q_block, qlam, rows, scores=None, ids=None,
                    det_rows=None):
@@ -605,13 +642,26 @@ class EnergySearchSession:
                 fallback=full_chunked, cur_scores=scores[rows])
 
         self._n_items_true = index.nitems
-        self._repair = repair if kernel == "binned" else None
+        self._repair = repair \
+            if kernel in ("binned", "binned_approx") else None
 
     def warmup(self) -> None:
         """Compile the step program (and the strided-repair chunk for
         flagged rows) so serving latency is dispatch-only."""
         warm_step(self._step, self.batch_size, self._dim, self._dt,
                   repair=self._repair, k=self.k)
+        if self.kernel == "binned_approx" and self._repair is not None:
+            # the approx step carries no det plane, so warm_step's
+            # strided-repair sweep skips — warm the uncertified-row
+            # fallback (exact chunked scan; fixed-128 row pad = one
+            # program, plus the padded_take z-projection buckets) here,
+            # or its multi-second compile lands on the serving fetch
+            # thread at the first flagged batch
+            qb = np.ones((self.batch_size, self._dim),
+                         dtype=np.dtype(self._dt))
+            qlam = np.zeros(self.batch_size, np.float32)
+            for b in (1, 8):
+                self._repair(qb, qlam, np.arange(min(b, self.batch_size)))
 
     def search_stream(self, batches: Iterable) -> Iterable[Tuple[np.ndarray,
                                                                  np.ndarray]]:
@@ -818,9 +868,11 @@ class ArrowIndex:
                             precision: str = "f32") -> SearchSession:
         """Compiled streaming search for serving: one fused
         prep+score+top-k program per batch, `depth` batches in flight.
-        precision="bf16" scores in bf16 with f32 accumulation (~15%
-        device gain at F=128 where the kernel is VPU-bound, more at wider
-        F; top-k overlap 1.000 vs f32 on embedding data)."""
+        precision="bf16" scores the matmul in bf16 with f32
+        accumulation: ≈ f32 at F=128 (BENCH r4: 7.09 vs 7.10 ms at
+        B=2048 — the VPU fold, not the MXU, is the clock there; B=256
+        measured ~7% faster), ~15% at F=768 where the MXU gain is real;
+        top-k overlap 1.000 vs f32 on embedding data."""
         return SearchSession(self, batch_size, k=k, alpha=alpha, depth=depth,
                              precision=precision)
 
@@ -868,14 +920,18 @@ class ArrowIndex:
 
     def make_energy_session(self, batch_size: int, k: int = 10,
                             w_lambda: float = 1.0, w_dirichlet: float = 0.5,
-                            depth: int = 2) -> EnergySearchSession:
+                            depth: int = 2,
+                            approx: bool = False) -> EnergySearchSession:
         """Compiled streaming ENERGY search for serving (indices built
         with build_energy): one fused prep+z-project+score+top-k program
         per batch, `depth` batches in flight, deep-collision rows
-        repaired exactly."""
+        repaired exactly.  approx=True serves through the certified
+        chord-surrogate kernel (ops/energy_approx) — results stay exact;
+        uncertified rows re-run through the exact scorer."""
         return EnergySearchSession(self, batch_size, k=k,
                                    w_lambda=w_lambda,
-                                   w_dirichlet=w_dirichlet, depth=depth)
+                                   w_dirichlet=w_dirichlet, depth=depth,
+                                   approx=approx)
 
     def warmup(self, batch_sizes=(1, 16, 256), k: int = 10,
                alpha: float = 0.9) -> None:
