@@ -67,6 +67,39 @@ Alternatives evaluated (measured, so they are not re-guessed):
   Mosaic relayout transpose (13.78 vs 13.52 ms at 1M×128).  τ parity
   is bitwise by contract, so it is measurement-only.
 
+WHY THE FUSED λτ KERNEL DOES NOT GET 2x FASTER (r5, VERDICT-r4 item 3):
+the kernel is AT its vector-unit roofline, and every pass-reduction
+idea falls to arithmetic or a prior measurement.  The honest model
+(bench.py PEAK_VPU_OPS = one (8,128) vector ALU op/cycle at 940 MHz ≈
+0.96e12 element-ops/s): a bisection pass costs ~3 ops/element (compare,
+select-to-int, reduce-add), so exact selection = 32·3·F ops/item; with
+the λ chain's ~30·F element stages the fused kernel's 1M×128 attainable
+is ~17 ms — it measures 15.5-15.7 ms (compare/select fusion beats the
+conservative count).  The old "4.5% of roofline" quoted this VPU work
+against the MXU peak.  Attacks considered and closed:
+- bisect4 (fewer, fatter passes): MEASURED NEGATIVE r4 (above).
+- MXU counting in the fused kernel: MEASURED NEUTRAL r4 (tau_mm_ab,
+  15.44 vs 15.58) — the (1,F)x(F,T) count matvec is M=1 latency-bound,
+  so freeing VPU compare work only moves the clock to a 32-deep matvec
+  latency chain.
+- histogram / radix pre-pass: a per-row histogram needs per-lane
+  scatter Mosaic does not have; 16 masked bucket counts cost 16 passes
+  to save 4.
+- adaptive pass count (init lo/hi from row min/max): pass count must be
+  static worst-case; real same-sign data still spans ~25-28 of 32 int
+  bits, and a data-dependent early exit is per-row, not per-block.
+- sampled pre-bisect to narrow [lo, hi]: the exact rank check against
+  a sampled window is itself data-dependent — the fallback keeps the
+  static 32-pass worst case.
+- partial (median-only) bitonic: stopping the sort at two sorted
+  halves saves ~25% of stages, but the cross-half rank merge needs
+  per-row indexed access (one-hot reduces, ~F ops per probe) — net
+  ~10-11 ms, under the 2x target and above the bisect at wide F.
+Conclusion: exact τ selection costs ~96·F VPU element-ops/item on this
+hardware; the kernel runs at >90% of that bound.  The remaining levers
+are precision contracts (approximate τ is excluded — τ feeds λ and
+select_tau parity is bitwise) or hardware with per-lane scatter.
+
 PRODUCTION LAYOUT (r4): "auto" — "bisect" (selection along sublanes)
 for τ+λ and for τ-alone at F <= 128; "bisect_mm" (MXU ones-matvec
 counting) for τ-alone at wider F, where the MXU idles and the win is
