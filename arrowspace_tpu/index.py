@@ -879,17 +879,22 @@ class ArrowIndex:
     def make_pruned_session(self, batch_size: int = 16, k: int = 10,
                             alpha: float = 0.9, cap: int = 256,
                             m_cells: Optional[int] = None,
-                            margin: float = 1e-3, seed: int = 0):
-        """Exact cell-screened small-batch search (pruned.py): queries
-        exact-score only the cells whose score upper bound can reach
-        their top-k; un-certifiable queries transparently re-run through
-        the full scan.  The latency counterpart of make_search_session —
-        B ≤ 16, device work ∝ scanned cells instead of N on clustered
+                            margin: float = 1e-3, seed: int = 0,
+                            m_vote: int = 8,
+                            union_cells: Optional[int] = None):
+        """Exact cell-screened search (pruned.py): queries exact-score
+        only the cells whose score upper bound can reach their top-k;
+        un-certifiable queries transparently re-run through the full
+        scan.  The latency counterpart of make_search_session — B ≤ 16
+        gathers per query, B in (16, 512] shares one two-level cell
+        UNION per batch (m_vote votes/query, union_cells gathered);
+        device work ∝ scanned cells instead of N on clustered
         corpora."""
         from .pruned import PrunedSearchSession
         return PrunedSearchSession(self, batch_size, k=k, alpha=alpha,
                                    cap=cap, m_cells=m_cells,
-                                   margin=margin, seed=seed)
+                                   margin=margin, seed=seed,
+                                   m_vote=m_vote, union_cells=union_cells)
 
     def make_live_session(self, batch_size: int, k: int = 10,
                           alpha: float = 0.9, depth: int = 2,

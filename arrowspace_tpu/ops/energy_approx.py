@@ -116,9 +116,13 @@ def _fit_chords(z_q, qn, z_samp, xn_samp, wd):
     lift = wd * 1e-6
     b1 = jnp.broadcast_to(g0 + lift, a_k.shape)
     b2 = g1 - a2 * a_k + lift
-    bf = jnp.broadcast_to(g2 + lift, a_k.shape)
+    # the flat floor u(c_k) is chord 2 evaluated at a CLAMPED abscissa:
+    # max(chord1(d²), chord2(min(d², c_k))) — one min instead of a
+    # third segment's fma + max in the per-pair kernel plane.  Sound:
+    # chord2 is a secant of convex u on [a, c] (≥ u there), below a
+    # chord1 dominates, past c the clamp pins chord2 at g2 = u(c) ≥ u.
     ca = jnp.stack([a1, a2], axis=1).astype(jnp.float32)
-    cb = jnp.stack([b1, b2, bf], axis=1).astype(jnp.float32)
+    cb = jnp.stack([b1, b2, c_k], axis=1).astype(jnp.float32)
     return ca, cb
 
 
@@ -206,7 +210,7 @@ def _chord_kernel(zq_ref, qn_ref, qlam_ref, zx_ref, xn_ref, xlam_ref,
         a2 = ca_ref[:, 1:2]
         b1 = cb_ref[:, 0:1]
         b2 = cb_ref[:, 1:2]
-        bf = cb_ref[:, 2:3]
+        ck = cb_ref[:, 2:3]
         local = jax.lax.broadcasted_iota(jnp.int32, (zq.shape[0], bins), 1)
 
         def tile_scores(j):
@@ -220,11 +224,10 @@ def _chord_kernel(zq_ref, qn_ref, qlam_ref, zx_ref, xn_ref, xlam_ref,
             # bitwise the oracle's arithmetic
             d2 = (qn + xn_ref[j * bins:(j + 1) * bins].reshape(1, -1)) \
                 - 2.0 * dot
-            # sequential max accumulation, not a tree: Mosaic's scoped-
-            # VMEM stack charges each distinct (B, bins) temp (a tree
-            # form measured 17-18M at block 1024 against the 16M limit)
-            u = jnp.maximum(d2 * a1 + b1, bf)
-            u = jnp.maximum(u, d2 * a2 + b2)
+            # two segments, floor folded into chord 2's clamped
+            # abscissa (see _fit_chords) — 1 min + 2 fma + 1 max
+            u = jnp.maximum(d2 * a1 + b1,
+                            jnp.minimum(d2, ck) * a2 + b2)
             d_lam = jnp.abs(qlam - xlam_ref[j * bins:(j + 1) * bins]
                             .reshape(1, -1))
             scores = u - wl * d_lam
@@ -288,7 +291,15 @@ def binned_energy_topk_approx(
     n = n_items
     dt = jnp.float32
     if depth <= 0:
-        depth = binned_topk_depth_for(k)
+        # one level SHALLOWER than the exact kernel: its depth buys a
+        # near-zero miss rate because a miss there costs a repair scan,
+        # but HERE every pool miss is already covered by the kth > det
+        # certificate (a dropped item lost a surrogate comparison), so
+        # the marginal level only trims the flag rate.  At bins = 128,
+        # depth 2 adds ~C(k,3)/128² collision flags (k=10: ~0.7 % of
+        # queries) and removes a full (cmp + 6·select) insertion level
+        # + 1 payload plane from the per-pair fold.
+        depth = max(2, binned_topk_depth_for(k) - 1)
     # planes calibrated from measured scoped-VMEM OOMs, not the body's
     # live-set count: Mosaic's stack allocator charges the chord body
     # ~26 (block, bins) temp planes (measured 17.0M/18.1M at block 1024

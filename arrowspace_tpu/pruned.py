@@ -3,12 +3,15 @@
 The full-scan serving kernels stream every corpus row per query — the
 right shape for large batches (the binned kernel runs at 57-69 % of the
 MXU roofline at B=2048), but a single query still pays the whole corpus
-stream.  This module prunes that work EXACTLY for small batches: the
-corpus is grouped into balanced cells with precomputed score upper
-bounds, a query exact-scores only the cells whose bound can reach its
-top-k, and a conservative margin + full-scan fallback preserves the
-library's exactness contract (the same flag + repair design language as
-ops/pallas_bintopk's miss detector).
+stream.  This module prunes that work EXACTLY for small-to-mid
+batches: the corpus is grouped into balanced cells with precomputed
+score upper bounds, a query exact-scores only the cells whose bound can
+reach its top-k, and a conservative margin + full-scan fallback
+preserves the library's exactness contract (the same flag + repair
+design language as ops/pallas_bintopk's miss detector).  Two kernels
+share the bound plane: pruned_topk (B ≤ 16, per-query cell gather) and
+pruned_topk_union (B ≤ 512, per-query cell VOTES + one shared union
+gather + one flat batch matmul — see its docstring).
 
 Reference anchor: core.rs:760-798 (search_lambda_aware) — the reference
 has no pruned path; this is a TPU-native latency feature on top of the
@@ -69,7 +72,7 @@ from .utils.log import get_logger
 logger = get_logger(__name__)
 
 __all__ = ["PrunedCells", "build_cells", "pruned_topk",
-           "PrunedSearchSession"]
+           "pruned_topk_union", "PrunedSearchSession"]
 
 
 class PrunedCells(NamedTuple):
@@ -321,6 +324,158 @@ def pruned_topk(queries, query_lambdas, cells_x, cells_lam, cells_ids,
     return top_s + c1, top_i, flags
 
 
+def _extract_topk_lowest_id(shifted, gids, k: int):
+    """Exact (top-k scores, global ids) from a (B, W) shifted-score
+    plane with SHARED per-column global ids — ties resolve to the
+    LOWEST global id, matching lax.top_k over the full corpus (global
+    ids are corpus positions, so lowest-id == lowest-index).
+
+    k <= 32 uses k masked max-extraction passes (~4 VPU reduces over
+    (B, W) each) instead of a sort: lax.sort over wide rows is the one
+    op the binned kernels were built to avoid (CLAUDE.md: a (256, 10M)
+    top_k lowers to a ~70 s sort; at W=32k a two-key sort still costs
+    milliseconds where 10 masked passes cost ~0.2 ms).  Wider k falls
+    back to the two-key sort."""
+    b, w = shifted.shape
+    neg_inf = jnp.asarray(-jnp.inf, dtype=shifted.dtype)
+    if k > 32:
+        gid2 = jnp.broadcast_to(gids[None, :], (b, w))
+        sneg, sid = jax.lax.sort((-shifted, gid2), num_keys=2,
+                                 dimension=1)
+        return -sneg[:, :k], sid[:, :k]
+    int_max = jnp.iinfo(jnp.int32).max
+    out_s, out_i = [], []
+    cur = shifted
+    for _ in range(k):
+        mx = jnp.max(cur, axis=1)
+        is_max = cur == mx[:, None]
+        pick = jnp.min(jnp.where(is_max, gids[None, :], int_max), axis=1)
+        out_s.append(mx)
+        out_i.append(pick)
+        cur = jnp.where(gids[None, :] == pick[:, None], neg_inf, cur)
+    return jnp.stack(out_s, axis=1), \
+        jnp.stack(out_i, axis=1).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "k", "m_vote", "s_cells", "cap", "margin"))
+def pruned_topk_union(queries, query_lambdas, cells_x, cells_lam,
+                      cells_ids, cent, radius, cosr, sinr, lam_lo,
+                      lam_hi, alpha, *, k: int, m_vote: int,
+                      s_cells: int, cap: int, margin: float):
+    """Two-level cell-screened exact top-k for LARGE batches (the
+    B ∈ (16, 512] band pruned_topk's per-query gather cannot serve —
+    its matmul-family pad makes per-pair work grow past B = 16).
+
+    Level 1: every query votes for its top-`m_vote` cells by the same
+    spherical-cap bound pruned_topk screens with.  Level 2: the batch
+    shares ONE union of `s_cells` cells (most-voted first, vote ties
+    broken by the cell's best bound over the batch), gathered once and
+    scored against ALL queries with a single (B, F)x(F, S·cap) matmul —
+    a real MXU matmul in the canonical rounding family, no block-diagonal
+    padding, so per-pair cost is flat in B.
+
+    Certification is per query and SOUND BY CONSTRUCTION against the
+    union: flags[b] is clear iff the k-th exact score strictly beats
+    (margin included) the best bound among cells OUTSIDE the union —
+    including any cell the query voted for that lost the union cut, so
+    budget overflow degrades to flags (exact fallback), never to wrong
+    results.  Scoring extra union cells a query did not vote for only
+    ADDS exact candidates.  Unflagged rows equal the full-scan oracle:
+    same ids (lowest-global-id ties via _extract_topk_lowest_id), same
+    matmul-family scores.
+
+    Returns (scores (B, k), ids (B, k), flags (B,) bool)."""
+    from .ops.search import _safe_unit
+
+    b, f = queries.shape
+    u = cent.shape[0]
+    m = min(m_vote, u)
+    s_c = min(s_cells, u)
+    assert k <= s_c * cap, (k, s_c, cap)
+    dt = queries.dtype
+    a = jnp.asarray(alpha, dt)
+    c1 = 1.0 - a
+    neg_inf = jnp.asarray(-jnp.inf, dtype=dt)
+
+    qhat = _safe_unit(queries)
+    qa = qhat * a
+    # --- level 1: cell bounds (identical plane to pruned_topk) ---
+    c = jnp.dot(qhat, cent.T, preferred_element_type=dt)     # (B, U)
+    s = jnp.sqrt(jnp.maximum(0.0, 1.0 - c * c))
+    cap_sup = jnp.where(c >= cosr[None, :], 1.0,
+                        c * cosr[None, :] + s * sinr[None, :])
+    dmin = jnp.maximum(
+        0.0, jnp.maximum(lam_lo[None, :] - query_lambdas[:, None],
+                         query_lambdas[:, None] - lam_hi[None, :]))
+    bounds = a * cap_sup - c1 * jnp.minimum(dmin, 1.0)
+    bounds = jnp.where(radius[None, :] < 0.0, -3.0, bounds)
+
+    # m masked-argmax vote passes (tie order is immaterial: votes only
+    # steer the union; certification never depends on them)
+    iota_u = jnp.arange(u, dtype=jnp.int32)
+    bcur = bounds
+    voted = jnp.zeros((b, u), dtype=jnp.bool_)
+    for _ in range(m):
+        idx = jnp.argmax(bcur, axis=1)
+        onehot = iota_u[None, :] == idx[:, None]
+        voted = voted | onehot
+        bcur = jnp.where(onehot, neg_inf, bcur)
+    votes = jnp.sum(voted.astype(dt), axis=0)                # (U,)
+    # votes stratify the key; a real bound is in [-1, 1] so (maxb+1)
+    # in [0, 2] < 4 breaks vote ties without crossing strata
+    key = votes * 4.0 + (jnp.max(bounds, axis=0) + 1.0)
+    key = jnp.where(radius < 0.0, neg_inf, key)
+    _, sel = jax.lax.top_k(key, s_c)                         # (S,)
+    in_union = jnp.zeros((u,), jnp.bool_).at[sel].set(True)
+
+    # best bound OUTSIDE the union, per query — the certification term
+    next_bound = jnp.max(
+        jnp.where(in_union[None, :], neg_inf, bounds), axis=1)
+
+    # --- level 2: one shared gather + one batch matmul ---
+    flat = (sel[:, None].astype(jnp.int32) * cap
+            + jnp.arange(cap, dtype=jnp.int32)[None, :]).reshape(-1)
+    gx = cells_x[flat]                                       # (S·cap, F)
+    glam = cells_lam[flat]
+    gids = cells_ids[flat]
+
+    acos = jax.lax.dot_general(
+        qa, gx, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=dt)                           # (B, S·cap)
+    dl = jnp.abs(query_lambdas[:, None] - glam[None, :])
+    shifted = acos - c1 * jnp.minimum(dl, 1.0)
+    shifted = jnp.where(gids[None, :] >= 0, shifted, neg_inf)
+
+    top_s, top_i = _extract_topk_lowest_id(shifted, gids, k)
+    kth = top_s[:, k - 1]
+    flags = (next_bound + jnp.asarray(margin, dt) >= kth) \
+        | ~jnp.isfinite(kth)
+    return top_s + c1, top_i, flags
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "taumode", "alpha", "k", "m_vote", "s_cells", "cap", "margin",
+    "has_proj", "pad_tall"))
+def _pruned_union_step(q_raw, cells_x, cells_lam, cells_ids, cent,
+                       radius, cosr, sinr, lam_lo, lam_hi, lap, proj, *,
+                       taumode, alpha, k, m_vote, s_cells, cap, margin,
+                       has_proj, pad_tall):
+    """_pruned_step's large-batch sibling: fused query-λ prep + the
+    two-level union screen.  Cell arrays are arguments (not closure
+    captures) for the same remote-compile-limit reason."""
+    from .taumode import select_tau_batch, synthetic_lambda_batch
+    q_prep = q_raw if not has_proj else jnp.dot(
+        q_raw, proj, preferred_element_type=q_raw.dtype)
+    taus = select_tau_batch(q_prep, taumode)
+    qlam = synthetic_lambda_batch(q_prep, lap, taus, pad_items=pad_tall)
+    s, i, fl = pruned_topk_union(
+        q_raw, qlam, cells_x, cells_lam, cells_ids, cent, radius,
+        cosr, sinr, lam_lo, lam_hi, alpha, k=k, m_vote=m_vote,
+        s_cells=s_cells, cap=cap, margin=margin)
+    return s, i, fl, qlam
+
+
 @functools.partial(jax.jit, static_argnames=(
     "taumode", "alpha", "k", "m_cells", "cap", "margin", "has_proj",
     "pad_tall"))
@@ -356,22 +511,26 @@ class PrunedSearchSession:
     oracle full scan with the SAME query λ the step computed, so every
     returned row is exactly what the full scan returns.
 
-    batch_size is capped at 16: the scoring matmul carries max(B, 16)
-    query columns (the matmul-family pad), so per-pair work grows
-    linearly in B beyond 16 — larger batches belong to the streaming
-    kernels, which beat pruning as soon as gathered bytes approach the
-    corpus size (B·M·cap ≳ N).
+    Two regimes share this class (and the fallback/accounting logic):
+    batch_size ≤ 16 runs pruned_topk (per-query top-M cell gather; the
+    scoring matmul carries max(B, 16) query rows, so per-pair work grows
+    past B = 16); batch_size in (16, 512] runs pruned_topk_union (the
+    two-level screen: per-query cell VOTES, one shared union gather,
+    one flat (B, F)x(F, S·cap) batch matmul).  Past 512 the gathered
+    bytes approach the corpus stream and the binned kernels win.
     """
 
     def __init__(self, index, batch_size: int = 16, k: int = 10,
                  alpha: float = 0.9, cap: int = 256,
                  m_cells: Optional[int] = None, margin: float = 1e-3,
                  seed: int = 0, iters: int = 8,
-                 cells: Optional[PrunedCells] = None):
+                 cells: Optional[PrunedCells] = None,
+                 m_vote: int = 8, union_cells: Optional[int] = None):
         aspace, gl = index.aspace, index.gl
-        if not (1 <= batch_size <= 16):
-            raise ValueError("pruned sessions serve batch_size in [1, 16]; "
-                             "use SearchSession for larger batches")
+        if not (1 <= batch_size <= 512):
+            raise ValueError("pruned sessions serve batch_size in "
+                             "[1, 512]; use SearchSession for larger "
+                             "batches")
         self.batch_size = int(batch_size)
         self.k = min(int(k), index.nitems)
         self.alpha = float(alpha)
@@ -400,11 +559,27 @@ class PrunedSearchSession:
         taumode = aspace.taumode
         pad_tall = aspace.pad_tall_graphs
         c = self.cells
-        self._step = lambda q_raw: _pruned_step(
-            q_raw, c.x, c.lam, c.ids, c.cent, c.radius, c.cosr, c.sinr,
-            c.lam_lo, c.lam_hi, lap, dummy_proj, taumode=taumode,
-            alpha=self.alpha, k=self.k, m_cells=self.m_cells, cap=c.cap,
-            margin=self.margin, has_proj=has_proj, pad_tall=pad_tall)
+        if union_cells is None:
+            # cover ~32k candidate rows by default — a few clusters'
+            # worth per query-cluster, flat in B
+            union_cells = max(self.m_cells, -(-32768 // c.cap))
+        self.union_cells = min(int(union_cells), u)
+        self.m_vote = min(int(m_vote), u)
+        if batch_size <= 16:
+            self._step = lambda q_raw: _pruned_step(
+                q_raw, c.x, c.lam, c.ids, c.cent, c.radius, c.cosr,
+                c.sinr, c.lam_lo, c.lam_hi, lap, dummy_proj,
+                taumode=taumode, alpha=self.alpha, k=self.k,
+                m_cells=self.m_cells, cap=c.cap, margin=self.margin,
+                has_proj=has_proj, pad_tall=pad_tall)
+        else:
+            self._step = lambda q_raw: _pruned_union_step(
+                q_raw, c.x, c.lam, c.ids, c.cent, c.radius, c.cosr,
+                c.sinr, c.lam_lo, c.lam_hi, lap, dummy_proj,
+                taumode=taumode, alpha=self.alpha, k=self.k,
+                m_vote=self.m_vote, s_cells=self.union_cells, cap=c.cap,
+                margin=self.margin, has_proj=has_proj,
+                pad_tall=pad_tall)
         self.flagged_total = 0
         self.queries_total = 0
 

@@ -86,8 +86,8 @@ def test_chord_surrogate_dominates_exact_everywhere():
             d2f = ((np.float32(qnh[b]) + xnh)
                    - np.float32(2.0) * (znh @ zqh[b])).astype(np.float32)
             sur = np.maximum(
-                np.maximum(ca[b, 0] * d2f + cb[b, 0], cb[b, 2]),
-                ca[b, 1] * d2f + cb[b, 1])
+                ca[b, 0] * d2f + cb[b, 0],
+                ca[b, 1] * np.minimum(d2f, cb[b, 2]) + cb[b, 1])
             d2 = np.float64(qnh[b]) + xnh.astype(np.float64) \
                 - 2.0 * (znh.astype(np.float64) @ zqh[b].astype(np.float64))
             exact = 0.5 / (1.0 + np.sqrt(np.maximum(d2, 0.0)))

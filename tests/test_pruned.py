@@ -276,13 +276,150 @@ def test_session_partial_batch_and_single_query():
 
 def test_session_validation():
     rows, idx = _pruned_index(n=300)
-    with pytest.raises(ValueError, match=r"\[1, 16\]"):
-        idx.make_pruned_session(batch_size=32)
+    with pytest.raises(ValueError, match=r"\[1, 512\]"):
+        idx.make_pruned_session(batch_size=1024)
     sess = idx.make_pruned_session(batch_size=4, seed=1)
     with pytest.raises(ValueError, match="batch"):
         sess.search(rows[:5])
     with pytest.raises(ValueError, match="dim"):
         sess.search(np.ones((2, 7)))
+
+
+# ---------------------------------------------------- two-level (union)
+
+
+def _run_union(cells, queries, qlam, alpha, k, m_vote, s_cells,
+               margin=1e-3):
+    from arrowspace_tpu.pruned import pruned_topk_union
+    s, i, fl = pruned_topk_union(
+        jnp.asarray(queries), jnp.asarray(qlam), cells.x, cells.lam,
+        cells.ids, cells.cent, cells.radius, cells.cosr, cells.sinr,
+        cells.lam_lo, cells.lam_hi, alpha, k=k, m_vote=m_vote,
+        s_cells=s_cells, cap=cells.cap, margin=margin)
+    return np.asarray(s), np.asarray(i), np.asarray(fl)
+
+
+def test_extract_topk_lowest_id_matches_two_key_sort():
+    """The masked-pass extraction (k <= 32 path) must equal the two-key
+    (-score, id) sort on data dense with exact ties."""
+    from arrowspace_tpu.pruned import _extract_topk_lowest_id
+    rng = np.random.default_rng(2)
+    # quantised scores -> many exact ties across shuffled id space
+    sc = (rng.integers(0, 7, (5, 96)) / 7.0).astype(np.float64)
+    ids = rng.permutation(960)[:96].astype(np.int32)
+    sc[0, :50] = -np.inf                      # padding-heavy row
+    s_j = jnp.asarray(sc)
+    i_j = jnp.asarray(ids)
+    for k in (1, 8, 13):
+        ts, ti = _extract_topk_lowest_id(s_j, i_j, k)
+        gid2 = jnp.broadcast_to(i_j[None, :], sc.shape)
+        sneg, sid = jax.lax.sort((-s_j, gid2), num_keys=2, dimension=1)
+        np.testing.assert_array_equal(np.asarray(ti),
+                                      np.asarray(sid[:, :k]))
+        np.testing.assert_array_equal(np.asarray(ts),
+                                      np.asarray(-sneg[:, :k]))
+
+
+def test_union_matches_oracle_on_hot_region_batch():
+    """The union path's winning regime: a batch whose queries share a
+    few hot regions (union of needed cells ≪ per-query gathers).  A
+    cell certifies a query only if every unit whose cap reaches the
+    query's k-th score is in the union, so batches spread over MANY
+    clusters legitimately flag (covered by the overflow test) — the
+    locality regime is where the certification must actually fire."""
+    rows = _clustered(n=900, f=24, seed=43)
+    lam = np.random.default_rng(21).uniform(0, 1, 900)
+    cells = build_cells(rows, lam, cap=32, seed=3)
+    rng = np.random.default_rng(22)
+    # 24 queries around three corpus rows -> <= 3 hot clusters
+    base = rows[[5, 300, 700]]
+    queries = np.repeat(base, 8, axis=0) \
+        * (1.0 + 0.02 * rng.uniform(size=(24, 1)))
+    qlam = lam[np.repeat([5, 300, 700], 8)]
+    for alpha in (1.0, 0.9):
+        so, io = _oracle(queries, qlam, rows, lam, alpha, 10)
+        sp, ip, fl = _run_union(cells, queries, qlam, alpha, 10,
+                                m_vote=6, s_cells=24)
+        for b in range(24):
+            if not fl[b]:
+                np.testing.assert_array_equal(ip[b], io[b])
+                np.testing.assert_allclose(sp[b], so[b], rtol=1e-12)
+        # the shared union must certify most of a hot-region batch
+        assert fl.sum() <= 6, (alpha, fl.sum())
+
+
+def test_union_all_units_is_exact_and_unflagged():
+    """s_cells == all units -> the union covers the corpus: no flags,
+    bitwise the oracle even for adversarial queries."""
+    rows = _clustered(n=300, f=16, seed=47)
+    lam = np.random.default_rng(23).uniform(0, 1, 300)
+    cells = build_cells(rows, lam, cap=16, seed=1)
+    u = cells.cent.shape[0]
+    queries = _uniform(20, 16, seed=48)
+    qlam = np.random.default_rng(24).uniform(0, 1, 20)
+    so, io = _oracle(queries, qlam, rows, lam, 0.7, 7)
+    sp, ip, fl = _run_union(cells, queries, qlam, 0.7, 7,
+                            m_vote=4, s_cells=u)
+    assert not fl.any()
+    np.testing.assert_array_equal(ip, io)
+    np.testing.assert_allclose(sp, so, rtol=1e-12)
+
+
+def test_union_budget_overflow_flags_not_wrong():
+    """A union budget far below the batch's spread of cells must FLAG
+    the queries it cannot certify — and every unflagged row still
+    equals the oracle (soundness under overflow, the property that
+    makes truncation safe)."""
+    rows = _clustered(n=800, f=24, centers=20, seed=53)
+    lam = np.random.default_rng(25).uniform(0, 1, 800)
+    cells = build_cells(rows, lam, cap=16, seed=2)
+    rng = np.random.default_rng(26)
+    queries = rows[rng.integers(0, 800, 32)] * 1.02
+    qlam = lam[rng.integers(0, 800, 32)]
+    so, io = _oracle(queries, qlam, rows, lam, 0.9, 8)
+    sp, ip, fl = _run_union(cells, queries, qlam, 0.9, 8,
+                            m_vote=4, s_cells=2)   # starved budget
+    assert fl.any()
+    for b in range(32):
+        if not fl[b]:
+            np.testing.assert_array_equal(ip[b], io[b])
+            np.testing.assert_allclose(sp[b], so[b], rtol=1e-12)
+
+
+def test_union_duplicate_tie_order_matches_oracle():
+    rows = _clustered(n=240, f=16, seed=59)
+    rows[190] = rows[12]
+    lam = np.random.default_rng(27).uniform(0, 1, 240)
+    lam[190] = lam[12]
+    cells = build_cells(rows, lam, cap=8, seed=4)
+    u = cells.cent.shape[0]
+    q = np.repeat(rows[12:13] * 1.02, 20, axis=0)
+    qlam = np.repeat(lam[12:13], 20)
+    so, io = _oracle(q, qlam, rows, lam, 0.9, 6)
+    sp, ip, fl = _run_union(cells, q, qlam, 0.9, 6, m_vote=4,
+                            s_cells=u)
+    assert not fl.any()
+    np.testing.assert_array_equal(ip, io)
+    assert 12 in ip[0] and 190 in ip[0]
+
+
+def test_union_session_matches_full_search():
+    """batch_size > 16 routes to the union step; the session result
+    (certified + fallback rows) equals the full search exactly."""
+    rows, idx = _pruned_index(n=900)
+    sess = idx.make_pruned_session(batch_size=32, k=5, alpha=0.9,
+                                   cap=32, seed=1, m_vote=6,
+                                   union_cells=20)
+    sess.warmup()
+    rng = np.random.default_rng(28)
+    queries = rows[rng.integers(0, rows.shape[0], 32)] * 1.03
+    sp, ip = sess.search(queries)
+    so, io = idx.search(queries, k=5, alpha=0.9)
+    np.testing.assert_array_equal(ip, io)
+    np.testing.assert_allclose(sp, so, rtol=1e-12)
+    # partial batch through the union step
+    sp2, ip2 = sess.search(queries[:5])
+    np.testing.assert_array_equal(ip2, io[:5])
 
 
 def test_session_reuses_prebuilt_cells():
