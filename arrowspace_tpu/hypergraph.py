@@ -37,7 +37,8 @@ logger = get_logger("arrowspace.hypergraph")
 
 __all__ = ["clique_expansion_adjacency", "overlay_laplacian",
            "ensemble_params", "ensemble_search",
-           "build_ensemble", "ensemble_search_prebuilt"]
+           "build_ensemble", "ensemble_search_prebuilt",
+           "ensemble_topk_batch"]
 
 
 def clique_expansion_adjacency(
@@ -160,6 +161,77 @@ def ensemble_search_prebuilt(
     top_s, top_i = jax.lax.top_k(total, k_eff)
     return [(int(i), float(s)) for i, s in
             zip(np.asarray(top_i), np.asarray(top_s))]
+
+
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk"))
+def ensemble_topk_batch(queries, qlams, items, item_lambdas_v, alpha, *,
+                        k: int, chunk: int = 65536):
+    """Batched MEAN-SCORE ensemble fusion at corpus scale.
+
+    queries (B, F) raw; qlams (V, B) per-variant query λ (caller runs
+    synthetic_lambda_batch against each variant's Laplacian — that is
+    index-state prep, shared across batches); item_lambdas_v (V, N) the
+    per-variant λ vectors from build_ensemble.  Fuses graph.rs:142's
+    ensemble semantics exactly as ensemble_search_prebuilt does —
+    mean over variants of α·cos + (1−α)·(1−min(|Δλ_v|, 1)) — but
+    reassociated so the corpus streams ONCE for the whole ensemble:
+    the cosine term is variant-independent, so the fused score is
+    α·cos + (1−α)·(1 − mean_v min(|Δλ_v|, 1)) and each corpus chunk
+    pays one matmul + V elementwise λ planes instead of V full scans.
+    Returns (scores (B, k), ids (B, k)); ties resolve to the lowest
+    global id (per-chunk lax.top_k is lowest-index; the running merge
+    concatenates earlier chunks first).
+
+    Big operands are ARGUMENTS, not closure captures (HLO-constant /
+    remote-compile-413 rule, see index._session_step_jit)."""
+    from .ops.search import _safe_unit
+
+    b, f = queries.shape
+    v = qlams.shape[0]
+    n = items.shape[0]
+    dt = queries.dtype
+    a = jnp.asarray(alpha, dt)
+    c1 = 1.0 - a
+    neg_inf = jnp.asarray(-jnp.inf, dt)
+    k_eff = min(k, n)
+
+    qhat = _safe_unit(queries) * a
+    n_pad = -n % chunk
+    xp = jnp.pad(items, ((0, n_pad), (0, 0)))
+    lp = jnp.pad(item_lambdas_v, ((0, 0), (0, n_pad)))
+    blocks = xp.reshape(-1, chunk, f)
+    lam_blocks = lp.reshape(v, -1, chunk).transpose(1, 0, 2)  # (T, V, C)
+
+    def body(carry, inp):
+        cs, ci = carry                       # (B, k), (B, k) running
+        t, xb, lb = inp                      # (), (C, F), (V, C)
+        xhat = _safe_unit(xb)
+        cos = jnp.dot(qhat, xhat.T, preferred_element_type=dt)  # (B, C)
+        dl = jnp.zeros((b, chunk), dt)
+        for j in range(v):                   # V is tiny and static
+            dl = dl + jnp.minimum(
+                jnp.abs(qlams[j][:, None] - lb[j][None, :]), 1.0)
+        sc = cos + c1 * (1.0 - dl / v)
+        gid = t * chunk + jnp.arange(chunk, dtype=jnp.int32)[None, :]
+        sc = jnp.where(gid < n, sc, neg_inf)
+        ts, tidx = jax.lax.top_k(sc, k_eff)
+        tid = jnp.take_along_axis(
+            jnp.broadcast_to(gid, (b, chunk)), tidx, axis=1)
+        ms = jnp.concatenate([cs, ts], axis=1)
+        mi = jnp.concatenate([ci, tid], axis=1)
+        ns, nidx = jax.lax.top_k(ms, k_eff)
+        ni = jnp.take_along_axis(mi, nidx, axis=1)
+        return (ns, ni), ()
+
+    init = (jnp.full((b, k_eff), neg_inf, dt),
+            jnp.zeros((b, k_eff), jnp.int32))
+    t_idx = jnp.arange(blocks.shape[0], dtype=jnp.int32)
+    (top_s, top_i), _ = jax.lax.scan(body, init, (t_idx, blocks,
+                                                  lam_blocks))
+    return top_s, top_i
 
 
 def ensemble_search(

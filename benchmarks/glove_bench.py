@@ -45,7 +45,6 @@ def main() -> None:
                                            ensemble_params,
                                            overlay_laplacian)
     from arrowspace_tpu.laplacian import build_laplacian_matrix
-    from arrowspace_tpu.ops.pallas_topk import fused_lambda_topk
     from arrowspace_tpu.taumode import compute_taumode_lambdas, \
         select_tau_batch, synthetic_lambda_batch
 
@@ -106,22 +105,45 @@ def main() -> None:
     log(f"ensemble build ({len(grid)} graph variants + λ vectors): "
         f"{time.time() - t0:.2f}s")
 
-    def run_ensemble_query():
-        q_taus = select_tau_batch(queries, aspace.taumode)
-        s = i = None
-        for gl_v, lam_v in ensemble:
-            qlam = synthetic_lambda_batch(queries, gl_v.matrix.astype(dt),
-                                          q_taus)
-            s, i = fused_lambda_topk(queries, qlam, aspace.data, lam_v,
-                                     0.9, k=10)
-        np.asarray(s[:1, :1])
+    # REAL mean-score fusion at corpus scale (hypergraph.
+    # ensemble_topk_batch: one corpus stream for the whole ensemble) +
+    # the fused-vs-single quality number VERDICT r4 item 6 asked for
+    from arrowspace_tpu.hypergraph import ensemble_topk_batch
+    q_taus = select_tau_batch(queries, aspace.taumode)
+    qlams = jnp.stack([synthetic_lambda_batch(queries,
+                                              g.matrix.astype(dt), q_taus)
+                       for g, _ in ensemble])
+    lam_v = jnp.stack([lam for _, lam in ensemble])
 
-    run_ensemble_query()                    # compile warm-up
+    def run_fused():
+        s, i = ensemble_topk_batch(queries, qlams, aspace.data, lam_v,
+                                   0.9, k=10)
+        return jax.device_get((s, i))
+
+    run_fused()                             # compile warm-up
     t0 = time.time()
-    run_ensemble_query()
+    _, fused_i = run_fused()
     t_q = time.time() - t0
-    log(f"ensemble batch-256 query over prebuilt state (warm): "
-        f"{t_q * 1e3:.0f} ms ({256 / t_q:.0f} fused QPS)")
+    log(f"ensemble FUSED batch-256 query ({len(grid)} variants, one "
+        f"corpus stream, warm): {t_q * 1e3:.0f} ms "
+        f"({256 / t_q:.0f} fused QPS)")
+
+    # fused-vs-single-graph overlap: Jaccard@10 per variant, averaged
+    # over the 256 queries — how much the ensemble actually moves the
+    # rankings (1.0 would mean fusion is a no-op)
+    for vi, (gl_v, lam_1) in enumerate(ensemble):
+        # V=1 through the same chunked kernel = a plain single-graph
+        # ranking in the identical arithmetic family
+        _, i1 = ensemble_topk_batch(queries, qlams[vi:vi + 1],
+                                    aspace.data, lam_v[vi:vi + 1],
+                                    0.9, k=10)
+        i1 = np.asarray(i1)
+        jac = np.mean([
+            len(set(fused_i[b]) & set(i1[b]))
+            / len(set(fused_i[b]) | set(i1[b]))
+            for b in range(fused_i.shape[0])])
+        log(f"fused-vs-variant{vi} (k={grid[vi].k}, "
+            f"eps={grid[vi].eps:.2f}) Jaccard@10: {jac:.3f}")
     log("OK")
 
 

@@ -100,6 +100,49 @@ def test_prebuilt_ensemble_matches_oneshot():
         assert s1 == pytest.approx(s2, rel=1e-9)
 
 
+def test_ensemble_topk_batch_matches_prebuilt():
+    """The chunked batch fusion must reproduce ensemble_search_prebuilt
+    per query: same ids, same fused mean scores (one corpus stream for
+    the whole ensemble instead of V scans per query).  chunk < N
+    exercises the running scan merge."""
+    import jax.numpy as jnp
+
+    from arrowspace_tpu.hypergraph import (build_ensemble,
+                                           ensemble_search_prebuilt,
+                                           ensemble_topk_batch)
+    from arrowspace_tpu.taumode import (select_tau_batch,
+                                        synthetic_lambda_batch)
+
+    rows = make_moons_hd(90, noise=0.08, hd_noise=0.04, dims=10, seed=21)
+    b = ArrowSpaceBuilder().with_lambda_graph(1.0, 5, 3, 2.0, None) \
+        .with_seed(17)
+    b.define_result_k()
+    clustered = em.start_clustering(b, rows.tolist())
+    aspace = clustered.aspace
+    gl = em.eigenmaps(aspace, b, clustered.centroids, clustered.n_items)
+    em.compute_taumode(aspace, gl)
+
+    grid = ensemble_params(gl.graph_params, k_adjust=(0, 1),
+                           eps_expand=(1.0,))
+    ens = build_ensemble(aspace, clustered.centroids, grid)
+    queries = rows[[3, 17, 40, 66]] * 1.01
+    dt = aspace.data.dtype
+    qdev = jnp.asarray(queries, dtype=dt)
+    taus = select_tau_batch(qdev, aspace.taumode)
+    qlams = jnp.stack([synthetic_lambda_batch(qdev,
+                                              g.matrix.astype(dt), taus)
+                       for g, _ in ens])
+    lam_v = jnp.stack([lam for _, lam in ens])
+    bs, bi = ensemble_topk_batch(qdev, qlams, aspace.data, lam_v, 0.9,
+                                 k=8, chunk=32)
+    bs, bi = np.asarray(bs), np.asarray(bi)
+    for qi, q in enumerate(queries):
+        ref = ensemble_search_prebuilt(aspace, ens, q, 8, 0.9)
+        assert list(bi[qi]) == [i for i, _ in ref]
+        np.testing.assert_allclose(bs[qi], [s for _, s in ref],
+                                   rtol=1e-9)
+
+
 def test_normalized_clique_expansion():
     adj = clique_expansion_adjacency([[0, 1, 2], [2, 3]], 5,
                                      normalized=True)
