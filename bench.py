@@ -28,6 +28,7 @@ the framework (a TPU host moves it over PCIe in ~50 ms).
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -219,6 +220,40 @@ def laplacian_sweep() -> None:
         log(f"laplacian build n_items={n} d=24: {t * 1e3:.2f} ms "
             f"(reference: 1.53/5.39/20.2/84.9 ms at 50/100/200/400)")
     record("laplacian_build_400x24", t * 1e3, "ms", vs_baseline=84.9 / (t * 1e3))
+
+    # the reference's k/eps grid on its real 3000-vector dataset
+    # (base_laplacian_bench.rs:51-96; regenerated per examples/common.py
+    # since the blob is absent from the snapshot) — the one BASELINE.md
+    # table row that previously had no counterpart here.  The reference
+    # builds over the RAW item axis (3000 nodes, 57.5/62.4/60.3/56.2 s
+    # at k=2/5/10/15; 52.6-53.2 s over eps); this build takes the same
+    # (F x N) input through the same pipeline stages.
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tests"))
+    from data import vectors_data_3000
+    d3k = np.ascontiguousarray(np.asarray(vectors_data_3000(),
+                                          dtype=np.float64).T)
+    ref_k = {2: 57.5, 5: 62.4, 10: 60.3, 15: 56.2}
+    for kk in (2, 5, 10, 15):
+        params = GraphParams(eps=0.5, k=kk, topk=min(kk, 4), p=2.0,
+                             sigma=None, normalise=False,
+                             sparsity_check=False)
+        t = median_time(
+            lambda: build_laplacian_matrix(d3k, params, n_items=3000),
+            warmup=1, iters=3)
+        log(f"laplacian build real-3000 k={kk}: {t * 1e3:.1f} ms "
+            f"(reference {ref_k[kk]:.1f} s)")
+    t_k = t
+    for eps in (0.1, 0.5, 0.9):
+        params = GraphParams(eps=eps, k=6, topk=4, p=2.0, sigma=None,
+                             normalise=False, sparsity_check=False)
+        t = median_time(
+            lambda: build_laplacian_matrix(d3k, params, n_items=3000),
+            warmup=1, iters=3)
+        log(f"laplacian build real-3000 eps={eps:.1f}: {t * 1e3:.1f} ms "
+            f"(reference 52.6-53.2 s)")
+    record("laplacian_build_3000_real_k15", t_k * 1e3, "ms",
+           vs_baseline=56.2e3 / (t_k * 1e3))
 
 
 def big_corpus_suite(jax, jnp, rtt_s: float) -> None:
