@@ -150,6 +150,21 @@ def main(n=1_000_000, f=128, centers=1024, hot=16, k=10, alpha=0.9):
     d = max((np.abs(s1[r] - s2[r]).max() for r in cert), default=0.0)
     log(f"union exactness: certified {len(cert)}/256  ids-bitwise={ok_i}"
         f"  max|score delta| {d}")
+
+    # --- 6. flag-rate table row: UNIFORM corpus (the adversarial
+    # regime where high-d cosine bounds are vacuous — the spherical-cap
+    # bound must degrade to flags, never to wrong results) ---
+    del rows_j
+    rows_u = rng.normal(size=(n, f)).astype(np.float32)
+    cells_u = build_cells(rows_u, lam, cap=256, seed=1, iters=4)
+    cu = cells_u
+    qu = jnp.asarray(rows_u[rng.integers(0, n, 16)] * 1.002)
+    _, _, flq = pruned_topk(qu, ql16, cu.x, cu.lam, cu.ids, cu.cent,
+                            cu.radius, cu.cosr, cu.sinr, cu.lam_lo,
+                            cu.lam_hi, alpha, k=k, m_cells=64, cap=256,
+                            margin=1e-3)
+    log(f"uniform-corpus B=16 flags (cap bound): "
+        f"{int(np.asarray(flq).sum())}/16 (vacuous-bounds regime)")
     print("DONE", flush=True)
 
 
