@@ -628,8 +628,37 @@ class EnergySearchSession:
                     z_items, lambdas, wl, wd, k=k_eff)
                 return np.asarray(rs)[:m], np.asarray(ri)[:m]
 
+            def binned_fallback(rel_rows):
+                # approx-path uncertified rows: one EXACT binned-kernel
+                # block (~2.4 ms corpus stream at a 256-row block)
+                # instead of the XLA chunked scan (~10x that) — the
+                # kernel is bitwise the oracle on unflagged rows; its
+                # own (rare, deep-collision) flags then take the
+                # chunked scorer.  Fixed 128-row host pad keeps it one
+                # compiled program per bucket.
+                import jax as _jax
+                from .ops.pallas_bintopk import binned_energy_topk
+                m = len(rel_rows)
+                pad = (-m) % 128
+                zs = np.pad(z[rel_rows], ((0, pad), (0, 0)))
+                qls = np.pad(np.asarray(qlam)[rows[rel_rows]], (0, pad))
+                rs, ri, rfl, _det = binned_energy_topk(
+                    jnp.asarray(zs, dtype=dt), jnp.asarray(qls, dtype=dt),
+                    step_z, step_lam, wl, wd, k=k_eff, prepared=True,
+                    n_items=n_items, z_norms=z_norms)
+                rs, ri, rfl = _jax.device_get((rs, ri, rfl))
+                rs, ri = rs[:m].copy(), ri[:m].copy()
+                bad = np.nonzero(rfl[:m])[0]
+                if len(bad):
+                    cs, ci = full_chunked(rel_rows[bad])
+                    rs[bad], ri[bad] = cs, ci
+                return rs, ri
+
             if det_rows is None:
-                return full_chunked(np.arange(len(rows)))
+                rel = np.arange(len(rows))
+                if kernel == "binned_approx" and n_items > 0:
+                    return binned_fallback(rel)
+                return full_chunked(rel)
             from .ops.bin_repair import strided_energy_repair
             return strided_energy_repair(
                 np.asarray(z), qlam[rows], det_rows,

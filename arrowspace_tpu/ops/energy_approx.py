@@ -51,9 +51,26 @@ tail knots certify 512/512 at J=2 chords; the round-1 spread knots
 score cut, not candidate count, was the binding term (flags were 45/2048
 at both m=54 and m=118).
 
+MEASURED OUTCOME (r5, on chip, 1M x 64 B=2048 k=10 — benchmarks/
+energy_approx_tpu.py + energy_approx_ab2.py): the throughput bet is
+NEGATIVE.  Exact binned kernel 18.75 ms; this kernel 19.0-19.5 ms at
+depth 3 (1.2 % flags), 17.28 ms at depth 2 but with 13.8 % flags
+(surrogate-order sag defeats shallow pools — see the depth note in
+binned_energy_topk_approx), and the larger resident block OOMs in
+Mosaic (the 3·depth+1 pool planes + ~26 chord-body temps exceed scoped
+VMEM at block 1024).  The cheaper plane's ~6-op saving is almost
+exactly cancelled by the d²-payload selects riding the fold (~2.1 ms
+per per-pair op at this shape), so a certified-exact surrogate CANNOT
+beat the exact per-pair plane at 1M x 64 — the 150k-QPS target is
+unreachable in this design family; the exact kernel stays the serving
+default.  What the module DOES deliver: a zero-cost per-query
+exactness certificate (certified rows are bitwise the chunked oracle —
+proven ids AND scores on chip at k=10/64) with a 98.8 % certification
+rate on random data, and the flag + exact-fallback contract.
+
 Reference anchor: energymaps.rs:368-407 (search_energy semantics being
 served); the reference has no serving kernel — this is a TPU-native
-rate feature with the reference's exact scoring as its contract.
+capability with the reference's exact scoring as its contract.
 """
 
 from __future__ import annotations
@@ -291,15 +308,18 @@ def binned_energy_topk_approx(
     n = n_items
     dt = jnp.float32
     if depth <= 0:
-        # one level SHALLOWER than the exact kernel: its depth buys a
-        # near-zero miss rate because a miss there costs a repair scan,
-        # but HERE every pool miss is already covered by the kth > det
-        # certificate (a dropped item lost a surrogate comparison), so
-        # the marginal level only trims the flag rate.  At bins = 128,
-        # depth 2 adds ~C(k,3)/128² collision flags (k=10: ~0.7 % of
-        # queries) and removes a full (cmp + 6·select) insertion level
-        # + 1 payload plane from the per-pair fold.
-        depth = max(2, binned_topk_depth_for(k) - 1)
+        # SAME depth as the exact kernel — measured, not assumed
+        # (benchmarks/energy_approx_ab2.py, 1M x 64 B=2048 k=10 on
+        # chip): depth 2 runs 17.28 ms but flags 283/2048 (13.8 %),
+        # depth 3 runs 19.54 ms at 25/2048 (1.2 %).  The naive
+        # collision model (C(k,3)/bins² ≈ 0.7 %) under-counts depth-2
+        # flags ~20x because the pool ranks by SURROGATE order: chord
+        # sag compresses the competitive band, so exact-top-k items
+        # lose surrogate comparisons to sag-level neighbours far more
+        # often than uniform-hash collisions suggest.  At a 14 % flag
+        # rate every served batch pays the exact-fallback rescan, which
+        # costs more than the 2.3 ms the shallower fold saves.
+        depth = binned_topk_depth_for(k)
     # planes calibrated from measured scoped-VMEM OOMs, not the body's
     # live-set count: Mosaic's stack allocator charges the chord body
     # ~26 (block, bins) temp planes (measured 17.0M/18.1M at block 1024

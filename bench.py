@@ -589,6 +589,47 @@ def energy_suite(jax, jnp, rtt_s: float) -> None:
         record(f"energy_query_1m_x64_{name}_b{B}", t_dev * 1e3, "ms",
                qps_device=round(B / t_dev), **extra, **rf)
 
+    # B=2048 throughput config: exact binned (the serving default) and
+    # the certified chord-surrogate kernel (ops/energy_approx) with its
+    # certification rate.  The surrogate measured NEGATIVE for
+    # throughput (its module docstring carries the full A/B); it is
+    # recorded for the exactness-certificate capability, not rate.
+    from arrowspace_tpu.ops.energy_approx import (
+        binned_energy_topk_approx, prepare_energy_chord_sample)
+    from arrowspace_tpu.ops.pallas_bintopk import (
+        prepare_binned_energy_corpus)
+    B2 = 2048
+    zq2 = jnp.asarray(rng.normal(size=(B2, G)).astype(np.float32))
+    qlam2 = jnp.asarray(rng.uniform(0, 1, B2).astype(np.float32))
+    zp, zl, zn = prepare_binned_energy_corpus(z, lam, bsz=B2, k=K)
+    zs, xns = prepare_energy_chord_sample(zp, zn, N, seed=0)
+    e2_flops = 2.0 * B2 * N * G + 10.0 * B2 * N
+
+    def exact_b2(q, zz, ll, nn):
+        s, i, fl, det = binned_energy_topk(
+            q, qlam2, zz, ll, wl, wd, k=K, prepared=True, n_items=N,
+            z_norms=nn)
+        return s, i, fl
+
+    def approx_b2(q, zz, ll, nn, ss, xx):
+        return binned_energy_topk_approx(
+            q, qlam2, zz, ll, wl, wd, ss, xx, k=K, n_items=N,
+            z_norms=nn)
+
+    for name, op, big in (
+        ("binned", exact_b2, (zp, zl, zn)),
+        ("approx", approx_b2, (zp, zl, zn, zs, xns)),
+    ):
+        t_dev = amortised_device_time(jax, jnp, op, zq2, big, repeats=8)
+        rf = roofline_fields(t_dev, e2_flops, e_bytes)
+        fl = np.asarray(op(zq2, *big)[2])
+        nfl = int((fl != 0).sum())
+        log(f"energy query 1M x 64 B={B2} {name}: {t_dev * 1e3:.2f} ms "
+            f"= {B2 / t_dev:.0f} QPS device, flags {nfl}/{B2}")
+        record(f"energy_query_1m_x64_{name}_b{B2}", t_dev * 1e3, "ms",
+               qps_device=round(B2 / t_dev), flags=nfl,
+               certified_rate=round(1.0 - nfl / B2, 4), **rf)
+
 
 def wide_f_suite(jax, jnp, rtt_s: float) -> None:
     """500k x 768 — the 100M x 768 target config's F, measured on the
