@@ -709,6 +709,85 @@ def wide_f_suite(jax, jnp, rtt_s: float) -> None:
                collision_flags=int(np.asarray(fl).sum()), **rf)
 
 
+def pruned_suite(jax, jnp, rtt_s: float) -> None:
+    """Clustered 1M x 128 cell-screened serving (pruned.py): the B=16
+    per-query path and the B=256 two-level union path, against the
+    full-stream binned kernel on the SAME corpus.  Queries ride a
+    HOT-REGION batch (16 of 1024 clusters) — the screen's winning
+    regime; the corpus-spread batch's flag rate is logged for honesty
+    (certification degrades to the exact fallback there by design)."""
+    from arrowspace_tpu.ops.pallas_bintopk import (binned_lambda_topk,
+                                                   prepare_binned_corpus)
+    from arrowspace_tpu.pruned import (build_cells, pruned_topk,
+                                       pruned_topk_union)
+
+    N, F, K, ALPHA = 1_000_000, 128, 10, 0.9
+    rng = np.random.default_rng(7)
+    cents = rng.uniform(0.2, 0.8, (1024, F)).astype(np.float32)
+    assign = rng.integers(0, 1024, N)
+    rows = (cents[assign]
+            + rng.normal(0, 0.03, (N, F))).astype(np.float32)
+    lam = rng.uniform(0, 1, N).astype(np.float32)
+    t0 = time.perf_counter()
+    cells = build_cells(rows, lam, cap=256, seed=1, iters=8)
+    log(f"pruned cells build (1M x 128, cap 256): "
+        f"{time.perf_counter() - t0:.1f}s one-time")
+    c = cells
+
+    hot_ids = np.nonzero(np.isin(assign, np.arange(16)))[0]
+    qi = rng.choice(hot_ids, 256, replace=False)
+    q256 = jnp.asarray(rows[qi] * 1.002)
+    ql256 = jnp.asarray(lam[qi])
+    q16, ql16 = q256[:16], ql256[:16]
+
+    big = (c.x, c.lam, c.ids, c.cent, c.radius, c.cosr, c.sinr,
+           c.lam_lo, c.lam_hi)
+
+    def b16_op(q, *bb):
+        return pruned_topk(q, ql16, *bb, ALPHA, k=K, m_cells=64,
+                           cap=256, margin=1e-3)
+
+    def b256_op(q, *bb):
+        return pruned_topk_union(q, ql256, *bb, ALPHA, k=K, m_vote=8,
+                                 s_cells=128, cap=256, margin=1e-3)
+
+    # streaming comparator on the same corpus
+    rows_j = jnp.asarray(rows)
+    xb, lb, _nb = prepare_binned_corpus(rows_j, jnp.asarray(lam),
+                                        bsz=256, k=K)
+
+    def stream_op(q, xx, ll):
+        return binned_lambda_topk(q, ql256, xx, ll, ALPHA, k=K,
+                                  prepared=True, n_items=N)
+
+    t16 = amortised_device_time(jax, jnp, b16_op, q16, big, repeats=8)
+    fl16 = np.asarray(b16_op(q16, *big)[2])
+    t256 = amortised_device_time(jax, jnp, b256_op, q256, big, repeats=8)
+    fl256 = np.asarray(b256_op(q256, *big)[2])
+    ts = amortised_device_time(jax, jnp, stream_op, q256, (xb, lb),
+                               repeats=8)
+    _, _, flsp = pruned_topk_union(
+        jnp.asarray(rows[rng.integers(0, N, 256)] * 1.002),
+        jnp.asarray(lam[rng.integers(0, N, 256)]), *big, ALPHA, k=K,
+        m_vote=8, s_cells=128, cap=256, margin=1e-3)
+
+    cert16 = 1.0 - float(fl16.sum()) / 16
+    cert256 = 1.0 - float(fl256.sum()) / 256
+    log(f"pruned B=16 (m_cells 64): {t16 * 1e3:.2f} ms, certified "
+        f"{cert16:.2f}; B=256 union (m8 S128): {t256 * 1e3:.2f} ms, "
+        f"certified {cert256:.2f}; full stream B=256: {ts * 1e3:.2f} ms; "
+        f"spread-batch union flags {int(np.asarray(flsp).sum())}/256")
+    record("pruned_query_b16_1m_x128", t16 * 1e3, "ms",
+           certified_rate=round(cert16, 4),
+           vs_stream=round(ts / t16, 2),
+           kernel="pruned_topk (cell-screened exact, hot-region batch)")
+    record("pruned_query_b256_1m_x128", t256 * 1e3, "ms",
+           certified_rate=round(cert256, 4),
+           vs_stream=round(ts / t256, 2),
+           stream_ms=round(ts * 1e3, 2),
+           kernel="pruned_topk_union (two-level, hot-region batch)")
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -762,6 +841,8 @@ def main() -> None:
             energy_suite(jax, jnp, rtt_s)
             emit()
             wide_f_suite(jax, jnp, rtt_s)
+            emit()
+            pruned_suite(jax, jnp, rtt_s)
     except Exception as e:  # pragma: no cover — keep the headline alive
         log(f"supplementary sweep failed: {e!r}")
 
