@@ -116,14 +116,42 @@ def _lloyd_device(xhat, cent0, *, n_cells: int, chunk: int, iters: int):
     """Cosine-space Lloyd iterations (assign to max-dot centroid, update
     to the normalised member mean).  Empty clusters keep their previous
     centroid.  One jitted program; the (chunk, C) assign block keeps the
-    working set bounded at any N."""
+    working set bounded at any N.
+
+    Centroid sums ride ONE-HOT MATMULS, not segment_sum: a TPU scatter
+    over N rows serializes (the r5 1M x 128 cells build measured ~17
+    minutes with segment_sum where the matmul form is seconds); the
+    (C, sub)x(sub, F) accumulation is MXU work.  The one-hot block is
+    built in sub-chunks of 8192 rows so the (sub, C) indicator plane
+    stays ~128 MB at C ≈ 4k."""
     n, f = xhat.shape
+    sub = min(chunk, 8192)
+    n_pad = -n % sub
+    xp = jnp.pad(xhat, ((0, n_pad), (0, 0)))
+    blocks = xp.reshape(-1, sub, f)
+    base = jnp.arange(blocks.shape[0]) * sub
+    cells_iota = jnp.arange(n_cells, dtype=jnp.int32)
 
     def iteration(cent, _):
-        assign = _assign_chunked(xhat, cent, chunk)
-        sums = jax.ops.segment_sum(xhat, assign, num_segments=n_cells)
-        counts = jax.ops.segment_sum(jnp.ones((n,), xhat.dtype), assign,
-                                     num_segments=n_cells)
+        def acc_block(carry, inp):
+            sums, counts = carry
+            b0, xb = inp
+            s = jnp.dot(xb, cent.T, preferred_element_type=xb.dtype)
+            a = jnp.argmax(s, axis=1).astype(jnp.int32)
+            valid = (b0 + jnp.arange(sub)) < n          # mask padding
+            onehot = ((a[:, None] == cells_iota[None, :])
+                      & valid[:, None]).astype(xb.dtype)  # (sub, C)
+            sums = sums + jax.lax.dot_general(
+                onehot, xb, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=xb.dtype)          # (C, F)
+            counts = counts + jnp.sum(onehot, axis=0)
+            return (sums, counts), ()
+
+        (sums, counts), _ = jax.lax.scan(
+            acc_block,
+            (jnp.zeros((n_cells, f), xhat.dtype),
+             jnp.zeros((n_cells,), xhat.dtype)),
+            (base, blocks))
         norms = jnp.sqrt(jnp.sum(sums * sums, axis=1, keepdims=True))
         new = jnp.where((counts[:, None] > 0) & (norms > 0),
                         sums / jnp.where(norms > 0, norms, 1.0), cent)
@@ -151,6 +179,8 @@ def build_cells(data, lambdas, cap: int = 256, seed: int = 0,
     corpus (like SearchSession's prepare_binned_corpus) — the price of
     contiguous cell gathers.
     """
+    import time as _time
+    t_start = _time.perf_counter()
     rows = np.asarray(data, dtype=np.float64)
     lam64 = np.asarray(lambdas, dtype=np.float64)
     n, f = rows.shape
@@ -173,6 +203,7 @@ def build_cells(data, lambdas, cap: int = 256, seed: int = 0,
         _, assign = _lloyd_device(xhat_dev, cent0, n_cells=n_cells,
                                   chunk=chunk, iters=iters)
         assign = np.asarray(assign)
+    t_lloyd = _time.perf_counter()
 
     # host pass: split clusters into ≤cap units, compute metadata in f64
     order = np.argsort(assign, kind="stable")
@@ -193,8 +224,13 @@ def build_cells(data, lambdas, cap: int = 256, seed: int = 0,
     u_real = len(unit_rows)
     u_pad = max(8, 1 << int(np.ceil(np.log2(u_real))))
 
-    gx = np.zeros((u_pad * cap, f), dtype=np.float64)
-    glam = np.zeros((u_pad * cap,), dtype=np.float64)
+    # grouped rows/λ assemble directly in the KERNEL dtype (the bound
+    # metadata below stays f64): an f64 staging copy doubled host RSS
+    # and upload prep at multi-GB corpus sizes for values the device
+    # casts anyway
+    np_dt = np.dtype(jnp.dtype(dt).name)
+    gx = np.zeros((u_pad * cap, f), dtype=np_dt)
+    glam = np.zeros((u_pad * cap,), dtype=np_dt)
     gids = np.full((u_pad * cap,), -1, dtype=np.int32)
     cent = np.zeros((u_pad, f), dtype=np.float64)
     radius = np.full((u_pad,), -2.0, dtype=np.float64)
@@ -230,7 +266,9 @@ def build_cells(data, lambdas, cap: int = 256, seed: int = 0,
         lam_hi[u] = lam64[members].max()
 
     logger.info("pruned cells: %d rows -> %d units (cap %d, %d clusters, "
-                "padded to %d)", n, u_real, cap, n_cells, u_pad)
+                "padded to %d); lloyd %.1fs, metadata %.1fs", n, u_real,
+                cap, n_cells, u_pad, t_lloyd - t_start,
+                _time.perf_counter() - t_lloyd)
     return PrunedCells(
         x=jnp.asarray(gx, dtype=dt), lam=jnp.asarray(glam, dtype=dt),
         ids=jnp.asarray(gids), cent=jnp.asarray(cent, dtype=dt),

@@ -753,7 +753,7 @@ def pruned_suite(jax, jnp, rtt_s: float) -> None:
 
     # streaming comparator on the same corpus
     rows_j = jnp.asarray(rows)
-    xb, lb, _nb = prepare_binned_corpus(rows_j, jnp.asarray(lam),
+    xb, lb = prepare_binned_corpus(rows_j, jnp.asarray(lam),
                                         bsz=256, k=K)
 
     def stream_op(q, xx, ll):

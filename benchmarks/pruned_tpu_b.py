@@ -127,7 +127,7 @@ def main(n=1_000_000, f=128, centers=1024, hot=16, k=10, alpha=0.9):
     # --- 3. streaming baseline: exact binned kernel at B=256 ---
     from arrowspace_tpu.ops.pallas_bintopk import (binned_lambda_topk,
                                                    prepare_binned_corpus)
-    xb, lb, _nb = prepare_binned_corpus(rows_j, lam_j, bsz=256, k=k)
+    xb, lb = prepare_binned_corpus(rows_j, lam_j, bsz=256, k=k)
     def base_body(q, xx, ll):
         s, i, fl, det = binned_lambda_topk(
             q, ql256, xx, ll, alpha, k=k, prepared=True, n_items=n)
