@@ -193,7 +193,10 @@ def build_cells(data, lambdas, cap: int = 256, seed: int = 0,
     n_cells = max(1, min(n, -(-n // cap)))
     rng = np.random.default_rng(seed)
     seed_rows = rng.choice(n, size=n_cells, replace=False)
+    t_host = _time.perf_counter()
     xhat_dev = jnp.asarray(xhat64, dtype=dt)
+    xhat_dev.block_until_ready()
+    t_up = _time.perf_counter()
     if n_cells == 1:
         assign = np.zeros((n,), dtype=np.int32)
     else:
@@ -204,6 +207,9 @@ def build_cells(data, lambdas, cap: int = 256, seed: int = 0,
                                   chunk=chunk, iters=iters)
         assign = np.asarray(assign)
     t_lloyd = _time.perf_counter()
+    logger.info("build_cells phases: host-norm %.1fs, upload %.1fs, "
+                "lloyd(compile+run) %.1fs", t_host - t_start,
+                t_up - t_host, t_lloyd - t_up)
 
     # host pass: split clusters into ≤cap units, compute metadata in f64
     order = np.argsort(assign, kind="stable")
