@@ -642,7 +642,7 @@ class EnergySearchSession:
                 pad = (-m) % 128
                 zs = np.pad(z[rel_rows], ((0, pad), (0, 0)))
                 qls = np.pad(np.asarray(qlam)[rows[rel_rows]], (0, pad))
-                rs, ri, rfl, _det = binned_energy_topk(
+                rs, ri, rfl = binned_energy_topk(
                     jnp.asarray(zs, dtype=dt), jnp.asarray(qls, dtype=dt),
                     step_z, step_lam, wl, wd, k=k_eff, prepared=True,
                     n_items=n_items, z_norms=z_norms)

@@ -606,10 +606,9 @@ def energy_suite(jax, jnp, rtt_s: float) -> None:
     e2_flops = 2.0 * B2 * N * G + 10.0 * B2 * N
 
     def exact_b2(q, zz, ll, nn):
-        s, i, fl, det = binned_energy_topk(
+        return binned_energy_topk(
             q, qlam2, zz, ll, wl, wd, k=K, prepared=True, n_items=N,
             z_norms=nn)
-        return s, i, fl
 
     def approx_b2(q, zz, ll, nn, ss, xx):
         return binned_energy_topk_approx(

@@ -95,13 +95,13 @@ def run_scale(n, f=128, centers=1024, hot=16, k=10, alpha=0.9,
                                    k=k)
 
     def s256(q, xx, ll):
-        s, i, fl, det = binned_lambda_topk(q, ql256, xx, ll, alpha,
+        s, i, fl = binned_lambda_topk(q, ql256, xx, ll, alpha,
                                            k=k, prepared=True, n_items=n)
         return (jnp.sum(s[:, :1]) + jnp.sum(i[:, :1])
                 + jnp.sum(fl)) * 1e-20
 
     def s16(q, xx, ll):
-        s, i, fl, det = binned_lambda_topk(q, ql16, xx, ll, alpha,
+        s, i, fl = binned_lambda_topk(q, ql16, xx, ll, alpha,
                                            k=k, prepared=True, n_items=n)
         return (jnp.sum(s[:, :1]) + jnp.sum(i[:, :1])
                 + jnp.sum(fl)) * 1e-20

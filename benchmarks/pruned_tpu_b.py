@@ -129,7 +129,7 @@ def main(n=1_000_000, f=128, centers=1024, hot=16, k=10, alpha=0.9):
                                                    prepare_binned_corpus)
     xb, lb = prepare_binned_corpus(rows_j, lam_j, bsz=256, k=k)
     def base_body(q, xx, ll):
-        s, i, fl, det = binned_lambda_topk(
+        s, i, fl = binned_lambda_topk(
             q, ql256, xx, ll, alpha, k=k, prepared=True, n_items=n)
         return (jnp.sum(s[:, :1]) + jnp.sum(i[:, :1])
                 + jnp.sum(fl)) * 1e-20

@@ -235,9 +235,13 @@ def test_energy_session_approx_matches_exact_session(monkeypatch):
 
     def interp_approx(*a, **kw):
         kw.setdefault("interpret", True)
-        out = orig_approx(*a, **kw)
-        seen["flags"].append(out[2])
-        return out
+        s, i, fl = orig_approx(*a, **kw)
+        # force one uncertified row so the exact-binned fallback path
+        # (index.binned_fallback) is exercised — the fallback must
+        # reproduce the exact session bitwise for a certifiable row too
+        fl = fl.at[0].set(1)
+        seen["flags"].append(fl)
+        return s, i, fl
 
     monkeypatch.setattr(bk_mod, "binned_energy_topk", interp_exact)
     monkeypatch.setattr(ea_mod, "binned_energy_topk_approx", interp_approx)
