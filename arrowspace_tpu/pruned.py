@@ -589,9 +589,14 @@ class PrunedSearchSession:
             dtype=dt)
         u = self.cells.cent.shape[0]
         if m_cells is None:
-            # enough cells that k real rows are certain (≥1 row per unit)
-            # and the gather covers a few thousand candidates
-            m_cells = max(self.k, min(u, -(-4096 // self.cells.cap) * 4))
+            # ~4096 gathered candidates per query: the ROW GATHER, not
+            # the matmul, is the per-query cost (measured on chip at
+            # clustered 1M x 128 / cap 256: m=8 -> 4.20 ms, m=16 ->
+            # 4.74, m=32 -> 6.48, m=64 -> 15.06, all 0 flags —
+            # benchmarks/pruned_crossover.py), so the old 4x-padded
+            # default quadrupled latency for flag headroom the bound
+            # did not need.  Floor k cells so k real rows are certain.
+            m_cells = max(self.k, min(u, -(-4096 // self.cells.cap)))
         self.m_cells = min(int(m_cells), u)
 
         lap = jnp.asarray(gl.matrix, dtype=dt)

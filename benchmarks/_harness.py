@@ -18,9 +18,14 @@ kept self-contained); keep the two in sync.
 
 from __future__ import annotations
 
+import logging
 import time
 
 import numpy as np
+
+# benchmark scripts want the library's INFO-level phase timings
+# (e.g. build_cells' lloyd/upload/metadata split) in their nohup logs
+logging.basicConfig(level=logging.INFO)
 
 
 def amortised(make_body, q, big, repeats=8, outer=5):
