@@ -46,6 +46,25 @@ clustered data; universal on adversarially uniform data, where
 high-dimensional cosine bounds are vacuous — the session degrades to
 the full scan's cost, never to wrong results).
 
+MEASURED POSITION (r5 crossover, benchmarks/pruned_crossover.py —
+clustered corpora, 1024 centers, cap 256, hot-region batches, v5e):
+
+    1M x 128:  B=16 pruned m8 4.05 ms / stream 3.71 (0 flags)
+               B=256 union S96 4.06 / S128 4.45 / stream 3.79
+    4M x 128:  B=16 pruned m8 5.63 / m16 6.27 / stream 5.84
+               B=256 union flags 189-226/256 at S<=128 (a hot cluster
+               spans N/centers/cap units, so the union budget must
+               scale with batch locality) / stream 5.87
+
+The exact streaming kernel is flatter in N than the naive model (grid
+overhead, not the corpus read, dominates it at B=256 below ~4M), so
+cell screening is latency-NEUTRAL at these sizes; its structural win
+is the HBM corpus-read floor (N·F·4/819 GB/s: ~6 ms at 10M, ~60 ms at
+100M) that the screen's N-independent gather avoids.  The path's
+standing value at practical sizes is the certificate machinery and the
+bounded-work profile (gather ∝ m_cells·cap, not N); m_cells=8 is the
+measured-best latency config.
+
 The margin absorbs floating-point slop between the bound arithmetic and
 the score arithmetic (both ~1e-5 at f32 on unit-scale data; the default
 1e-3 is generous).  Scores for unflagged queries are computed by the
