@@ -910,7 +910,8 @@ class ArrowIndex:
                             m_cells: Optional[int] = None,
                             margin: float = 1e-3, seed: int = 0,
                             m_vote: int = 8,
-                            union_cells: Optional[int] = None):
+                            union_cells: Optional[int] = None,
+                            auto_budget: bool = False):
         """Exact cell-screened search (pruned.py): queries exact-score
         only the cells whose score upper bound can reach their top-k;
         un-certifiable queries transparently re-run through the full
@@ -918,12 +919,14 @@ class ArrowIndex:
         gathers per query, B in (16, 512] shares one two-level cell
         UNION per batch (m_vote votes/query, union_cells gathered);
         device work ∝ scanned cells instead of N on clustered
-        corpora."""
+        corpora.  auto_budget=True grows the screening budget when the
+        observed flag rate exceeds 5% (see PrunedSearchSession)."""
         from .pruned import PrunedSearchSession
         return PrunedSearchSession(self, batch_size, k=k, alpha=alpha,
                                    cap=cap, m_cells=m_cells,
                                    margin=margin, seed=seed,
-                                   m_vote=m_vote, union_cells=union_cells)
+                                   m_vote=m_vote, union_cells=union_cells,
+                                   auto_budget=auto_budget)
 
     def make_live_session(self, batch_size: int, k: int = 10,
                           alpha: float = 0.9, depth: int = 2,

@@ -90,8 +90,8 @@ from .utils.log import get_logger
 
 logger = get_logger(__name__)
 
-__all__ = ["PrunedCells", "build_cells", "pruned_topk",
-           "pruned_topk_union", "PrunedSearchSession"]
+__all__ = ["PrunedCells", "build_cells", "build_cells_device",
+           "pruned_topk", "pruned_topk_union", "PrunedSearchSession"]
 
 
 class PrunedCells(NamedTuple):
@@ -128,6 +128,9 @@ def _assign_chunked(xhat, cent, chunk: int):
 
     _, assign = jax.lax.scan(body, None, blocks)
     return assign.reshape(-1)[:n]
+
+
+_assign_chunked_jit = jax.jit(_assign_chunked, static_argnames=("chunk",))
 
 
 @functools.partial(jax.jit, static_argnames=("n_cells", "chunk", "iters"))
@@ -185,8 +188,22 @@ def _unit_norm_np(rows: np.ndarray) -> np.ndarray:
     return np.where(norms > 0, rows / np.where(norms > 0, norms, 1.0), 0.0)
 
 
+def _unit_pad(u_real: int) -> int:
+    """Compile-bucket padding for the unit axis: powers of two up to
+    4096 (one compile serves a wide range of small corpora), then
+    multiples of 1024 — a pow-2 bucket at 40k units would waste ~60% of
+    the grouped corpus copy in HBM for compile reuse that large one-off
+    index builds don't need."""
+    p2 = max(8, 1 << int(np.ceil(np.log2(max(2, u_real)))))
+    if p2 <= 4096:
+        return p2
+    return max(4096, -(-u_real // 1024) * 1024)
+
+
 def build_cells(data, lambdas, cap: int = 256, seed: int = 0,
-                iters: int = 8, dtype=None) -> PrunedCells:
+                iters: int = 8, dtype=None,
+                n_clusters: Optional[int] = None,
+                lloyd_sample: Optional[int] = None) -> PrunedCells:
     """Group the corpus into ≤cap-row units with bound metadata.
 
     Clusters with a device Lloyd pass (C ≈ N/cap centroids seeded from
@@ -197,6 +214,16 @@ def build_cells(data, lambdas, cap: int = 256, seed: int = 0,
     arithmetic stays conservative).  The grouped layout duplicates the
     corpus (like SearchSession's prepare_binned_corpus) — the price of
     contiguous cell gathers.
+
+    Large-N knobs (the defaults reproduce the original behaviour):
+    `n_clusters` caps the Lloyd centroid count below N/cap — clusters
+    larger than `cap` are λ-sorted and split into several units sharing
+    the cluster's angular spread, so the assign pass costs N·C·F
+    instead of N·(N/cap)·F (at 10M x 128 / cap 256 that is the
+    difference between ~2e16 and ~1e17 FLOPs).  `lloyd_sample` fits the
+    centroids on a uniform row subsample and pays only ONE full-corpus
+    assign pass.  For corpora that would round-trip the host (multi-GB),
+    see build_cells_device — the fully device-resident build.
     """
     import time as _time
     t_start = _time.perf_counter()
@@ -209,7 +236,8 @@ def build_cells(data, lambdas, cap: int = 256, seed: int = 0,
     assert cap > 0 and n > 0
 
     xhat64 = _unit_norm_np(rows)
-    n_cells = max(1, min(n, -(-n // cap)))
+    n_cells = max(1, min(n, n_clusters if n_clusters is not None
+                         else -(-n // cap)))
     rng = np.random.default_rng(seed)
     seed_rows = rng.choice(n, size=n_cells, replace=False)
     t_host = _time.perf_counter()
@@ -222,9 +250,18 @@ def build_cells(data, lambdas, cap: int = 256, seed: int = 0,
         chunk = min(65536, max(1024, 1 << int(np.ceil(np.log2(max(2, n))))))
         chunk = min(chunk, 65536)
         cent0 = jnp.asarray(xhat64[seed_rows], dtype=dt)
-        _, assign = _lloyd_device(xhat_dev, cent0, n_cells=n_cells,
-                                  chunk=chunk, iters=iters)
-        assign = np.asarray(assign)
+        if lloyd_sample is not None and lloyd_sample < n:
+            fit_idx = rng.choice(n, size=int(lloyd_sample), replace=False)
+            cent, _ = _lloyd_device(
+                jnp.asarray(xhat64[fit_idx], dtype=dt), cent0,
+                n_cells=n_cells, chunk=min(chunk, int(lloyd_sample)),
+                iters=iters)
+            assign = np.asarray(_assign_chunked_jit(
+                xhat_dev, cent, chunk=chunk))
+        else:
+            _, assign = _lloyd_device(xhat_dev, cent0, n_cells=n_cells,
+                                      chunk=chunk, iters=iters)
+            assign = np.asarray(assign)
     t_lloyd = _time.perf_counter()
     logger.info("build_cells phases: host-norm %.1fs, upload %.1fs, "
                 "lloyd(compile+run) %.1fs", t_host - t_start,
@@ -247,7 +284,7 @@ def build_cells(data, lambdas, cap: int = 256, seed: int = 0,
         for lo in range(0, len(members), cap):
             unit_rows.append(members[lo:lo + cap])
     u_real = len(unit_rows)
-    u_pad = max(8, 1 << int(np.ceil(np.log2(u_real))))
+    u_pad = _unit_pad(u_real)
 
     # grouped rows/λ assemble directly in the KERNEL dtype (the bound
     # metadata below stays f64): an f64 staging copy doubled host RSS
@@ -302,6 +339,200 @@ def build_cells(data, lambdas, cap: int = 256, seed: int = 0,
         sinr=jnp.asarray(sinr, dtype=dt),
         lam_lo=jnp.asarray(lam_lo, dtype=dt),
         lam_hi=jnp.asarray(lam_hi, dtype=dt), cap=cap, n_units=u_real)
+
+
+# --------------------------------------------------------------------
+# Device-resident cells build (the large-N path)
+# --------------------------------------------------------------------
+
+# f32 slack for DEVICE-computed bound metadata.  The host build computes
+# centroids/radii in f64 and adds 1e-6; on device everything is f32 —
+# the d² reduce over F=128..768 unit-scale elements carries ~1e-5
+# relative error, so the conservative pad is 1e-4 (still 10x below the
+# session's default 1e-3 certification margin; flag-rate cost is nil).
+_DEV_META_SLACK = 1e-4
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def _group_device(xhat, lam, perm, rank, *, cap: int):
+    """Grouped layout from the sorted permutation: `rank` maps each
+    (unit, slot) to a rank in the sorted order, -1 for padding."""
+    valid = rank >= 0
+    ids = jnp.where(valid, perm[jnp.clip(rank, 0)], -1)
+    take = jnp.clip(ids, 0)
+    gx = jnp.where(valid[:, None], xhat[take], 0.0)
+    glam = jnp.where(valid, lam[take], 0.0)
+    return gx, glam, ids
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def _meta_block_device(gx_b, glam_b, ids_b, *, cap: int):
+    """Per-unit bound metadata from a grouped block ((ub·cap, F) rows),
+    all-f32 on device.  cosr rides the member d² plane (cosθ = 1 − d²/2
+    for unit vectors — no matvec, so no TPU dot-rounding-family
+    concern), with _DEV_META_SLACK keeping every bound conservative."""
+    ub = gx_b.shape[0] // cap
+    x = gx_b.reshape(ub, cap, -1)
+    mask = (ids_b.reshape(ub, cap) >= 0)
+    cnt = jnp.sum(mask, axis=1)
+    fmask = mask.astype(x.dtype)[:, :, None]
+    craw = jnp.sum(x * fmask, axis=1) / jnp.maximum(
+        cnt[:, None], 1).astype(x.dtype)
+    cnorm = jnp.sqrt(jnp.sum(craw * craw, axis=1))
+    chat = jnp.where(cnorm[:, None] > 0, craw
+                     / jnp.where(cnorm > 0, cnorm, 1.0)[:, None], 0.0)
+    d2 = jnp.sum((x - chat[:, None, :]) ** 2, axis=2)    # (ub, cap)
+    d2 = jnp.where(mask, d2, -jnp.inf)
+    d2max = jnp.max(d2, axis=1)
+    radius = jnp.sqrt(jnp.maximum(d2max, 0.0)) + _DEV_META_SLACK
+    # unit centroid & members are unit vectors: x̂·ĉ = 1 − ‖x̂−ĉ‖²/2
+    cosr = jnp.clip(1.0 - d2max * 0.5, -1.0, 1.0) - _DEV_META_SLACK
+    cosr = jnp.maximum(cosr, -1.0)
+    # zero-norm centroid (cancelled rows): full-sphere cap — cosr −1
+    # makes every query's c >= cosr, so the bound saturates at α·1
+    cosr = jnp.where(cnorm > 0, cosr, -1.0)
+    sinr = jnp.minimum(
+        1.0, jnp.sqrt(jnp.maximum(0.0, 1.0 - cosr * cosr))
+        + _DEV_META_SLACK)
+    lam_g = glam_b.reshape(ub, cap)
+    lam_lo = jnp.min(jnp.where(mask, lam_g, jnp.inf), axis=1)
+    lam_hi = jnp.max(jnp.where(mask, lam_g, -jnp.inf), axis=1)
+    empty = cnt == 0
+    radius = jnp.where(empty, -2.0, radius)
+    cosr = jnp.where(empty, 1.0, cosr)
+    sinr = jnp.where(empty, 0.0, sinr)
+    return chat, radius, cosr, sinr, lam_lo, lam_hi
+
+
+def build_cells_device(data, lambdas, cap: int = 256, seed: int = 0,
+                       iters: int = 8, dtype=None,
+                       n_clusters: Optional[int] = None,
+                       lloyd_sample: Optional[int] = None,
+                       meta_chunk_units: int = 4096,
+                       assume_normalised: bool = False) -> PrunedCells:
+    """Fully device-resident build_cells — no corpus round trip through
+    the host (build_cells stages the corpus as host f64, which at
+    10M x 128 is a 10 GB host copy plus a multi-GB re-upload; this path
+    touches the host only for O(C) cluster counts and O(U·cap) int32
+    gather plans).  Pipeline, one device program per stage:
+
+      1. unit-normalise via ops.search._safe_unit — the SAME op the
+         full-scan oracle applies, so grouped rows are bitwise the
+         oracle's normalised corpus (the host path's f64-normalise-
+         then-cast can differ in the last ulp);
+      2. Lloyd fit (optionally on a `lloyd_sample` row subsample) +
+         one full assign pass;
+      3. two-key device sort (cluster, λ) carrying the row permutation —
+         λ-sorted unit splits, as the host build;
+      4. host plans the unit layout from the C cluster counts alone,
+         uploads a (U·cap) rank map, and the grouped gx/glam/ids come
+         from one device gather;
+      5. bound metadata in f32 on device, chunked over units (the
+         (ub, cap, F) diff plane stays ~0.5 GB), with _DEV_META_SLACK
+         replacing the host build's f64+1e-6 — conservative in the same
+         direction, so certification stays sound.
+
+    Reference anchor: core.rs:760-798 (the exactness contract served by
+    the cells these bounds screen)."""
+    import time as _time
+    from .ops.search import _safe_unit
+
+    t_start = _time.perf_counter()
+    x = jnp.asarray(data)
+    dt = dtype or x.dtype
+    if x.dtype != dt:
+        x = x.astype(dt)
+    lam = jnp.asarray(lambdas, dtype=dt)
+    n, f = x.shape
+    cap = int(cap)
+    assert cap > 0 and n > 0
+    if assume_normalised:
+        # caller guarantees unit rows (e.g. a corpus generated
+        # normalised on device): skip the _safe_unit pass AND its
+        # full-size HBM copy — at 10M x 128 that copy is 5 GB of the
+        # peak footprint
+        xhat = x
+    else:
+        xhat = jax.jit(_safe_unit)(x)
+    del x
+
+    n_cells = max(1, min(n, n_clusters if n_clusters is not None
+                         else -(-n // cap)))
+    rng = np.random.default_rng(seed)
+    chunk = min(65536, max(1024, 1 << int(np.ceil(np.log2(max(2, n))))))
+    if n_cells == 1:
+        assign = jnp.zeros((n,), dtype=jnp.int32)
+    else:
+        seed_rows = np.sort(rng.choice(n, size=n_cells, replace=False))
+        cent0 = xhat[jnp.asarray(seed_rows)]
+        if lloyd_sample is not None and lloyd_sample < n:
+            fit_idx = np.sort(rng.choice(n, size=int(lloyd_sample),
+                                         replace=False))
+            xfit = xhat[jnp.asarray(fit_idx)]
+            cent, _ = _lloyd_device(xfit, cent0, n_cells=n_cells,
+                                    chunk=min(chunk, int(lloyd_sample)),
+                                    iters=iters)
+            del xfit
+            assign = _assign_chunked_jit(xhat, cent, chunk=chunk)
+        else:
+            cent, assign = _lloyd_device(xhat, cent0, n_cells=n_cells,
+                                         chunk=chunk, iters=iters)
+    t_lloyd = _time.perf_counter()
+
+    # two-key sort: (cluster, λ) with the row id as payload
+    iota = jnp.arange(n, dtype=jnp.int32)
+    _, _, perm = jax.lax.sort((assign, lam, iota), num_keys=2)
+    sorted_assign = jnp.take(assign, perm)
+    cluster_iota = jnp.arange(n_cells, dtype=sorted_assign.dtype)
+    starts, ends = jax.device_get(
+        (jnp.searchsorted(sorted_assign, cluster_iota, side="left"),
+         jnp.searchsorted(sorted_assign, cluster_iota, side="right")))
+    del sorted_assign, assign
+    t_sort = _time.perf_counter()
+
+    # host: plan units from the C counts (no row data touches the host)
+    counts = ends - starts
+    n_units_per = -(-counts // cap)          # 0 for empty clusters
+    u_real = int(n_units_per.sum())
+    u_pad = _unit_pad(u_real)
+    base_unit = np.concatenate(([0], np.cumsum(n_units_per)))[:-1]
+    c_ids = np.repeat(np.arange(n_cells), n_units_per)
+    within = np.arange(u_real) - base_unit[c_ids]
+    rank_start = starts[c_ids] + within * cap
+    rank_end = np.minimum(rank_start + cap, ends[c_ids])
+    rank = np.full((u_pad, cap), -1, dtype=np.int32)
+    rk = rank_start[:, None] + np.arange(cap)[None, :]
+    rank[:u_real] = np.where(rk < rank_end[:, None], rk, -1)
+    rank_dev = jnp.asarray(rank.reshape(-1))
+
+    gx, glam, gids = _group_device(xhat, lam, perm, rank_dev, cap=cap)
+    gx.block_until_ready()
+    del xhat, lam, perm, rank_dev
+    t_group = _time.perf_counter()
+
+    # chunked metadata (the (ub, cap, F) diff plane is the working set)
+    ub = max(1, min(meta_chunk_units, u_pad))
+    while u_pad % ub:
+        ub //= 2
+    metas = []
+    for lo in range(0, u_pad, ub):
+        metas.append(_meta_block_device(
+            gx[lo * cap:(lo + ub) * cap],
+            glam[lo * cap:(lo + ub) * cap],
+            gids[lo * cap:(lo + ub) * cap], cap=cap))
+    cent_u, radius, cosr, sinr, lam_lo, lam_hi = (
+        jnp.concatenate(parts) for parts in zip(*metas))
+    cent_u.block_until_ready()
+    logger.info(
+        "pruned cells (device build): %d rows -> %d units (cap %d, %d "
+        "clusters, padded to %d); lloyd %.1fs, sort %.1fs, group %.1fs, "
+        "metadata %.1fs", n, u_real, cap, n_cells, u_pad,
+        t_lloyd - t_start, t_sort - t_lloyd, t_group - t_sort,
+        _time.perf_counter() - t_group)
+    return PrunedCells(x=gx, lam=glam, ids=gids, cent=cent_u,
+                       radius=radius, cosr=cosr, sinr=sinr,
+                       lam_lo=lam_lo, lam_hi=lam_hi, cap=cap,
+                       n_units=u_real)
 
 
 @functools.partial(jax.jit,
@@ -581,6 +812,16 @@ class PrunedSearchSession:
     two-level screen: per-query cell VOTES, one shared union gather,
     one flat (B, F)x(F, S·cap) batch matmul).  Past 512 the gathered
     bytes approach the corpus stream and the binned kernels win.
+
+    `auto_budget=True` adds the adaptive sizing policy: when the flag
+    rate over the last `auto_window` served queries exceeds
+    `auto_flag_target`, the screening budget doubles (union_cells in the
+    union regime, m_cells at B ≤ 16) up to the point where gathered rows
+    reach ~N/4 per batch — past that, screening approaches the corpus
+    stream's own cost and the binned kernels are the right tool.
+    Budgets only grow; results stay exact at every size (flags degrade
+    to the oracle fallback, never to wrong answers), so the policy is a
+    pure latency trade under distribution drift.
     """
 
     def __init__(self, index, batch_size: int = 16, k: int = 10,
@@ -588,7 +829,10 @@ class PrunedSearchSession:
                  m_cells: Optional[int] = None, margin: float = 1e-3,
                  seed: int = 0, iters: int = 8,
                  cells: Optional[PrunedCells] = None,
-                 m_vote: int = 8, union_cells: Optional[int] = None):
+                 m_vote: int = 8, union_cells: Optional[int] = None,
+                 auto_budget: bool = False,
+                 auto_flag_target: float = 0.05,
+                 auto_window: int = 256):
         aspace, gl = index.aspace, index.gl
         if not (1 <= batch_size <= 512):
             raise ValueError("pruned sessions serve batch_size in "
@@ -618,14 +862,15 @@ class PrunedSearchSession:
             m_cells = max(self.k, min(u, -(-4096 // self.cells.cap)))
         self.m_cells = min(int(m_cells), u)
 
-        lap = jnp.asarray(gl.matrix, dtype=dt)
+        self._lap = jnp.asarray(gl.matrix, dtype=dt)
         proj = None
         if aspace.projection_matrix is not None:
             proj = aspace.projection_matrix.matrix(dtype=dt)
-        has_proj = proj is not None
-        dummy_proj = proj if has_proj else jnp.zeros((1, 1), dtype=dt)
-        taumode = aspace.taumode
-        pad_tall = aspace.pad_tall_graphs
+        self._has_proj = proj is not None
+        self._proj = proj if self._has_proj \
+            else jnp.zeros((1, 1), dtype=dt)
+        self._taumode = aspace.taumode
+        self._pad_tall = aspace.pad_tall_graphs
         c = self.cells
         if union_cells is None:
             # cover ~32k candidate rows by default — a few clusters'
@@ -633,29 +878,98 @@ class PrunedSearchSession:
             union_cells = max(self.m_cells, -(-32768 // c.cap))
         self.union_cells = min(int(union_cells), u)
         self.m_vote = min(int(m_vote), u)
+        # ---- adaptive budget policy (grow-on-flags) -------------------
+        # When auto_budget is on, the session widens its screening budget
+        # (union_cells past B=16, m_cells at B<=16) whenever the flag
+        # rate over the last `auto_window` queries exceeds
+        # `auto_flag_target` — each flagged BATCH pays a full-scan
+        # fallback (~N rows), so budget that removes flags pays for
+        # itself until the gathered rows approach the corpus stream.
+        # That bound is the growth cap: total gathered rows per batch
+        # stay under N/4 (union: S·cap; per-query: B·m·cap), beyond
+        # which screening approaches the stream's own cost and the
+        # binned kernels are the right tool.  Budgets only grow (the
+        # query distribution shrinking back costs nothing extra —
+        # unneeded union cells just add certified candidates) and each
+        # growth step doubles, so at most ~log2(N/cap) recompiles.
+        self.auto_budget = bool(auto_budget)
+        self.auto_flag_target = float(auto_flag_target)
+        self.auto_window = int(auto_window)
+        self.budget_growths = 0
+        self._win: list = []          # (queries, flags) per batch
+        n_items = index.nitems
         if batch_size <= 16:
-            self._step = lambda q_raw: _pruned_step(
-                q_raw, c.x, c.lam, c.ids, c.cent, c.radius, c.cosr,
-                c.sinr, c.lam_lo, c.lam_hi, lap, dummy_proj,
-                taumode=taumode, alpha=self.alpha, k=self.k,
-                m_cells=self.m_cells, cap=c.cap, margin=self.margin,
-                has_proj=has_proj, pad_tall=pad_tall)
+            self._budget_max = min(
+                u, max(self.k, n_items // (4 * c.cap * self.batch_size)))
         else:
-            self._step = lambda q_raw: _pruned_union_step(
-                q_raw, c.x, c.lam, c.ids, c.cent, c.radius, c.cosr,
-                c.sinr, c.lam_lo, c.lam_hi, lap, dummy_proj,
-                taumode=taumode, alpha=self.alpha, k=self.k,
-                m_vote=self.m_vote, s_cells=self.union_cells, cap=c.cap,
-                margin=self.margin, has_proj=has_proj,
-                pad_tall=pad_tall)
+            self._budget_max = min(u, max(1, n_items // (4 * c.cap)))
+        self._make_step()
         self.flagged_total = 0
         self.queries_total = 0
 
+    def _make_step(self) -> None:
+        """(Re)bind the jitted step to the CURRENT budgets.  Called once
+        at init and again after each auto-budget growth; the underlying
+        module-level jits are cached per (shape, static-config) so only
+        genuinely new budgets compile."""
+        c = self.cells
+        lap, proj = self._lap, self._proj
+        if self.batch_size <= 16:
+            self._step = lambda q_raw: _pruned_step(
+                q_raw, c.x, c.lam, c.ids, c.cent, c.radius, c.cosr,
+                c.sinr, c.lam_lo, c.lam_hi, lap, proj,
+                taumode=self._taumode, alpha=self.alpha, k=self.k,
+                m_cells=self.m_cells, cap=c.cap, margin=self.margin,
+                has_proj=self._has_proj, pad_tall=self._pad_tall)
+        else:
+            self._step = lambda q_raw: _pruned_union_step(
+                q_raw, c.x, c.lam, c.ids, c.cent, c.radius, c.cosr,
+                c.sinr, c.lam_lo, c.lam_hi, lap, proj,
+                taumode=self._taumode, alpha=self.alpha, k=self.k,
+                m_vote=self.m_vote, s_cells=self.union_cells, cap=c.cap,
+                margin=self.margin, has_proj=self._has_proj,
+                pad_tall=self._pad_tall)
+
+    def _auto_budget_update(self, b: int, n_flagged: int) -> None:
+        """Grow the screening budget when the recent flag rate exceeds
+        the target.  The window resets on growth so one spread burst is
+        judged once, not re-counted against the new budget."""
+        self._win.append((b, n_flagged))
+        wq = sum(q for q, _ in self._win)
+        while wq - self._win[0][0] >= self.auto_window:
+            wq -= self._win.pop(0)[0]
+        wf = sum(f for _, f in self._win)
+        if wq == 0 or wf / wq <= self.auto_flag_target:
+            return
+        cur = self.union_cells if self.batch_size > 16 else self.m_cells
+        if cur >= self._budget_max:
+            return
+        new = min(self._budget_max, max(cur + 1, 2 * cur))
+        if self.batch_size > 16:
+            self.union_cells = new
+        else:
+            self.m_cells = new
+        self.budget_growths += 1
+        self._win.clear()
+        logger.info(
+            "pruned auto-budget: flag rate %.2f over last %d queries > "
+            "target %.2f; %s %d -> %d (max %d)", wf / wq, wq,
+            self.auto_flag_target,
+            "union_cells" if self.batch_size > 16 else "m_cells",
+            cur, new, self._budget_max)
+        self._make_step()
+
     def warmup(self) -> None:
         """Compile the step and the fallback programs (serving becomes
-        dispatch-only)."""
+        dispatch-only).  The synthetic warmup batch does not feed the
+        auto-budget window — an all-ones batch says nothing about the
+        serving distribution."""
         q = np.ones((self.batch_size, self._dim))
-        self.search(q)
+        auto, self.auto_budget = self.auto_budget, False
+        try:
+            self.search(q)
+        finally:
+            self.auto_budget = auto
 
     def _fallback(self, q_block: np.ndarray, qlam: np.ndarray):
         """Oracle full scan for flagged rows, with the step's own qlam
@@ -705,6 +1019,8 @@ class PrunedSearchSession:
             i = i.copy()
             s[rows] = rs
             i[rows] = ri
+        if self.auto_budget:
+            self._auto_budget_update(b, int(fl.sum()))
         return s, i
 
     @property

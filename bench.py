@@ -775,7 +775,7 @@ def pruned_suite(jax, jnp, rtt_s: float) -> None:
 
     cert16 = 1.0 - float(fl16.sum()) / 16
     cert256 = 1.0 - float(fl256.sum()) / 256
-    log(f"pruned B=16 (m_cells 64): {t16 * 1e3:.2f} ms, certified "
+    log(f"pruned B=16 (m_cells 8): {t16 * 1e3:.2f} ms, certified "
         f"{cert16:.2f}; B=256 union (m8 S128): {t256 * 1e3:.2f} ms, "
         f"certified {cert256:.2f}; full stream B=256: {ts * 1e3:.2f} ms; "
         f"spread-batch union flags {int(np.asarray(flsp).sum())}/256")

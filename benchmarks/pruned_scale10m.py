@@ -1,0 +1,203 @@
+"""10M x 128 pruned-vs-stream: the cell screen's STRUCTURAL win.
+
+The r5 crossover measurements (benchmarks/pruned_crossover.py) showed
+the exact streaming kernel is grid-overhead-bound — not corpus-read-
+bound — at 1M/4M, so cell screening was latency-neutral there.  Its
+predicted win is the HBM corpus-read floor (N·F·4 / 819 GB/s ≈ 6.3 ms
+at 10M x 128) that the screen's N-independent gather avoids.  This
+script measures that directly at 10M:
+
+  * corpus GENERATED ON DEVICE (3072-center clustered, unit-normalised;
+    zero upload — a 10M x 128 corpus is ~2.4 minutes of tunnel H2D),
+  * exact streaming kernel (prepared, amortised, DCE-immune fold) at
+    B=16 and B=256 on hot-region batches,
+  * build_cells_device (the device-resident large-N build: subsampled
+    Lloyd fit + one assign pass + device sort/gather/metadata),
+  * pruned_topk B=16 (m_cells=8) and pruned_topk_union B=256
+    (m8 S128), flags reported,
+  * exactness cross-check of the pruned results against a chunked
+    oracle scan over the grouped corpus (global-id mapped).
+
+One process, device-lease discipline.  Usage:
+  nohup python benchmarks/pruned_scale10m.py > /tmp/pruned_10m.log 2>&1 &
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(__file__))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+N, F, CENTERS, CAP, K, ALPHA = 10_000_000, 128, 3072, 256, 10, 0.9
+HOT = 16          # queries ride the first HOT centers
+T0 = time.time()
+
+
+def log(msg):
+    print(f"[{time.time()-T0:7.1f}s] {msg}", flush=True)
+
+
+def main() -> None:
+    from arrowspace_tpu.config import setup_cache
+    setup_cache()
+    import jax
+    import jax.numpy as jnp
+
+    from _harness import amortised
+    from arrowspace_tpu.ops.pallas_bintopk import (binned_lambda_topk,
+                                                   prepare_binned_corpus)
+    from arrowspace_tpu.pruned import (build_cells_device, pruned_topk,
+                                       pruned_topk_union)
+
+    log(f"backend={jax.default_backend()}")
+    t0 = time.perf_counter()
+    np.asarray(jnp.ones((8, 128)).sum())
+    log(f"first-touch {time.perf_counter() - t0:.1f}s")
+
+    rng = np.random.default_rng(0)
+    centers = jnp.asarray(
+        rng.uniform(0.2, 0.8, (CENTERS, F)).astype(np.float32))
+
+    @jax.jit
+    def gen_block(key, cents):
+        ka, kb = jax.random.split(key)
+        a = jax.random.randint(ka, (N // 10,), 0, CENTERS)
+        rows = cents[a] + 0.03 * jax.random.normal(kb, (N // 10, F))
+        norms = jnp.sqrt(jnp.sum(rows * rows, axis=1, keepdims=True))
+        return rows / jnp.where(norms > 0, norms, 1.0)
+
+    t0 = time.perf_counter()
+    keys = jax.random.split(jax.random.PRNGKey(7), 10)
+    rows = jnp.concatenate([gen_block(k, centers) for k in keys])
+    lam = jax.random.uniform(jax.random.PRNGKey(9), (N,),
+                             dtype=jnp.float32)
+    rows.block_until_ready()
+    log(f"device corpus gen 10M x 128 (unit rows): "
+        f"{time.perf_counter() - t0:.1f}s")
+
+    # hot-region queries = perturbed CORPUS ROWS carrying their own λ
+    # (the serving mirror the 1M crossover used; a query with an
+    # unrelated random λ scores lower against everything, which makes
+    # certification legitimately harder — that regime is reported by
+    # the flag columns, not baked into the headline)
+    ka = jax.random.split(keys[0])[0]
+    a0 = np.asarray(jax.random.randint(ka, (N // 10,), 0, CENTERS))
+    hot_rows = np.nonzero(a0 < HOT)[0]
+    qi = rng.choice(hot_rows, 256, replace=False)
+    q256 = rows[jnp.asarray(qi)] * np.float32(1.002)
+    ql256 = lam[jnp.asarray(qi)]
+    q16, ql16 = q256[:16], ql256[:16]
+
+    # ---- phase A: exact streaming kernel (prepared, amortised) --------
+    t0 = time.perf_counter()
+    xb, lb = prepare_binned_corpus(rows, lam, bsz=256, k=K)
+    xb.block_until_ready()
+    log(f"prepare stream corpus: {time.perf_counter() - t0:.1f}s")
+
+    def s256(q, xx, ll):
+        s, i, fl = binned_lambda_topk(q, ql256, xx, ll, ALPHA, k=K,
+                                      prepared=True, n_items=N)
+        return (jnp.sum(s[:, :1]) + jnp.sum(i[:, :1])
+                + jnp.sum(fl)) * 1e-20
+
+    def s16(q, xx, ll):
+        s, i, fl = binned_lambda_topk(q, ql16, xx, ll, ALPHA, k=K,
+                                      prepared=True, n_items=N)
+        return (jnp.sum(s[:, :1]) + jnp.sum(i[:, :1])
+                + jnp.sum(fl)) * 1e-20
+
+    t_s256 = amortised(s256, q256, (xb, lb))
+    t_s16 = amortised(s16, q16, (xb, lb))
+    log(f"stream B=256: {t_s256 * 1e3:.2f} ms | B=16: "
+        f"{t_s16 * 1e3:.2f} ms (HBM floor "
+        f"~{N * F * 4 / 819e9 * 1e3:.1f} ms)")
+    del xb, lb
+
+    # ---- phase B: device-resident cells build -------------------------
+    t0 = time.perf_counter()
+    cells = build_cells_device(rows, lam, cap=CAP, seed=1, iters=8,
+                               n_clusters=CENTERS,
+                               lloyd_sample=1_000_000,
+                               assume_normalised=True)
+    cells.x.block_until_ready()
+    t_build = time.perf_counter() - t0
+    log(f"build_cells_device 10M x 128 (C={CENTERS}, fit on 1M): "
+        f"{t_build:.1f}s, {cells.n_units} units "
+        f"(padded {cells.cent.shape[0]})")
+    del rows  # the grouped copy is the serving corpus now
+
+    big = (cells.x, cells.lam, cells.ids, cells.cent, cells.radius,
+           cells.cosr, cells.sinr, cells.lam_lo, cells.lam_hi)
+
+    # generator clusters span ~13 units each (3255 rows / cap 256), so
+    # the screen needs m to cover a whole cluster before the next-best
+    # bound is a DIFFERENT (certifiable-against) cluster — sweep m
+    best16 = None
+    for mc in (8, 16, 24, 32):
+        def b16(q, *bb, mc=mc):
+            s, i, fl = pruned_topk(q, ql16, *bb, ALPHA, k=K,
+                                   m_cells=mc, cap=CAP, margin=1e-3)
+            return (jnp.sum(s[:, :1]) + jnp.sum(i[:, :1])
+                    + jnp.sum(fl)) * 1e-20
+        t = amortised(b16, q16, big)
+        fl = int(np.asarray(pruned_topk(
+            q16, ql16, *big, ALPHA, k=K, m_cells=mc, cap=CAP,
+            margin=1e-3)[2]).sum())
+        log(f"pruned B=16 m{mc}: {t * 1e3:.2f} ms (flags {fl}/16, "
+            f"{t_s16 / t:.2f}x vs stream)")
+        if best16 is None or (fl, t) < best16[:2]:
+            best16 = (fl, t, mc)
+
+    best256 = None
+    for sc in (128, 256, 384):
+        def b256(q, *bb, sc=sc):
+            s, i, fl = pruned_topk_union(q, ql256, *bb, ALPHA, k=K,
+                                         m_vote=8, s_cells=sc, cap=CAP,
+                                         margin=1e-3)
+            return (jnp.sum(s[:, :1]) + jnp.sum(i[:, :1])
+                    + jnp.sum(fl)) * 1e-20
+        t = amortised(b256, q256, big)
+        fl = int(np.asarray(pruned_topk_union(
+            q256, ql256, *big, ALPHA, k=K, m_vote=8, s_cells=sc,
+            cap=CAP, margin=1e-3)[2]).sum())
+        log(f"union B=256 m8 S{sc}: {t * 1e3:.2f} ms (flags {fl}/256, "
+            f"{t_s256 / t:.2f}x vs stream)")
+        if best256 is None or (fl, t) < best256[:2]:
+            best256 = (fl, t, sc)
+
+    fl16c, t_p16, m_best = best16
+    fl256c, t_p256, s_best = best256
+
+    # ---- exactness cross-check vs a chunked oracle over the grouped
+    # corpus (global ids mapped through cells.ids) ----------------------
+    from arrowspace_tpu.ops.search import batched_lambda_aware_topk
+    s_o, i_o = batched_lambda_aware_topk(
+        q16, ql16, cells.x, cells.lam, jnp.asarray(ALPHA, jnp.float32),
+        k=K)
+    glob_o = np.asarray(cells.ids)[np.asarray(i_o)]
+    s_p, i_p, fl = jax.device_get(pruned_topk(
+        q16, ql16, *big, ALPHA, k=K, m_cells=m_best, cap=CAP,
+        margin=1e-3))
+    bad = sum(1 for b in range(16) if not fl[b]
+              and not (np.array_equal(i_p[b], glob_o[b])
+                       and np.allclose(s_p[b], np.asarray(s_o)[b],
+                                       rtol=2e-6)))
+    log(f"exactness vs grouped-corpus oracle (m{m_best}): "
+        f"{16 - int(fl.sum()) - bad}/{16 - int(fl.sum())} certified "
+        f"rows match ({bad} mismatches, flags {int(fl.sum())}/16)")
+
+    log("SUMMARY "
+        f"stream16={t_s16*1e3:.2f}ms stream256={t_s256*1e3:.2f}ms "
+        f"pruned16=m{m_best}:{t_p16*1e3:.2f}ms "
+        f"union256=S{s_best}:{t_p256*1e3:.2f}ms "
+        f"cells_build={t_build:.0f}s flags16={fl16c} flags256={fl256c} "
+        f"oracle_mismatch={bad}")
+
+
+if __name__ == "__main__":
+    main()

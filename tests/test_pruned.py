@@ -116,6 +116,94 @@ def test_cell_bounds_dominate_member_scores():
             assert cap0 <= min(1.0, c + rad0) + 1e-12
 
 
+def test_build_cells_large_n_knobs():
+    """n_clusters + lloyd_sample (the large-N path): clusters larger
+    than cap split into λ-sorted units; the partition stays exact and
+    the screen still certifies clustered queries."""
+    rows = _clustered(n=600, f=24, seed=71)
+    lam = np.random.default_rng(40).uniform(0, 1, 600)
+    cells = build_cells(rows, lam, cap=32, seed=1, iters=4,
+                        n_clusters=8, lloyd_sample=200)
+    ids = np.asarray(cells.ids)
+    real = ids[ids >= 0]
+    assert sorted(real.tolist()) == list(range(600))
+    # 8 clusters of ~75 rows -> >= 8 units, each <= cap
+    assert cells.n_units >= 8
+    rng = np.random.default_rng(41)
+    queries = rows[rng.integers(0, 600, 6)] * 1.02
+    qlam = lam[rng.integers(0, 600, 6)]
+    so, io = _oracle(queries, qlam, rows, lam, 0.9, 10)
+    sp, ip, fl = _run_pruned(cells, queries, qlam, 0.9, 10, m_cells=10)
+    for b in range(6):
+        if not fl[b]:
+            np.testing.assert_array_equal(ip[b], io[b])
+    assert fl.sum() <= 2
+
+
+def test_build_cells_device_partitions_and_bounds():
+    """The device-resident build: exact partition, grouped values match
+    the _safe_unit-normalised source, and the f32/_DEV_META_SLACK
+    bounds still dominate member scores (brute-force in f64)."""
+    from arrowspace_tpu.pruned import build_cells_device
+    rows = _clustered(n=500, f=16, centers=10, seed=73)
+    lam = np.random.default_rng(42).uniform(0, 2, 500)
+    cells = build_cells_device(rows, lam, cap=16, seed=2, iters=4)
+    ids = np.asarray(cells.ids)
+    real = ids[ids >= 0]
+    assert sorted(real.tolist()) == list(range(500))
+    xhat = rows / np.linalg.norm(rows, axis=1, keepdims=True)
+    gx = np.asarray(cells.x)
+    pos = np.nonzero(ids >= 0)[0]
+    np.testing.assert_allclose(gx[pos], xhat[ids[pos]], rtol=1e-6,
+                               atol=1e-9)
+    # brute-force domination of the stored (slacked) cap bound
+    alpha, c1 = 0.8, 0.2
+    rng = np.random.default_rng(43)
+    queries = rng.normal(size=(5, 16))
+    qhat = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    qlam = rng.uniform(0, 2, 5)
+    cent = np.asarray(cells.cent, dtype=np.float64)
+    cosr = np.asarray(cells.cosr, dtype=np.float64)
+    sinr = np.asarray(cells.sinr, dtype=np.float64)
+    lo = np.asarray(cells.lam_lo, dtype=np.float64)
+    hi = np.asarray(cells.lam_hi, dtype=np.float64)
+    u = cent.shape[0]
+    per_unit = ids.reshape(u, cells.cap)
+    for b in range(5):
+        for uu in range(u):
+            members = per_unit[uu][per_unit[uu] >= 0]
+            if len(members) == 0:
+                assert np.asarray(cells.radius)[uu] == -2.0
+                continue
+            s = alpha * (xhat[members] @ qhat[b]) - c1 * np.minimum(
+                np.abs(qlam[b] - lam[members]), 1.0)
+            dmin = max(0.0, lo[uu] - qlam[b], qlam[b] - hi[uu])
+            c = float(qhat[b] @ cent[uu])
+            capsup = 1.0 if c >= cosr[uu] else c * cosr[uu] \
+                + np.sqrt(max(0.0, 1.0 - c * c)) * sinr[uu]
+            bound = alpha * capsup - c1 * min(dmin, 1.0)
+            assert bound >= s.max() - 1e-9, (b, uu)
+
+
+def test_build_cells_device_session_matches_full_search():
+    """A session on device-built cells (the production large-N path)
+    equals the full search exactly, certified rows included."""
+    from arrowspace_tpu.pruned import PrunedSearchSession, \
+        build_cells_device
+    rows, idx = _pruned_index(n=700)
+    cells = build_cells_device(idx.aspace.data, idx.aspace.lambdas,
+                               cap=32, seed=5, n_clusters=16,
+                               lloyd_sample=300)
+    sess = PrunedSearchSession(idx, 8, k=5, alpha=0.9, cells=cells)
+    sess.warmup()
+    rng = np.random.default_rng(44)
+    queries = rows[rng.integers(0, rows.shape[0], 8)] * 1.03
+    sp, ip = sess.search(queries)
+    so, io = idx.search(queries, k=5, alpha=0.9)
+    np.testing.assert_array_equal(ip, io)
+    np.testing.assert_allclose(sp, so, rtol=1e-12)
+
+
 # ------------------------------------------------------------ pruned_topk
 
 
@@ -420,6 +508,80 @@ def test_union_session_matches_full_search():
     # partial batch through the union step
     sp2, ip2 = sess.search(queries[:5])
     np.testing.assert_array_equal(ip2, io[:5])
+
+
+def test_auto_budget_grows_union_until_flags_clear():
+    """A starved union budget on hot-region traffic must grow under
+    auto_budget until the flag rate drops below target — and every
+    result along the way equals the full search (growth is a latency
+    policy, never a correctness one).  Measured trajectory this test
+    pins (CPU/f64): flags 32 -> 32 -> 21 -> 0 as S grows 2 -> 4 -> 8
+    -> 12 (the N/4-row cap)."""
+    rows = _clustered(n=800, f=24, centers=20, seed=61)
+    idx = ArrowIndex.build(rows.tolist(), eps=1.0, k=5, topk=3, seed=7)
+    sess = idx.make_pruned_session(batch_size=32, k=5, alpha=0.9,
+                                   cap=16, seed=2, m_vote=4,
+                                   union_cells=2, auto_budget=True)
+    sess.auto_window = 32          # judge each batch on its own
+    rng = np.random.default_rng(30)
+    base = rows[[5, 300, 700]]     # 3 hot regions
+    last_flags = None
+    for _ in range(8):
+        queries = np.repeat(base, 11, axis=0)[:32] \
+            * (1.0 + 0.02 * rng.uniform(size=(32, 1)))
+        before = sess.flagged_total
+        sp, ip = sess.search(queries)
+        last_flags = sess.flagged_total - before
+        so, io = idx.search(queries, k=5, alpha=0.9)
+        np.testing.assert_array_equal(ip, io)
+        np.testing.assert_allclose(sp, so, rtol=1e-12)
+    assert sess.budget_growths >= 1
+    assert sess.union_cells > 2
+    # the growth cap: gathered rows stay under ~N/4
+    assert sess.union_cells * sess.cells.cap <= max(
+        800 // 4, sess.cells.cap)
+    # with the grown budget the hot-region batch certifies
+    assert last_flags <= 4, last_flags
+
+
+def test_auto_budget_grows_m_cells_at_small_batch():
+    """The B <= 16 regime grows m_cells under the same policy; on
+    adversarial uniform data growth runs to the cap and stops (results
+    stay exact via the fallback throughout)."""
+    rows = _uniform(n=1024, f=32, seed=67)
+    idx = ArrowIndex.build(rows.tolist(), eps=1.0, k=5, topk=3, seed=7)
+    sess = idx.make_pruned_session(batch_size=4, k=5, alpha=0.9, cap=8,
+                                   m_cells=1, seed=3, auto_budget=True)
+    sess.auto_window = 4
+    rng = np.random.default_rng(31)
+    for _ in range(12):
+        queries = rng.normal(size=(4, 32))
+        sp, ip = sess.search(queries)
+        qcheck = queries
+        so, io = idx.search(qcheck, k=5, alpha=0.9)
+        np.testing.assert_array_equal(ip, io)
+    assert sess.budget_growths >= 1
+    assert sess.m_cells <= sess._budget_max
+    # uniform data keeps flagging at the cap: growth must have stopped
+    # AT the cap rather than run away
+    assert sess.m_cells == sess._budget_max
+
+
+def test_auto_budget_idle_below_target():
+    """Hot, certifiable traffic must never trigger growth."""
+    rows, idx = _pruned_index(n=700)
+    sess = idx.make_pruned_session(batch_size=32, k=5, alpha=0.9,
+                                   cap=32, seed=1, m_vote=6,
+                                   union_cells=24, auto_budget=True)
+    sess.warmup()                  # warmup must not feed the window
+    base = rows[5]
+    rng = np.random.default_rng(33)
+    for _ in range(4):
+        queries = np.repeat(base[None, :], 32, axis=0) \
+            * (1.0 + 0.01 * rng.uniform(size=(32, 1)))
+        sess.search(queries)
+    assert sess.budget_growths == 0
+    assert sess.union_cells == 24
 
 
 def test_session_reuses_prebuilt_cells():
