@@ -911,7 +911,10 @@ class ArrowIndex:
                             margin: float = 1e-3, seed: int = 0,
                             m_vote: int = 8,
                             union_cells: Optional[int] = None,
-                            auto_budget: bool = False):
+                            auto_budget: bool = False,
+                            engine: str = "host",
+                            n_clusters: Optional[int] = None,
+                            lloyd_sample: Optional[int] = None):
         """Exact cell-screened search (pruned.py): queries exact-score
         only the cells whose score upper bound can reach their top-k;
         un-certifiable queries transparently re-run through the full
@@ -920,13 +923,20 @@ class ArrowIndex:
         UNION per batch (m_vote votes/query, union_cells gathered);
         device work ∝ scanned cells instead of N on clustered
         corpora.  auto_budget=True grows the screening budget when the
-        observed flag rate exceeds 5% (see PrunedSearchSession)."""
+        observed flag rate exceeds 5% (see PrunedSearchSession).
+        engine="device" builds the cell layout fully on device
+        (build_cells_device — the multi-GB-corpus path); n_clusters /
+        lloyd_sample tune the Lloyd pass at large N (oversample
+        n_clusters 2-4x the expected cluster count — see the
+        provisioning rule in build_cells's docstring)."""
         from .pruned import PrunedSearchSession
         return PrunedSearchSession(self, batch_size, k=k, alpha=alpha,
                                    cap=cap, m_cells=m_cells,
                                    margin=margin, seed=seed,
                                    m_vote=m_vote, union_cells=union_cells,
-                                   auto_budget=auto_budget)
+                                   auto_budget=auto_budget,
+                                   engine=engine, n_clusters=n_clusters,
+                                   lloyd_sample=lloyd_sample)
 
     def make_live_session(self, batch_size: int, k: int = 10,
                           alpha: float = 0.9, depth: int = 2,

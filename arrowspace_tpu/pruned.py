@@ -60,10 +60,29 @@ The exact streaming kernel is flatter in N than the naive model (grid
 overhead, not the corpus read, dominates it at B=256 below ~4M), so
 cell screening is latency-NEUTRAL at these sizes; its structural win
 is the HBM corpus-read floor (N·F·4/819 GB/s: ~6 ms at 10M, ~60 ms at
-100M) that the screen's N-independent gather avoids.  The path's
-standing value at practical sizes is the certificate machinery and the
-bounded-work profile (gather ∝ m_cells·cap, not N); m_cells=8 is the
-measured-best latency config.
+100M) that the screen's N-independent gather avoids.
+
+THE 10M MEASUREMENT (r5, benchmarks/pruned_scale10m.py: device-built
+cells C=6144 / cap 256 over a 3072-center corpus, hot-region
+corpus-row queries, v5e):
+
+    stream B=16 10.04 ms / B=256 10.31 ms   (the HBM floor is real)
+    pruned B=16: m8 6.11 ms (3/16 flags), m16 6.74 ms (0 flags,
+                 1.49x vs stream), m32 8.38 ms (0 flags, 1.20x)
+    union B=256: S128 6.16 ms but 243/256 flags — a 16-hot-cluster
+                 batch needs ~208 units covered; S384 certifies only
+                 75% at 12.4 ms (> stream).  The union's win regime
+                 is batch locality that fits S·cap rows; past that
+                 the stream is the right tool.
+
+So the screen's structural win is real and certified at 10M for small
+batches (the gather stays ∝ m_cells·cap, flat in N — extrapolating,
+~60 ms stream vs the same ~7 ms screen at 100M per chip), while
+B=256 needs either batch locality or the stream.  At ≤4M the screen
+is latency-neutral and m_cells=8 is the measured-best config.
+Provisioning caveat: certification REQUIRES an oversampled cluster
+count (see build_cells's provisioning rule) — the same corpus built
+at C=3072 (== the generator count) flagged 16/16 at every m.
 
 The margin absorbs floating-point slop between the bound arithmetic and
 the score arithmetic (both ~1e-5 at f32 on unit-scale data; the default
@@ -224,6 +243,16 @@ def build_cells(data, lambdas, cap: int = 256, seed: int = 0,
     centroids on a uniform row subsample and pays only ONE full-corpus
     assign pass.  For corpora that would round-trip the host (multi-GB),
     see build_cells_device — the fully device-resident build.
+
+    PROVISIONING RULE (measured r5, identical for both builds): set
+    `n_clusters` to 2-4x the corpus's expected cluster count, never to
+    the count itself.  Random-row seeding leaves ~1/e of the true
+    clusters seedless (Poisson), Lloyd merges them, and a merged cell's
+    cap bound is near-vacuous — at C=true the screen flagged 9-16/16
+    hot queries at m_cells=8 where C=2x certified all 16 (and a 10M
+    corpus at C=true flagged EVERYTHING at every m).  Oversampled C
+    costs only assign FLOPs; spare centroids end up empty and are
+    masked as dummies.
     """
     import time as _time
     t_start = _time.perf_counter()
@@ -832,7 +861,10 @@ class PrunedSearchSession:
                  m_vote: int = 8, union_cells: Optional[int] = None,
                  auto_budget: bool = False,
                  auto_flag_target: float = 0.05,
-                 auto_window: int = 256):
+                 auto_window: int = 256,
+                 engine: str = "host",
+                 n_clusters: Optional[int] = None,
+                 lloyd_sample: Optional[int] = None):
         aspace, gl = index.aspace, index.gl
         if not (1 <= batch_size <= 512):
             raise ValueError("pruned sessions serve batch_size in "
@@ -847,9 +879,18 @@ class PrunedSearchSession:
         self._dt = dt
         self._dim = aspace.nfeatures
 
-        self.cells = cells if cells is not None else build_cells(
-            aspace.data, aspace.lambdas, cap=cap, seed=seed, iters=iters,
-            dtype=dt)
+        if cells is not None:
+            self.cells = cells
+        elif engine == "device":
+            self.cells = build_cells_device(
+                aspace.data, aspace.lambdas, cap=cap, seed=seed,
+                iters=iters, dtype=dt, n_clusters=n_clusters,
+                lloyd_sample=lloyd_sample)
+        else:
+            self.cells = build_cells(
+                aspace.data, aspace.lambdas, cap=cap, seed=seed,
+                iters=iters, dtype=dt, n_clusters=n_clusters,
+                lloyd_sample=lloyd_sample)
         u = self.cells.cent.shape[0]
         if m_cells is None:
             # ~4096 gathered candidates per query: the ROW GATHER, not

@@ -717,7 +717,7 @@ def pruned_suite(jax, jnp, rtt_s: float) -> None:
     (certification degrades to the exact fallback there by design)."""
     from arrowspace_tpu.ops.pallas_bintopk import (binned_lambda_topk,
                                                    prepare_binned_corpus)
-    from arrowspace_tpu.pruned import (build_cells, pruned_topk,
+    from arrowspace_tpu.pruned import (build_cells_device, pruned_topk,
                                        pruned_topk_union)
 
     N, F, K, ALPHA = 1_000_000, 128, 10, 0.9
@@ -728,8 +728,12 @@ def pruned_suite(jax, jnp, rtt_s: float) -> None:
             + rng.normal(0, 0.03, (N, F))).astype(np.float32)
     lam = rng.uniform(0, 1, N).astype(np.float32)
     t0 = time.perf_counter()
-    cells = build_cells(rows, lam, cap=256, seed=1, iters=8)
-    log(f"pruned cells build (1M x 128, cap 256): "
+    # device-resident build (r5): no host f64 staging copies; C defaults
+    # to N/cap = 3906 — ~4x the generator's 1024 centers, satisfying the
+    # oversampling provisioning rule (build_cells docstring)
+    cells = build_cells_device(rows, lam, cap=256, seed=1, iters=8)
+    np.asarray(cells.lam_hi[:1])    # tunnel-proof completion fence
+    log(f"pruned cells build (1M x 128, cap 256, device engine): "
         f"{time.perf_counter() - t0:.1f}s one-time")
     c = cells
 

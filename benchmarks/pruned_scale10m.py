@@ -35,6 +35,14 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 N, F, CENTERS, CAP, K, ALPHA = 10_000_000, 128, 3072, 256, 10, 0.9
 HOT = 16          # queries ride the first HOT centers
+# Lloyd cluster budget: OVERSAMPLE the expected cluster count.  With
+# C == true count, random-row seeding leaves ~1/e of the real clusters
+# seedless (Poisson), Lloyd merges them, and merged cells carry
+# near-vacuous cap bounds — measured r5 (CPU discriminator at 50k x 64,
+# host and device builds identical): C=true flags 9-16/16 at m8 while
+# C=2x..4x certifies 16/16 at m8.  The first 10M run with C=3072
+# flagged everything at every m for exactly this reason.
+BUILD_C, FIT_SAMPLE, FIT_ITERS = 6144, 500_000, 6
 T0 = time.time()
 
 
@@ -120,14 +128,17 @@ def main() -> None:
 
     # ---- phase B: device-resident cells build -------------------------
     t0 = time.perf_counter()
-    cells = build_cells_device(rows, lam, cap=CAP, seed=1, iters=8,
-                               n_clusters=CENTERS,
-                               lloyd_sample=1_000_000,
+    cells = build_cells_device(rows, lam, cap=CAP, seed=1,
+                               iters=FIT_ITERS, n_clusters=BUILD_C,
+                               lloyd_sample=FIT_SAMPLE,
                                assume_normalised=True)
-    cells.x.block_until_ready()
+    # block_until_ready can return EARLY through the axon tunnel
+    # (CLAUDE.md); force completion by fetching one element of the last
+    # output, or t_build under-reads by the whole queued Lloyd/assign
+    np.asarray(cells.lam_hi[:1])
     t_build = time.perf_counter() - t0
-    log(f"build_cells_device 10M x 128 (C={CENTERS}, fit on 1M): "
-        f"{t_build:.1f}s, {cells.n_units} units "
+    log(f"build_cells_device 10M x 128 (C={BUILD_C}, fit on "
+        f"{FIT_SAMPLE}): {t_build:.1f}s, {cells.n_units} units "
         f"(padded {cells.cent.shape[0]})")
     del rows  # the grouped copy is the serving corpus now
 
@@ -183,20 +194,40 @@ def main() -> None:
     s_p, i_p, fl = jax.device_get(pruned_topk(
         q16, ql16, *big, ALPHA, k=K, m_cells=m_best, cap=CAP,
         margin=1e-3))
-    bad = sum(1 for b in range(16) if not fl[b]
-              and not (np.array_equal(i_p[b], glob_o[b])
-                       and np.allclose(s_p[b], np.asarray(s_o)[b],
-                                       rtol=2e-6)))
+    # tie-aware comparison: the oracle ran on the GROUPED corpus, so
+    # bitwise f32 score ties between distinct rows resolve by grouped
+    # position there but by GLOBAL id in the kernel (the full-scan
+    # semantics) — id differences at bitwise-EQUAL scores are the
+    # id-permutation artifact of this harness, not a soundness miss.
+    # f32 collisions are expected here: ~42k candidate scores spread
+    # over ~1e-2 quantised at ~6e-8.
+    bad = ties = 0
+    s_on = np.asarray(s_o)
+    for b in range(16):
+        if fl[b]:
+            continue
+        if np.array_equal(i_p[b], glob_o[b]) \
+                and np.array_equal(s_p[b], s_on[b]):
+            continue
+        if np.array_equal(s_p[b], s_on[b]):
+            ties += 1
+            log(f"  row {b}: score-tied id permutation "
+                f"(pruned {i_p[b]} vs grouped-oracle {glob_o[b]})")
+        else:
+            bad += 1
+            log(f"  row {b}: SCORE MISMATCH pruned {s_p[b]} vs "
+                f"oracle {s_on[b]}")
     log(f"exactness vs grouped-corpus oracle (m{m_best}): "
         f"{16 - int(fl.sum()) - bad}/{16 - int(fl.sum())} certified "
-        f"rows match ({bad} mismatches, flags {int(fl.sum())}/16)")
+        f"rows sound ({ties} tie permutations, {bad} real mismatches, "
+        f"flags {int(fl.sum())}/16)")
 
     log("SUMMARY "
         f"stream16={t_s16*1e3:.2f}ms stream256={t_s256*1e3:.2f}ms "
         f"pruned16=m{m_best}:{t_p16*1e3:.2f}ms "
         f"union256=S{s_best}:{t_p256*1e3:.2f}ms "
         f"cells_build={t_build:.0f}s flags16={fl16c} flags256={fl256c} "
-        f"oracle_mismatch={bad}")
+        f"tie_permutations={ties} real_mismatch={bad}")
 
 
 if __name__ == "__main__":

@@ -185,6 +185,31 @@ def test_build_cells_device_partitions_and_bounds():
             assert bound >= s.max() - 1e-9, (b, uu)
 
 
+def test_build_cells_device_edge_cases():
+    """Single-unit corpora and zero rows: the device build must keep
+    the full-sphere cap on degenerate geometry and never lose a row."""
+    from arrowspace_tpu.pruned import build_cells_device
+    # n < cap -> one cluster, one unit
+    rows = _clustered(n=40, f=8, centers=2, seed=79)
+    lam = np.random.default_rng(50).uniform(0, 1, 40)
+    cells = build_cells_device(rows, lam, cap=64, seed=1, iters=2)
+    ids = np.asarray(cells.ids)
+    assert sorted(ids[ids >= 0].tolist()) == list(range(40))
+    assert cells.n_units == 1
+    # a zero row: _safe_unit maps it to the zero vector; it must stay
+    # in the partition and the containing unit's bound stays sound
+    rows2 = _clustered(n=60, f=8, centers=2, seed=83)
+    rows2[17] = 0.0
+    lam2 = np.random.default_rng(51).uniform(0, 1, 60)
+    cells2 = build_cells_device(rows2, lam2, cap=8, seed=2, iters=2)
+    ids2 = np.asarray(cells2.ids)
+    assert sorted(ids2[ids2 >= 0].tolist()) == list(range(60))
+    # the zero row's unit has a wide cap (the zero vector is far from
+    # any unit centroid in d2), so its bound saturates high — find it
+    u0 = int(np.nonzero(ids2 == 17)[0][0]) // cells2.cap
+    assert np.asarray(cells2.radius)[u0] > 0.9  # ||0 - chat|| = 1
+
+
 def test_build_cells_device_session_matches_full_search():
     """A session on device-built cells (the production large-N path)
     equals the full search exactly, certified rows included."""
@@ -582,6 +607,22 @@ def test_auto_budget_idle_below_target():
         sess.search(queries)
     assert sess.budget_growths == 0
     assert sess.union_cells == 24
+
+
+def test_session_device_engine_and_knobs():
+    """make_pruned_session(engine='device', n_clusters, lloyd_sample)
+    routes through build_cells_device and still equals the full
+    search."""
+    rows, idx = _pruned_index(n=600)
+    sess = idx.make_pruned_session(batch_size=8, k=5, alpha=0.9,
+                                   cap=32, seed=4, engine="device",
+                                   n_clusters=24, lloyd_sample=300)
+    rng = np.random.default_rng(45)
+    queries = rows[rng.integers(0, rows.shape[0], 8)] * 1.02
+    sp, ip = sess.search(queries)
+    so, io = idx.search(queries, k=5, alpha=0.9)
+    np.testing.assert_array_equal(ip, io)
+    np.testing.assert_allclose(sp, so, rtol=1e-12)
 
 
 def test_session_reuses_prebuilt_cells():
