@@ -5,6 +5,7 @@ from .distributed import (  # noqa: F401
     sharded_compute_taumode_lambdas,
     distributed_lambda_aware_topk,
     distributed_lambda_aware_topk_2d,
+    distributed_pruned_topk,
     distributed_index_step,
     sharded_incremental_clustering,
     distributed_build_step,

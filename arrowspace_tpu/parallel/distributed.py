@@ -27,7 +27,8 @@ from .mesh import ITEMS_AXIS, items_sharding, replicated_sharding
 from .multiprocess import ensure_global, is_multiprocess, put_global
 
 __all__ = ["sharded_compute_taumode_lambdas",
-           "distributed_lambda_aware_topk", "distributed_index_step",
+           "distributed_lambda_aware_topk", "distributed_pruned_topk",
+           "distributed_index_step",
            "sharded_incremental_clustering", "distributed_build_step",
            "DistributedSearchSession"]
 
@@ -234,6 +235,106 @@ def distributed_lambda_aware_topk_2d(
         check_vma=False,
     )
     return jax.jit(fn)(queries, query_lambdas, items, item_lambdas, alpha)
+
+
+def distributed_pruned_topk(
+    queries: jax.Array,        # (B, F) — replicated
+    query_lambdas: jax.Array,  # (B,)
+    cells,                     # PrunedCells — unit axis sharded
+    alpha,
+    k: int,
+    mesh: Mesh,
+    m_cells: int = 8,
+    margin: float = 1e-3,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Cell-screened exact top-k over the mesh: each shard screens its
+    own slice of the cell layout (pruned.pruned_topk on the local
+    units) and the per-shard winners merge with a two-key (score,
+    global-id) sort, so cross-shard exact ties still resolve to the
+    lowest GLOBAL id like the single-chip kernel.
+
+    Soundness of per-shard certification: the merged global k-th score
+    dominates every shard-local k-th (the k largest of a union are
+    element-wise ≥ the k largest of any subset), so a shard's
+    certificate — "no unscanned LOCAL cell's bound reaches my local
+    k-th" — implies no unscanned cell anywhere reaches the global
+    k-th.  Flags reduce by any-shard OR; a flagged query re-runs
+    through the distributed full scan, exactly the single-chip
+    flag/fallback contract.  Per-shard m_cells means the mesh scans
+    n_dev·m_cells cells total — strictly MORE coverage than the
+    single-chip screen at equal per-chip latency.
+
+    This is the 100M-config serving shape (SURVEY §2 long-axis row):
+    per chip the gather stays ∝ m_cells·cap while a streamed scan
+    pays the full per-shard HBM corpus read (measured 10M single-chip:
+    stream 10.0 ms vs screen 6.7 ms, benchmarks/pruned_scale10m.py).
+
+    Returns (scores (B, k), global ids (B, k), flags (B,)).
+    Reference anchor: core.rs:802-928 (hybrid's per-thread heaps +
+    merge, made exact and cell-screened)."""
+    from ..pruned import pruned_topk
+
+    u_pad = cells.cent.shape[0]
+    n_dev = mesh.devices.size
+    assert u_pad % n_dev == 0, (
+        f"unit axis {u_pad} must be a multiple of the mesh size "
+        f"{n_dev} (pruned._unit_pad pads to pow2/1024-multiples, both "
+        f"divisible by typical mesh sizes)")
+    cap = cells.cap
+    dt = cells.x.dtype
+
+    rep = replicated_sharding(mesh)
+    rows_spec = NamedSharding(mesh, P(ITEMS_AXIS, None))
+    vec_spec = NamedSharding(mesh, P(ITEMS_AXIS))
+    queries = put_global(queries.astype(dt), rep)
+    query_lambdas = put_global(query_lambdas.astype(dt), rep)
+    alpha_g = put_global(np.asarray(alpha, dtype=np.dtype(dt)), rep)
+    cx = ensure_global(cells.x, rows_spec)
+    clam = ensure_global(cells.lam, vec_spec)
+    cids = ensure_global(cells.ids, vec_spec)
+    cent = ensure_global(cells.cent, rows_spec)
+    radius = ensure_global(cells.radius, vec_spec)
+    cosr = ensure_global(cells.cosr, vec_spec)
+    sinr = ensure_global(cells.sinr, vec_spec)
+    lam_lo = ensure_global(cells.lam_lo, vec_spec)
+    lam_hi = ensure_global(cells.lam_hi, vec_spec)
+
+    def _shard_fn(q, qlam, x, lam, ids, ce, ra, co, si, lo, hi, a):
+        # per-shard screen, exporting the best-unscanned-cell bound:
+        # certification MUST ride the merged GLOBAL k-th — a
+        # shard-local k-th is too weak on shards that don't hold the
+        # query's hot region (their local candidates score low, so
+        # every unscanned local bound reaches the local k-th and the
+        # whole batch would flag; measured exactly so on the first cut)
+        s, i, nb = pruned_topk(
+            q, qlam, x, lam, ids, ce, ra, co, si, lo, hi, a, k=k,
+            m_cells=m_cells, cap=cap, margin=margin,
+            return_next_bound=True)
+        # ids are GLOBAL row ids stored in the layout — no shard offset
+        nb_max = jax.lax.pmax(nb, ITEMS_AXIS)           # (B,) shifted
+        all_s = jax.lax.all_gather(s, ITEMS_AXIS, axis=1, tiled=True)
+        all_i = jax.lax.all_gather(i, ITEMS_AXIS, axis=1, tiled=True)
+        # lowest-global-id tie order across shards: -inf pads from
+        # underfilled shards sort last either way
+        s_sorted, i_sorted = jax.lax.sort((-all_s, all_i), num_keys=2)
+        top_s, top_i = -s_sorted[:, :k], i_sorted[:, :k]
+        c1 = 1.0 - a.astype(top_s.dtype)
+        kth_shifted = top_s[:, k - 1] - c1              # back to plane
+        fl = (nb_max + jnp.asarray(margin, top_s.dtype) >= kth_shifted) \
+            | ~jnp.isfinite(kth_shifted)
+        return top_s, top_i, fl
+
+    fn = shard_map(
+        _shard_fn, mesh=mesh,
+        in_specs=(P(), P(), P(ITEMS_AXIS, None), P(ITEMS_AXIS),
+                  P(ITEMS_AXIS), P(ITEMS_AXIS, None), P(ITEMS_AXIS),
+                  P(ITEMS_AXIS), P(ITEMS_AXIS), P(ITEMS_AXIS),
+                  P(ITEMS_AXIS), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)(queries, query_lambdas, cx, clam, cids, cent,
+                       radius, cosr, sinr, lam_lo, lam_hi, alpha_g)
 
 
 def sharded_incremental_clustering(

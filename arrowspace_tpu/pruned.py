@@ -565,10 +565,12 @@ def build_cells_device(data, lambdas, cap: int = 256, seed: int = 0,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("k", "m_cells", "cap", "margin"))
+                   static_argnames=("k", "m_cells", "cap", "margin",
+                                    "return_next_bound"))
 def pruned_topk(queries, query_lambdas, cells_x, cells_lam, cells_ids,
                 cent, radius, cosr, sinr, lam_lo, lam_hi, alpha, *,
-                k: int, m_cells: int, cap: int, margin: float):
+                k: int, m_cells: int, cap: int, margin: float,
+                return_next_bound: bool = False):
     """Cell-screened exact top-k.  Returns (scores (B, k), ids (B, k),
     flags (B,) bool) — flags=True means exactness is NOT certified for
     that query (the (M+1)-th cell bound + margin reached its k-th score,
@@ -642,6 +644,12 @@ def pruned_topk(queries, query_lambdas, cells_x, cells_lam, cells_ids,
     top_s = -s_sorted[:, :k]
     top_i = id_sorted[:, :k]
 
+    if return_next_bound:
+        # mesh callers certify against the GLOBAL k-th after their
+        # merge (a shard-local k-th is too weak on shards that don't
+        # hold the query's hot region — every cell bound would reach
+        # it); the bound stays on the SHIFTED plane
+        return top_s + c1, top_i, next_bound
     kth = top_s[:, k - 1]
     flags = (next_bound + jnp.asarray(margin, dt) >= kth) | ~jnp.isfinite(kth)
     return top_s + c1, top_i, flags

@@ -172,6 +172,70 @@ def test_distributed_index_step_runs(mesh):
     assert np.all(np.isfinite(np.asarray(scores)))
 
 
+def test_distributed_pruned_matches_oracle(mesh):
+    """Mesh-sharded cell screen: unflagged rows equal the full-scan
+    oracle (same lowest-global-id ties); flags reduce any-shard OR."""
+    from arrowspace_tpu.parallel import distributed_pruned_topk
+    from arrowspace_tpu.pruned import build_cells
+
+    rng = np.random.default_rng(11)
+    cents = rng.uniform(0.2, 0.8, (8, 24))
+    rows = cents[rng.integers(0, 8, 768)] \
+        + rng.normal(0, 0.03, (768, 24))
+    lam = rng.uniform(0, 1, 768)
+    cells = build_cells(rows, lam, cap=16, seed=3, iters=4)
+    assert cells.cent.shape[0] % 8 == 0   # unit axis shards evenly
+    qi = rng.integers(0, 768, 12)
+    q, ql = rows[qi] * 1.02, lam[qi]
+    so, io = batched_lambda_aware_topk(
+        jnp.asarray(q), jnp.asarray(ql), jnp.asarray(rows),
+        jnp.asarray(lam), jnp.asarray(0.9), k=10)
+    s, i, fl = distributed_pruned_topk(
+        jnp.asarray(q), jnp.asarray(ql), cells, 0.9, 10, mesh,
+        m_cells=4)
+    s, i, fl = np.asarray(s), np.asarray(i), np.asarray(fl)
+    certified = 0
+    for b in range(12):
+        if not fl[b]:
+            certified += 1
+            np.testing.assert_array_equal(i[b], np.asarray(io)[b])
+            np.testing.assert_allclose(s[b], np.asarray(so)[b],
+                                       rtol=1e-12)
+    # per-shard m=4 scans 32 cells total on clustered data: most of a
+    # clustered batch must certify or the mesh screen is useless
+    assert certified >= 8, (certified, fl)
+
+
+def test_distributed_pruned_duplicate_cross_shard_tie(mesh):
+    """Exact duplicates placed in DIFFERENT shards must resolve to the
+    lowest global id after the mesh merge (the two-key sort upgrade
+    over a plain top_k merge)."""
+    from arrowspace_tpu.parallel import distributed_pruned_topk
+    from arrowspace_tpu.pruned import build_cells
+
+    rng = np.random.default_rng(13)
+    rows = _clustered_rows(rng, n=512, f=16, centers=6)
+    rows[400] = rows[7]
+    lam = rng.uniform(0, 1, 512)
+    lam[400] = lam[7]
+    cells = build_cells(rows, lam, cap=8, seed=5, iters=4)
+    u = cells.cent.shape[0]
+    q, ql = rows[7:8] * 1.01, lam[7:8]
+    # scan everything: exact, no flags, ties by global id
+    s, i, fl = distributed_pruned_topk(
+        jnp.asarray(q), jnp.asarray(ql), cells, 0.9, 6, mesh,
+        m_cells=u // 8)
+    i = np.asarray(i)
+    assert not np.asarray(fl)[0]
+    assert 7 in i[0] and 400 in i[0]
+    assert list(i[0]).index(7) < list(i[0]).index(400)
+
+
+def _clustered_rows(rng, n, f, centers):
+    c = rng.uniform(0.2, 0.8, (centers, f))
+    return c[rng.integers(0, centers, n)] + rng.normal(0, 0.03, (n, f))
+
+
 def test_uneven_shard_raises(mesh):
     items, lap = _setup(n=130)
     lambdas = compute_taumode_lambdas(items, lap, TauMode.median())
