@@ -94,13 +94,22 @@ def ensemble_params(base: GraphParams,
                     k_adjust: Sequence[int] = (-1, 0, 1),
                     eps_expand: Sequence[float] = (1.0, 1.5),
                     ) -> List[GraphParams]:
-    """Parameter grid for λτ-graph ensembles (k-adjust, ε-expand)."""
+    """Parameter grid for λτ-graph ensembles (k-adjust, ε-expand).
+
+    k_adjust shifts BOTH `k` and `topk`: the adjacency is built from
+    top-(topk+1) cosine neighbours (laplacian.py, mirroring the
+    reference's CosinePair at laplacian.rs:211) while `k` never touches
+    it — adjusting `k` alone produced N bitwise-identical variant
+    graphs whenever eps_expand was 1.0 (caught r5 by the λ-spread
+    diagnostic in benchmarks/glove_bench.py: ensemble λ spread was
+    exactly 0 and every fused-vs-single Jaccard was trivially 1.0)."""
     out = []
     for dk in k_adjust:
         for fe in eps_expand:
             k = max(base.k + dk, 1)
-            out.append(dataclasses.replace(base, k=k, eps=base.eps * fe,
-                                           topk=max(base.topk, 1)))
+            out.append(dataclasses.replace(
+                base, k=k, eps=base.eps * fe,
+                topk=max(base.topk + dk, 1)))
     return out
 
 

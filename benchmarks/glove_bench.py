@@ -61,8 +61,13 @@ def main() -> None:
     log(f"generating {n} x 200 GloVe-like corpus...")
     corpus = glove_like(n).astype(np.float32)
 
+    # eps=1.0 keeps every positively-correlated feature pair: on this
+    # zero-centred corpus the rectified-cosine distance 1-max(0,cos) is
+    # ~1 for uncorrelated features, so eps=0.5 left the 200-node graph
+    # EMPTY at full scale (λ ≡ 0 for every item — the r5 λ-spread
+    # diagnostic caught it) and near-empty (12 edges) at 20k
     builder = (ArrowSpaceBuilder()
-               .with_lambda_graph(0.5, 8, 4, 2.0, None))  # unseeded: chunked
+               .with_lambda_graph(1.0, 8, 4, 2.0, None))  # unseeded: chunked
     t0 = time.time()
     clustered = em.start_clustering(builder, corpus)
     aspace = clustered.aspace
@@ -115,9 +120,9 @@ def main() -> None:
                        for g, _ in ensemble])
     lam_v = jnp.stack([lam for _, lam in ensemble])
 
-    def run_fused():
+    def run_fused(alpha=0.9):
         s, i = ensemble_topk_batch(queries, qlams, aspace.data, lam_v,
-                                   0.9, k=10)
+                                   alpha, k=10)
         return jax.device_get((s, i))
 
     run_fused()                             # compile warm-up
@@ -128,22 +133,36 @@ def main() -> None:
         f"corpus stream, warm): {t_q * 1e3:.0f} ms "
         f"({256 / t_q:.0f} fused QPS)")
 
+    # how far apart the variants actually are: per-item λ spread across
+    # the ensemble (grounds the Jaccard numbers below — if variant λs
+    # barely move, identical top-10s are the CORRECT fusion output, not
+    # a machinery no-op)
+    lam_np = np.asarray(lam_v, dtype=np.float64)
+    spread = np.abs(lam_np.max(axis=0) - lam_np.min(axis=0))
+    log(f"ensemble λ spread across variants: mean {spread.mean():.2e}, "
+        f"p99 {np.quantile(spread, 0.99):.2e}, max {spread.max():.2e} "
+        f"(λ scale ~{np.abs(lam_np).mean():.2e})")
+
     # fused-vs-single-graph overlap: Jaccard@10 per variant, averaged
     # over the 256 queries — how much the ensemble actually moves the
-    # rankings (1.0 would mean fusion is a no-op)
-    for vi, (gl_v, lam_1) in enumerate(ensemble):
-        # V=1 through the same chunked kernel = a plain single-graph
-        # ranking in the identical arithmetic family
-        _, i1 = ensemble_topk_batch(queries, qlams[vi:vi + 1],
-                                    aspace.data, lam_v[vi:vi + 1],
-                                    0.9, k=10)
-        i1 = np.asarray(i1)
-        jac = np.mean([
-            len(set(fused_i[b]) & set(i1[b]))
-            / len(set(fused_i[b]) | set(i1[b]))
-            for b in range(fused_i.shape[0])])
-        log(f"fused-vs-variant{vi} (k={grid[vi].k}, "
-            f"eps={grid[vi].eps:.2f}) Jaccard@10: {jac:.3f}")
+    # rankings (1.0 = fusion is a no-op at that α).  α=0.9 is the
+    # serving default where cosine dominates; α=0.5 doubles the λ
+    # term's weight so variant disagreement actually surfaces.
+    for alpha in (0.9, 0.5):
+        _, fa = run_fused(alpha)
+        for vi, (gl_v, lam_1) in enumerate(ensemble):
+            # V=1 through the same chunked kernel = a plain
+            # single-graph ranking in the identical arithmetic family
+            _, i1 = ensemble_topk_batch(queries, qlams[vi:vi + 1],
+                                        aspace.data, lam_v[vi:vi + 1],
+                                        alpha, k=10)
+            i1 = np.asarray(i1)
+            jac = np.mean([
+                len(set(fa[b]) & set(i1[b]))
+                / len(set(fa[b]) | set(i1[b]))
+                for b in range(fa.shape[0])])
+            log(f"fused-vs-variant{vi} (alpha={alpha}, k={grid[vi].k}, "
+                f"eps={grid[vi].eps:.2f}) Jaccard@10: {jac:.3f}")
     log("OK")
 
 
