@@ -14,8 +14,8 @@ the TPU-deployment shape of the engine:
    next batch's compute;
 3. serve a stream of query batches at sustained throughput — on TPU,
    precision="bf16" scores in bf16 with f32 accumulation (top-10
-   overlap 1.000; ~15% device gain at F=128 where the kernel is
-   VPU-bound, more at wider F);
+   overlap 1.000; ≈ f32 at F=128 where the fold, not the MXU, is the
+   clock — measured r4 — and a real ~15% at F=768);
 4. use precision="f64_rescore" when exact f64 tie ordering matters
    (recall@10 = 1.000 vs an f64 brute force on clustered data).
 """
