@@ -110,6 +110,7 @@ from .utils.log import get_logger
 logger = get_logger(__name__)
 
 __all__ = ["PrunedCells", "build_cells", "build_cells_device",
+           "save_cells", "load_cells",
            "pruned_topk", "pruned_topk_union", "PrunedSearchSession"]
 
 
@@ -368,6 +369,52 @@ def build_cells(data, lambdas, cap: int = 256, seed: int = 0,
         sinr=jnp.asarray(sinr, dtype=dt),
         lam_lo=jnp.asarray(lam_lo, dtype=dt),
         lam_hi=jnp.asarray(lam_hi, dtype=dt), cap=cap, n_units=u_real)
+
+
+_CELLS_FORMAT = 1
+
+
+def save_cells(cells: PrunedCells, path: str) -> None:
+    """Persist a cell layout to one .npz (uncompressed — the grouped
+    corpus is multi-GB at scale and dominates; float compression buys
+    little).  A 10M x 128 layout costs minutes to BUILD (the Lloyd
+    assign pass) but seconds to load, so production processes should
+    load, not rebuild.  Bound metadata round-trips bitwise: the bounds
+    are certificates, so the loaded layout certifies exactly the same
+    queries."""
+    arrays = {f: np.asarray(getattr(cells, f))
+              for f in ("x", "lam", "ids", "cent", "radius", "cosr",
+                        "sinr", "lam_lo", "lam_hi")}
+    np.savez(path, format=np.int64(_CELLS_FORMAT),
+             cap=np.int64(cells.cap), n_units=np.int64(cells.n_units),
+             **arrays)
+    logger.info("pruned cells saved to %s (%.2f GB grouped rows)",
+                path, arrays["x"].nbytes / 2**30)
+
+
+def load_cells(path: str, dtype=None) -> PrunedCells:
+    """Load a layout written by save_cells; arrays land on the default
+    device.  `dtype` overrides the stored float dtype (metadata slack
+    already covers an f64→f32 narrowing; widening is always safe)."""
+    if not str(path).endswith(".npz"):
+        path = str(path) + ".npz"
+    with np.load(path) as z:
+        fmt = int(z["format"])
+        if fmt != _CELLS_FORMAT:
+            raise ValueError(f"unsupported cells format {fmt} "
+                             f"(this build reads {_CELLS_FORMAT})")
+        dt = dtype or z["x"].dtype
+        return PrunedCells(
+            x=jnp.asarray(z["x"], dtype=dt),
+            lam=jnp.asarray(z["lam"], dtype=dt),
+            ids=jnp.asarray(z["ids"]),
+            cent=jnp.asarray(z["cent"], dtype=dt),
+            radius=jnp.asarray(z["radius"], dtype=dt),
+            cosr=jnp.asarray(z["cosr"], dtype=dt),
+            sinr=jnp.asarray(z["sinr"], dtype=dt),
+            lam_lo=jnp.asarray(z["lam_lo"], dtype=dt),
+            lam_hi=jnp.asarray(z["lam_hi"], dtype=dt),
+            cap=int(z["cap"]), n_units=int(z["n_units"]))
 
 
 # --------------------------------------------------------------------

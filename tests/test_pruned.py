@@ -625,6 +625,34 @@ def test_session_device_engine_and_knobs():
     np.testing.assert_allclose(sp, so, rtol=1e-12)
 
 
+def test_cells_save_load_roundtrip(tmp_path):
+    """save_cells/load_cells: bitwise metadata round trip, and a
+    session on loaded cells returns exactly what the builder session
+    returns."""
+    from arrowspace_tpu.pruned import (PrunedSearchSession, load_cells,
+                                       save_cells)
+    rows, idx = _pruned_index(n=500)
+    cells = build_cells(idx.aspace.data, idx.aspace.lambdas, cap=32,
+                        seed=6)
+    p = str(tmp_path / "cells")
+    save_cells(cells, p)
+    loaded = load_cells(p)
+    assert loaded.cap == cells.cap and loaded.n_units == cells.n_units
+    for f in ("x", "lam", "ids", "cent", "radius", "cosr", "sinr",
+              "lam_lo", "lam_hi"):
+        np.testing.assert_array_equal(np.asarray(getattr(loaded, f)),
+                                      np.asarray(getattr(cells, f)))
+    q = rows[7:11] * 1.01
+    s1 = PrunedSearchSession(idx, 4, k=5, cells=cells)
+    s2 = PrunedSearchSession(idx, 4, k=5, cells=loaded)
+    np.testing.assert_array_equal(s1.search(q)[1], s2.search(q)[1])
+    with pytest.raises(ValueError, match="format"):
+        bad = dict(np.load(p + ".npz"))
+        bad["format"] = np.int64(99)
+        np.savez(p + "_bad", **bad)
+        load_cells(p + "_bad")
+
+
 def test_session_reuses_prebuilt_cells():
     rows, idx = _pruned_index(n=300)
     from arrowspace_tpu.pruned import PrunedSearchSession
