@@ -794,6 +794,84 @@ def pruned_suite(jax, jnp, rtt_s: float) -> None:
            kernel="pruned_topk_union (two-level, hot-region batch)")
 
 
+def pruned_scale10m_suite(jax, jnp, rtt_s: float) -> None:
+    """10M x 128 pruned-vs-stream — the screen's STRUCTURAL win (the
+    streaming kernel pays the HBM corpus-read floor; the cell gather is
+    flat in N).  Corpus GENERATED ON DEVICE (zero upload); cells built
+    with the device engine at the oversampled cluster count the
+    provisioning rule requires (build_cells docstring).  Mirrors
+    benchmarks/pruned_scale10m.py, trimmed to the two headline configs."""
+    from arrowspace_tpu.ops.pallas_bintopk import (binned_lambda_topk,
+                                                   prepare_binned_corpus)
+    from arrowspace_tpu.pruned import build_cells_device, pruned_topk
+
+    N, F, CENTERS, CAP, K, ALPHA, HOT = (10_000_000, 128, 3072, 256, 10,
+                                         0.9, 16)
+    rng = np.random.default_rng(0)
+    centers = jnp.asarray(
+        rng.uniform(0.2, 0.8, (CENTERS, F)).astype(np.float32))
+
+    @jax.jit
+    def gen_block(key, cents):
+        ka, kb = jax.random.split(key)
+        a = jax.random.randint(ka, (N // 10,), 0, CENTERS)
+        r = cents[a] + 0.03 * jax.random.normal(kb, (N // 10, F))
+        norms = jnp.sqrt(jnp.sum(r * r, axis=1, keepdims=True))
+        return r / jnp.where(norms > 0, norms, 1.0)
+
+    keys = jax.random.split(jax.random.PRNGKey(7), 10)
+    rows = jnp.concatenate([gen_block(kk, centers) for kk in keys])
+    lam = jax.random.uniform(jax.random.PRNGKey(9), (N,),
+                             dtype=jnp.float32)
+    np.asarray(rows[:1, :1])
+    log("10M x 128 corpus generated on device (no upload)")
+
+    ka = jax.random.split(keys[0])[0]
+    a0 = np.asarray(jax.random.randint(ka, (N // 10,), 0, CENTERS))
+    qi = rng.choice(np.nonzero(a0 < HOT)[0], 16, replace=False)
+    q16 = rows[jnp.asarray(qi)] * np.float32(1.002)
+    ql16 = lam[jnp.asarray(qi)]
+
+    xb, lb = prepare_binned_corpus(rows, lam, bsz=256, k=K)
+    np.asarray(xb[:1, :1])
+
+    def stream16(q, xx, ll):
+        return binned_lambda_topk(q, ql16, xx, ll, ALPHA, k=K,
+                                  prepared=True, n_items=N)
+
+    t_s16 = amortised_device_time(jax, jnp, stream16, q16, (xb, lb),
+                                  repeats=8)
+    del xb, lb
+    t0 = time.perf_counter()
+    cells = build_cells_device(rows, lam, cap=CAP, seed=1, iters=6,
+                               n_clusters=2 * CENTERS,
+                               lloyd_sample=500_000,
+                               assume_normalised=True)
+    np.asarray(cells.lam_hi[:1])
+    t_cells = time.perf_counter() - t0
+    del rows
+    big = (cells.x, cells.lam, cells.ids, cells.cent, cells.radius,
+           cells.cosr, cells.sinr, cells.lam_lo, cells.lam_hi)
+
+    def b16(q, *bb):
+        return pruned_topk(q, ql16, *bb, ALPHA, k=K, m_cells=16,
+                           cap=CAP, margin=1e-3)
+
+    t_p16 = amortised_device_time(jax, jnp, b16, q16, big, repeats=8)
+    fl16 = int(np.asarray(b16(q16, *big)[2]).sum())
+    log(f"10M x 128 B=16: stream {t_s16 * 1e3:.2f} ms (HBM floor "
+        f"{N * F * 4 / 819e9 * 1e3:.1f} ms) vs pruned m16 "
+        f"{t_p16 * 1e3:.2f} ms, flags {fl16}/16; cells build "
+        f"{t_cells:.0f}s one-time (device engine, C=2x provisioning)")
+    record("pruned_query_b16_10m_x128", t_p16 * 1e3, "ms",
+           certified_rate=round(1.0 - fl16 / 16, 4),
+           vs_stream=round(t_s16 / t_p16, 2),
+           stream_ms=round(t_s16 * 1e3, 2),
+           cells_build_s=round(t_cells, 1),
+           kernel="pruned_topk over device-built cells; corpus "
+                  "device-generated (hot-region batch)")
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -849,6 +927,8 @@ def main() -> None:
             wide_f_suite(jax, jnp, rtt_s)
             emit()
             pruned_suite(jax, jnp, rtt_s)
+            emit()
+            pruned_scale10m_suite(jax, jnp, rtt_s)
     except Exception as e:  # pragma: no cover — keep the headline alive
         log(f"supplementary sweep failed: {e!r}")
 
