@@ -181,7 +181,8 @@ class ArrowSpace:
         """Batched query-λ preparation: (B, F) -> (B,).  One fused device
         program instead of B scalar round-trips (the TPU-native form of
         core.rs:533-549)."""
-        from .taumode import select_tau_batch, synthetic_lambda_batch
+        from .taumode import (QUERY_PREP_PRECISION, select_tau_batch,
+                              synthetic_lambda_batch)
         items = np.asarray(items, dtype=np.float64)
         assert items.shape[-1] == self.nfeatures, (
             f"Query dimension {items.shape[-1]} doesn't match index "
@@ -206,12 +207,14 @@ class ArrowSpace:
                 taus = select_tau_batch(dev, self.taumode)
                 return jnp.asarray(np.asarray(
                     synthetic_lambda_batch(
-                        dev, lap, taus, pad_items=self.pad_tall_graphs)))
+                        dev, lap, taus, pad_items=self.pad_tall_graphs,
+                        precision=QUERY_PREP_PRECISION)))
 
         dev = jnp.asarray(items, dtype=dt)
         taus = select_tau_batch(dev, self.taumode)
         return synthetic_lambda_batch(dev, jnp.asarray(mat, dtype=dt), taus,
-                                      pad_items=self.pad_tall_graphs)
+                                      pad_items=self.pad_tall_graphs,
+                                      precision=QUERY_PREP_PRECISION)
 
     def prepare_query_item(self, item, gl) -> float:
         """Compute the query's synthetic λ (reference: core.rs:533-549):
@@ -228,9 +231,11 @@ class ArrowSpace:
             item = self.project_query(item)
         tau = select_tau(item, self.taumode)
         mat = gl.matrix
+        from .taumode import QUERY_PREP_PRECISION
         return synthetic_lambda_single(
             jnp.asarray(item, dtype=mat.dtype), mat, tau,
-            pad_items=self.pad_tall_graphs)
+            pad_items=self.pad_tall_graphs,
+            precision=QUERY_PREP_PRECISION)
 
     # ------------------------------------------------------------------
     def lambdas_list(self) -> np.ndarray:

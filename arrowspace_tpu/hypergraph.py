@@ -144,7 +144,8 @@ def ensemble_search_prebuilt(
     score.  Per-variant λ vectors are index state — build them once with
     build_ensemble and reuse across queries."""
     from .ops.search import lambda_aware_scores
-    from .taumode import select_tau, synthetic_lambda_single
+    from .taumode import (QUERY_PREP_PRECISION, select_tau,
+                          synthetic_lambda_single)
 
     query = np.asarray(query, dtype=np.float64)
     dt = aspace.data.dtype
@@ -160,7 +161,8 @@ def ensemble_search_prebuilt(
 
     total = jnp.zeros((aspace.nitems,), dtype=dt)
     for gl, lambdas in ensemble:
-        qlam = synthetic_lambda_single(q_prep_dev, gl.matrix, tau)
+        qlam = synthetic_lambda_single(q_prep_dev, gl.matrix, tau,
+                                       precision=QUERY_PREP_PRECISION)
         total = total + lambda_aware_scores(
             qdev[None, :], jnp.asarray([qlam], dtype=dt),
             aspace.data, lambdas, jnp.asarray(alpha, dtype=dt))[0]

@@ -73,13 +73,15 @@ def _session_step_jit():
             # the per-dispatch normalise+pad producer is a full corpus
             # read+write otherwise.  dt therefore comes from the query.
             from .ops.search import batched_lambda_aware_topk
-            from .taumode import select_tau_batch, synthetic_lambda_batch
+            from .taumode import (QUERY_PREP_PRECISION, select_tau_batch,
+                                  synthetic_lambda_batch)
             dt = q_raw.dtype
             q_prep = q_raw if not has_proj else jnp.dot(
                 q_raw, proj, preferred_element_type=dt)
             taus = select_tau_batch(q_prep, taumode)
             qlam = synthetic_lambda_batch(q_prep, lap, taus,
-                                          pad_items=pad_tall)
+                                          pad_items=pad_tall,
+                                          precision=QUERY_PREP_PRECISION)
             if kernel == "binned":
                 from .ops.pallas_bintopk import binned_lambda_topk
                 s, i, fl, det = binned_lambda_topk(
@@ -137,13 +139,15 @@ def _energy_step_jit():
             # additionally takes the chord-fit sample (z_samp, xn_samp)
             # from ops.energy_approx.prepare_energy_chord_sample.
             from .energymaps import _energy_score_topk_chunked
-            from .taumode import select_tau_batch, synthetic_lambda_batch
+            from .taumode import (QUERY_PREP_PRECISION, select_tau_batch,
+                                  synthetic_lambda_batch)
             dt = q_raw.dtype
             q_prep = q_raw if not has_proj else jnp.dot(
                 q_raw, proj, preferred_element_type=dt)
             taus = select_tau_batch(q_prep, taumode)
             qlam = synthetic_lambda_batch(q_prep, lap, taus,
-                                          pad_items=pad_tall)
+                                          pad_items=pad_tall,
+                                          precision=QUERY_PREP_PRECISION)
             z_q = jnp.dot(q_prep, signals.T, preferred_element_type=dt) \
                 if has_signals else q_prep
             if kernel == "binned_approx":

@@ -85,13 +85,15 @@ def _live_step_jit():
         def step(q_raw, data, lambdas, lap, proj, n_live, *, taumode,
                  alpha, k, kernel, has_proj, pad_tall, use_bf16, n_cap):
             from .ops.search import masked_lambda_aware_topk
-            from .taumode import select_tau_batch, synthetic_lambda_batch
+            from .taumode import (QUERY_PREP_PRECISION, select_tau_batch,
+                                  synthetic_lambda_batch)
             dt = q_raw.dtype
             q_prep = q_raw if not has_proj else jnp.dot(
                 q_raw, proj, preferred_element_type=dt)
             taus = select_tau_batch(q_prep, taumode)
-            qlam = synthetic_lambda_batch(q_prep, lap, taus,
-                                          pad_items=pad_tall)
+            qlam = synthetic_lambda_batch(
+                q_prep, lap, taus, pad_items=pad_tall,
+                precision=QUERY_PREP_PRECISION)
             if kernel == "binned":
                 from .ops.pallas_bintopk import binned_lambda_topk
                 s, i, fl, det = binned_lambda_topk(
@@ -127,13 +129,15 @@ def _live_energy_step_jit():
                  wd, z_norms, n_live, *, taumode, k, kernel, chunk,
                  has_proj, has_signals, pad_tall, n_cap):
             from .energymaps import _energy_score_topk_chunked
-            from .taumode import select_tau_batch, synthetic_lambda_batch
+            from .taumode import (QUERY_PREP_PRECISION, select_tau_batch,
+                                  synthetic_lambda_batch)
             dt = q_raw.dtype
             q_prep = q_raw if not has_proj else jnp.dot(
                 q_raw, proj, preferred_element_type=dt)
             taus = select_tau_batch(q_prep, taumode)
-            qlam = synthetic_lambda_batch(q_prep, lap, taus,
-                                          pad_items=pad_tall)
+            qlam = synthetic_lambda_batch(
+                q_prep, lap, taus, pad_items=pad_tall,
+                precision=QUERY_PREP_PRECISION)
             z_q = jnp.dot(q_prep, signals.T, preferred_element_type=dt) \
                 if has_signals else q_prep
             if kernel == "binned":
@@ -170,7 +174,8 @@ def _ingest_jit():
             donate_argnums=(2, 3, 4, 5))
         def ingest(rows, pos, raw, lam, xhat, lam32, lap, proj, *,
                    taumode, has_proj, pad_tall, binned):
-            from .taumode import select_tau_batch, synthetic_lambda_batch
+            from .taumode import (QUERY_PREP_PRECISION, select_tau_batch,
+                                  synthetic_lambda_batch)
             dt = raw.dtype
             r = rows.astype(dt)
             q_prep = r if not has_proj else jnp.dot(
@@ -210,7 +215,8 @@ def _energy_ingest_jit():
             donate_argnums=(2, 3, 4))
         def ingest(rows, pos, z, lam, zn, lap, proj, signals, *,
                    taumode, has_proj, has_signals, pad_tall):
-            from .taumode import select_tau_batch, synthetic_lambda_batch
+            from .taumode import (QUERY_PREP_PRECISION, select_tau_batch,
+                                  synthetic_lambda_batch)
             dt = z.dtype
             r = rows.astype(dt)
             q_prep = r if not has_proj else jnp.dot(

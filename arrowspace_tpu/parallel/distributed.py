@@ -22,7 +22,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from ..ops.search import lambda_aware_scores
-from ..taumode import TauMode, select_tau_batch, synthetic_lambda_batch
+from ..taumode import (QUERY_PREP_PRECISION, TauMode, select_tau_batch,
+                       synthetic_lambda_batch)
 from .mesh import ITEMS_AXIS, items_sharding, replicated_sharding
 from .multiprocess import ensure_global, is_multiprocess, put_global
 
@@ -725,8 +726,9 @@ class DistributedSearchSession:
             q_prep = q if not has_proj else jnp.dot(
                 q, pr, preferred_element_type=dt)
             taus = select_tau_batch(q_prep, taumode)
-            qlam = synthetic_lambda_batch(q_prep, lap, taus,
-                                          pad_items=pad_tall)
+            qlam = synthetic_lambda_batch(
+                q_prep, lap, taus, pad_items=pad_tall,
+                precision=QUERY_PREP_PRECISION)
             a = jnp.asarray(alpha, dtype=dt)
             det = None
             if knl == "binned":
@@ -989,8 +991,9 @@ class DistributedEnergySearchSession:
             q_prep = q if not has_proj else jnp.dot(
                 q, pr, preferred_element_type=dt)
             taus = select_tau_batch(q_prep, taumode)
-            qlam = synthetic_lambda_batch(q_prep, lap, taus,
-                                          pad_items=pad_tall)
+            qlam = synthetic_lambda_batch(
+                q_prep, lap, taus, pad_items=pad_tall,
+                precision=QUERY_PREP_PRECISION)
             z_q = jnp.dot(q_prep, sg.T, preferred_element_type=dt) \
                 if has_signals else q_prep
             wl = jnp.asarray(w_lambda, dtype=dt)
@@ -1172,7 +1175,8 @@ def distributed_index_step(
     lambdas = sharded_compute_taumode_lambdas(items, lap, taumode, mesh)
 
     q_taus = select_tau_batch(queries, taumode)
-    q_lambdas = synthetic_lambda_batch(queries, lap, q_taus)
+    q_lambdas = synthetic_lambda_batch(queries, lap, q_taus,
+                                       precision=QUERY_PREP_PRECISION)
 
     scores, idx = distributed_lambda_aware_topk(
         queries, q_lambdas, items, lambdas,

@@ -148,12 +148,14 @@ def main(argv=None) -> None:
     from arrowspace_tpu.parallel import (distributed_lambda_aware_topk,
                                          distributed_lambda_aware_topk_2d,
                                          make_mesh_2d)
-    from arrowspace_tpu.taumode import (select_tau_batch,
+    from arrowspace_tpu.taumode import (QUERY_PREP_PRECISION,
+                                        select_tau_batch,
                                         synthetic_lambda_batch)
     qj = jnp.asarray(queries)
     qlam = synthetic_lambda_batch(
         qj, gl.matrix.astype(jnp.float32),
-        select_tau_batch(qj, TauMode.median()))
+        select_tau_batch(qj, TauMode.median()),
+        precision=QUERY_PREP_PRECISION)
     s1, i1 = distributed_lambda_aware_topk(
         qj, qlam, items, lambdas, 0.9, 10, mesh)
     mesh2d = make_mesh_2d(args.nproc, jax.local_device_count())

@@ -842,11 +842,13 @@ def _pruned_union_step(q_raw, cells_x, cells_lam, cells_ids, cent,
     """_pruned_step's large-batch sibling: fused query-λ prep + the
     two-level union screen.  Cell arrays are arguments (not closure
     captures) for the same remote-compile-limit reason."""
-    from .taumode import select_tau_batch, synthetic_lambda_batch
+    from .taumode import (QUERY_PREP_PRECISION, select_tau_batch,
+                          synthetic_lambda_batch)
     q_prep = q_raw if not has_proj else jnp.dot(
         q_raw, proj, preferred_element_type=q_raw.dtype)
     taus = select_tau_batch(q_prep, taumode)
-    qlam = synthetic_lambda_batch(q_prep, lap, taus, pad_items=pad_tall)
+    qlam = synthetic_lambda_batch(q_prep, lap, taus, pad_items=pad_tall,
+                                  precision=QUERY_PREP_PRECISION)
     s, i, fl = pruned_topk_union(
         q_raw, qlam, cells_x, cells_lam, cells_ids, cent, radius,
         cosr, sinr, lam_lo, lam_hi, alpha, k=k, m_vote=m_vote,
@@ -866,11 +868,13 @@ def _pruned_step(q_raw, cells_x, cells_lam, cells_ids, cent, radius,
     blows the remote-compile request limit (see index._session_step_jit);
     statics carry the session config so same-config sessions share one
     executable."""
-    from .taumode import select_tau_batch, synthetic_lambda_batch
+    from .taumode import (QUERY_PREP_PRECISION, select_tau_batch,
+                          synthetic_lambda_batch)
     q_prep = q_raw if not has_proj else jnp.dot(
         q_raw, proj, preferred_element_type=q_raw.dtype)
     taus = select_tau_batch(q_prep, taumode)
-    qlam = synthetic_lambda_batch(q_prep, lap, taus, pad_items=pad_tall)
+    qlam = synthetic_lambda_batch(q_prep, lap, taus, pad_items=pad_tall,
+                                  precision=QUERY_PREP_PRECISION)
     s, i, fl = pruned_topk(
         q_raw, qlam, cells_x, cells_lam, cells_ids, cent, radius,
         cosr, sinr, lam_lo, lam_hi, alpha, k=k, m_cells=m_cells,

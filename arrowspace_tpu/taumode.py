@@ -218,7 +218,21 @@ def _graph_weights(laplacian: jax.Array) -> jax.Array:
     return w * (1.0 - jnp.eye(n, dtype=laplacian.dtype))
 
 
-@functools.partial(jax.jit, static_argnames=("method", "pad_items"))
+# Query-λ preparation precision (passed as `precision=` below).  On TPU
+# the default matmul precision runs bf16 passes, which puts a device-
+# computed query λ up to ~2e-3 λ-units away from the host-routed f32
+# prep in core.prepare_query_item (measured r5 at 80k x 64; CPU backends
+# are unaffected).  Sessions therefore prepare QUERY λ at
+# Precision.HIGHEST so every API (host-routed idx.search, fused session
+# steps, mesh/multi-process serving) agrees to ~1e-6.  CORPUS λ keeps
+# the default family: item λs must match what the build (fused Pallas
+# λτ kernel / default-precision batch) produced, and live ingestion must
+# match a rebuild bitwise.
+QUERY_PREP_PRECISION = jax.lax.Precision.HIGHEST
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("method", "pad_items", "precision"))
 def synthetic_lambda_batch(
     items: jax.Array,      # (N, F) item vectors (full, possibly F > n)
     laplacian: jax.Array,  # (n, n) dense graph matrix (Laplacian or signals)
@@ -226,6 +240,7 @@ def synthetic_lambda_batch(
     *,
     method: str = "matmul",
     pad_items: bool = False,
+    precision=None,
 ) -> jax.Array:
     """Batched synthetic λ (reference: taumode.rs:552-660, vectorised).
 
@@ -237,6 +252,10 @@ def synthetic_lambda_batch(
     the graph terms and the Rayleigh denominator keeps the full original
     vector).  Default False preserves the reference's hard error
     (taumode.rs:574 index OOB), see EnergyParams.allow_tall_graphs.
+
+    precision: matmul precision for the graph dots.  None (default) is
+    the canonical corpus-λ family; QUERY_PREP_PRECISION for query-λ
+    preparation (see the constant's comment).
     """
     n = laplacian.shape[0]
     big_f = items.shape[1]
@@ -252,7 +271,8 @@ def synthetic_lambda_batch(
     dt = items.dtype
 
     # Rayleigh numerator over the FULL L (diagonal included).
-    xl = jnp.dot(xn, laplacian.T, preferred_element_type=dt)
+    xl = jnp.dot(xn, laplacian.T, preferred_element_type=dt,
+                 precision=precision)
     numerator = jnp.sum(xl * xn, axis=1)
 
     # Denominator over the FULL item vector (taumode.rs:596).
@@ -266,9 +286,12 @@ def synthetic_lambda_batch(
         d_r = jnp.sum(w, axis=1)
         d_c = jnp.sum(w, axis=0)
         x2 = xn * xn
-        xwx = jnp.sum(jnp.dot(xn, w.T, preferred_element_type=dt) * xn, axis=1)
-        s = jnp.dot(x2, d_r, preferred_element_type=dt) \
-            + jnp.dot(x2, d_c, preferred_element_type=dt) - 2.0 * xwx
+        xwx = jnp.sum(jnp.dot(xn, w.T, preferred_element_type=dt,
+                              precision=precision) * xn, axis=1)
+        s = jnp.dot(x2, d_r, preferred_element_type=dt,
+                    precision=precision) \
+            + jnp.dot(x2, d_c, preferred_element_type=dt,
+                      precision=precision) - 2.0 * xwx
 
         # G numerator = Σ_ij W²_ij (x_i - x_j)⁴ expanded in moments:
         # (x_i - x_j)⁴ = x_i⁴ + x_j⁴ + 6 x_i²x_j² - 4 x_i³x_j - 4 x_i x_j³
@@ -277,11 +300,16 @@ def synthetic_lambda_batch(
         d2_c = jnp.sum(w2, axis=0)
         x3 = x2 * xn
         x4 = x2 * x2
-        t_a = jnp.dot(x4, d2_r, preferred_element_type=dt) \
-            + jnp.dot(x4, d2_c, preferred_element_type=dt)
-        t_b = 6.0 * jnp.sum(jnp.dot(x2, w2.T, preferred_element_type=dt) * x2, axis=1)
-        t_c = -4.0 * jnp.sum(jnp.dot(x3, w2.T, preferred_element_type=dt) * xn, axis=1)
-        t_d = -4.0 * jnp.sum(jnp.dot(xn, w2.T, preferred_element_type=dt) * x3, axis=1)
+        t_a = jnp.dot(x4, d2_r, preferred_element_type=dt,
+                      precision=precision) \
+            + jnp.dot(x4, d2_c, preferred_element_type=dt,
+                      precision=precision)
+        t_b = 6.0 * jnp.sum(jnp.dot(x2, w2.T, preferred_element_type=dt,
+                                    precision=precision) * x2, axis=1)
+        t_c = -4.0 * jnp.sum(jnp.dot(x3, w2.T, preferred_element_type=dt,
+                                     precision=precision) * xn, axis=1)
+        t_d = -4.0 * jnp.sum(jnp.dot(xn, w2.T, preferred_element_type=dt,
+                                     precision=precision) * x3, axis=1)
         g_num = t_a + t_b + t_c + t_d
     elif method == "direct":
         # Chunk-free direct evaluation via vmap; oracle path for parity.
@@ -311,10 +339,13 @@ def synthetic_lambda_single(
     *,
     method: str = "direct",
     pad_items: bool = False,
+    precision=None,
 ) -> float:
     """Single-item synthetic λ (reference: compute_synthetic_lambda_csr).
     Routed through the CPU backend when the graph is small — single-query
-    preparation must not pay an accelerator compile."""
+    preparation must not pay an accelerator compile.  `precision` as in
+    synthetic_lambda_batch (query prep passes QUERY_PREP_PRECISION so the
+    large-graph device fallback matches the CPU-routed result)."""
     item = jnp.asarray(item)
     cpu = _small_workload_cpu(item[None, :], laplacian)
     if cpu is not None:
@@ -323,11 +354,11 @@ def synthetic_lambda_single(
                 jnp.asarray(np.asarray(item))[None, :],
                 jnp.asarray(np.asarray(laplacian)),
                 jnp.asarray([tau], dtype=item.dtype), method=method,
-                pad_items=pad_items)
+                pad_items=pad_items, precision=precision)
             return float(lam[0])
     lam = synthetic_lambda_batch(
         item[None, :], laplacian, jnp.asarray([tau], dtype=item.dtype),
-        method=method, pad_items=pad_items,
+        method=method, pad_items=pad_items, precision=precision,
     )
     return float(lam[0])
 

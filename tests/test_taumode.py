@@ -252,3 +252,34 @@ def test_taumode_windowed_matches_single_shot(monkeypatch):
                                                 TauMode.median()))
     np.testing.assert_allclose(out, ref, rtol=1e-12, atol=1e-14)
     assert out.shape == (n,)
+
+
+def test_query_prep_precision_plumbing():
+    """QUERY_PREP_PRECISION threads through batch and single λ without
+    changing CPU results (CPU matmuls ignore TPU precision passes, so
+    HIGHEST must be bitwise the default here).  The constant exists so
+    session query-λ prep tracks the host-routed f32 prep on TPU (~2e-3
+    bf16-family gap otherwise, measured r5); corpus-λ callers keep the
+    default family — see taumode.QUERY_PREP_PRECISION."""
+    from arrowspace_tpu.taumode import (QUERY_PREP_PRECISION,
+                                        select_tau_batch,
+                                        synthetic_lambda_batch,
+                                        synthetic_lambda_single)
+
+    rng = np.random.default_rng(5)
+    g = 24
+    items = jnp.asarray(rng.normal(size=(32, g)))
+    a = rng.uniform(0, 1, (g, g))
+    a = np.maximum(a, a.T) * (a > 0.5)
+    np.fill_diagonal(a, 0)
+    lap = jnp.asarray(np.diag(a.sum(1)) - a)
+    taus = select_tau_batch(items, TauMode.median())
+
+    base = np.asarray(synthetic_lambda_batch(items, lap, taus))
+    high = np.asarray(synthetic_lambda_batch(
+        items, lap, taus, precision=QUERY_PREP_PRECISION))
+    np.testing.assert_array_equal(base, high)
+
+    one = synthetic_lambda_single(items[0], lap, float(taus[0]),
+                                  precision=QUERY_PREP_PRECISION)
+    assert one == synthetic_lambda_single(items[0], lap, float(taus[0]))
