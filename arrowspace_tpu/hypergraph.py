@@ -24,6 +24,7 @@ downstream λτ/search kernel unchanged.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import List, Optional, Sequence, Tuple
 
 import jax
@@ -174,7 +175,22 @@ def ensemble_search_prebuilt(
             zip(np.asarray(top_i), np.asarray(top_s))]
 
 
-import functools
+def ensemble_query_lambdas(queries, ensemble, taumode) -> jax.Array:
+    """Per-variant query-λ prep for ensemble_topk_batch: (B, F) raw
+    queries -> (V, B) λ against each variant's Laplacian (the
+    batched form of ensemble_search_prebuilt's per-variant prep;
+    graph.rs:142 + core.rs:533-549).  Runs at QUERY_PREP_PRECISION
+    like every other query-λ prep so fused results track the
+    per-query oracle on TPU — index-state prep, shared across
+    batches."""
+    from .taumode import (QUERY_PREP_PRECISION, select_tau_batch,
+                          synthetic_lambda_batch)
+    dt = queries.dtype
+    taus = select_tau_batch(queries, taumode)
+    return jnp.stack([
+        synthetic_lambda_batch(queries, g.matrix.astype(dt), taus,
+                               precision=QUERY_PREP_PRECISION)
+        for g, _ in ensemble])
 
 
 @functools.partial(jax.jit, static_argnames=("k", "chunk"))
@@ -182,9 +198,9 @@ def ensemble_topk_batch(queries, qlams, items, item_lambdas_v, alpha, *,
                         k: int, chunk: int = 65536):
     """Batched MEAN-SCORE ensemble fusion at corpus scale.
 
-    queries (B, F) raw; qlams (V, B) per-variant query λ (caller runs
-    synthetic_lambda_batch against each variant's Laplacian — that is
-    index-state prep, shared across batches); item_lambdas_v (V, N) the
+    queries (B, F) raw; qlams (V, B) per-variant query λ (use
+    ensemble_query_lambdas — QUERY_PREP_PRECISION prep against each
+    variant's Laplacian, shared across batches); item_lambdas_v (V, N) the
     per-variant λ vectors from build_ensemble.  Fuses graph.rs:142's
     ensemble semantics exactly as ensemble_search_prebuilt does —
     mean over variants of α·cos + (1−α)·(1−min(|Δλ_v|, 1)) — but

@@ -693,7 +693,10 @@ class EnergySearchSession:
             qb = np.ones((self.batch_size, self._dim),
                          dtype=np.dtype(self._dt))
             qlam = np.zeros(self.batch_size, np.float32)
-            for b in (1, 8):
+            # every padded_take bucket warm_step's det sweep would cover:
+            # a first flagged batch with 2/4/16 uncertified rows must not
+            # compile its per-bucket z-projection on the fetch thread
+            for b in (1, 2, 4, 8, 16):
                 self._repair(qb, qlam, np.arange(min(b, self.batch_size)))
 
     def search_stream(self, batches: Iterable) -> Iterable[Tuple[np.ndarray,

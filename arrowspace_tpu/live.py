@@ -174,7 +174,7 @@ def _ingest_jit():
             donate_argnums=(2, 3, 4, 5))
         def ingest(rows, pos, raw, lam, xhat, lam32, lap, proj, *,
                    taumode, has_proj, pad_tall, binned):
-            from .taumode import (QUERY_PREP_PRECISION, select_tau_batch,
+            from .taumode import (select_tau_batch,
                                   synthetic_lambda_batch)
             dt = raw.dtype
             r = rows.astype(dt)
@@ -215,7 +215,7 @@ def _energy_ingest_jit():
             donate_argnums=(2, 3, 4))
         def ingest(rows, pos, z, lam, zn, lap, proj, signals, *,
                    taumode, has_proj, has_signals, pad_tall):
-            from .taumode import (QUERY_PREP_PRECISION, select_tau_batch,
+            from .taumode import (select_tau_batch,
                                   synthetic_lambda_batch)
             dt = z.dtype
             r = rows.astype(dt)

@@ -381,7 +381,12 @@ def save_cells(cells: PrunedCells, path: str) -> None:
     assign pass) but seconds to load, so production processes should
     load, not rebuild.  Bound metadata round-trips bitwise: the bounds
     are certificates, so the loaded layout certifies exactly the same
-    queries."""
+    queries.
+
+    No reference analogue (serving-runtime addition): the layout is an
+    acceleration structure for core.rs:760-798's exactness contract;
+    the reference's nearest persistence concept is the builder's
+    observational Parquet hooks (storage/parquet.rs:528-619)."""
     arrays = {f: np.asarray(getattr(cells, f))
               for f in ("x", "lam", "ids", "cent", "radius", "cosr",
                         "sinr", "lam_lo", "lam_hi")}
@@ -395,7 +400,8 @@ def save_cells(cells: PrunedCells, path: str) -> None:
 def load_cells(path: str, dtype=None) -> PrunedCells:
     """Load a layout written by save_cells; arrays land on the default
     device.  `dtype` overrides the stored float dtype (metadata slack
-    already covers an f64→f32 narrowing; widening is always safe)."""
+    already covers an f64→f32 narrowing; widening is always safe).
+    No reference analogue — see save_cells."""
     if not str(path).endswith(".npz"):
         path = str(path) + ".npz"
     with np.load(path) as z:
@@ -1105,7 +1111,15 @@ class PrunedSearchSession:
             raise ValueError(f"query dim {q.shape[1]} != {self._dim}")
         pad = self.batch_size - b
         if pad:
-            q = np.pad(q, ((0, pad), (0, 0)), constant_values=1.0)
+            # Pad by CYCLIC REPLICATION of the real queries, not constant
+            # rows: pad rows fully participate in the union kernel's cell
+            # VOTING, and a block of identical synthetic rows would put
+            # its m_vote cells in the top vote stratum, displacing real
+            # queries' cells from a tight union budget (flags, not wrong
+            # results — but the latency win is lost).  Replication
+            # multiplies every real cell's vote count ~uniformly, so the
+            # vote ORDER the union gathers by is preserved.
+            q = np.resize(q, (self.batch_size, q.shape[1]))
         s, i, fl, qlam = self._step(jnp.asarray(q))
         s, i, fl = jax.device_get((s, i, fl))
         s, i, fl = s[:b], i[:b], fl[:b]

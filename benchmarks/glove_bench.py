@@ -113,11 +113,9 @@ def main() -> None:
     # REAL mean-score fusion at corpus scale (hypergraph.
     # ensemble_topk_batch: one corpus stream for the whole ensemble) +
     # the fused-vs-single quality number VERDICT r4 item 6 asked for
-    from arrowspace_tpu.hypergraph import ensemble_topk_batch
-    q_taus = select_tau_batch(queries, aspace.taumode)
-    qlams = jnp.stack([synthetic_lambda_batch(queries,
-                                              g.matrix.astype(dt), q_taus)
-                       for g, _ in ensemble])
+    from arrowspace_tpu.hypergraph import (ensemble_query_lambdas,
+                                           ensemble_topk_batch)
+    qlams = ensemble_query_lambdas(queries, ensemble, aspace.taumode)
     lam_v = jnp.stack([lam for _, lam in ensemble])
 
     def run_fused(alpha=0.9):

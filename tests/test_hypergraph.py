@@ -128,10 +128,8 @@ def test_ensemble_topk_batch_matches_prebuilt():
     queries = rows[[3, 17, 40, 66]] * 1.01
     dt = aspace.data.dtype
     qdev = jnp.asarray(queries, dtype=dt)
-    taus = select_tau_batch(qdev, aspace.taumode)
-    qlams = jnp.stack([synthetic_lambda_batch(qdev,
-                                              g.matrix.astype(dt), taus)
-                       for g, _ in ens])
+    from arrowspace_tpu.hypergraph import ensemble_query_lambdas
+    qlams = ensemble_query_lambdas(qdev, ens, aspace.taumode)
     lam_v = jnp.stack([lam for _, lam in ens])
     bs, bi = ensemble_topk_batch(qdev, qlams, aspace.data, lam_v, 0.9,
                                  k=8, chunk=32)

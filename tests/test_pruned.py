@@ -662,3 +662,35 @@ def test_session_reuses_prebuilt_cells():
     s2 = idx.make_pruned_session(batch_size=4, k=5, cap=32, seed=9)
     q = rows[5:9] * 1.01
     np.testing.assert_array_equal(s1.search(q)[1], s2.search(q)[1])
+
+
+def test_union_partial_batch_pads_do_not_displace_votes():
+    """Partial batches pad by CYCLIC REPLICATION of the real queries:
+    pad rows vote for cells the real queries already want, so the vote
+    order the union gathers by is preserved.  Constant pad rows (the
+    pre-fix behaviour) would put their m_vote junk cells in the top
+    vote stratum and displace real cells from a tight union budget —
+    flagging every real query on a batch that certifies when full."""
+    rows = _clustered(n=800, f=24, centers=20, seed=44)
+    idx = ArrowIndex.build(rows.tolist(), eps=1.0, k=5, topk=3, seed=7)
+    sess = idx.make_pruned_session(batch_size=32, k=5, alpha=0.9,
+                                   cap=16, seed=2, m_vote=4,
+                                   union_cells=6)
+    sess.warmup()
+    base = rows[[5, 300]] * 1.01   # 2 hot-region queries
+
+    before = sess.flagged_total
+    s2, i2 = sess.search(base)     # 2 real rows, 30 pad rows
+    flags_partial = sess.flagged_total - before
+    assert flags_partial == 0      # replication pads certify
+
+    # negative control — the pre-fix constant padding displaces the
+    # real queries' cells from the 6-cell union and flags BOTH rows
+    q_ones = np.pad(base.astype(np.float64), ((0, 30), (0, 0)),
+                    constant_values=1.0).astype(np.dtype(sess._dt))
+    _, _, fl_ones, _ = sess._step(jnp.asarray(q_ones))
+    assert int(np.asarray(fl_ones)[:2].sum()) == 2
+
+    so, io = idx.search(base, k=5, alpha=0.9)
+    np.testing.assert_array_equal(i2, io)
+    np.testing.assert_allclose(s2, so, rtol=1e-12)
