@@ -670,13 +670,16 @@ def pruned_topk(queries, query_lambdas, cells_x, cells_lam, cells_ids,
         sel = bi
         next_bound = jnp.full((b,), -jnp.inf, dtype=dt)
 
-    # --- gather the selected units' rows ---
-    flat = (sel[:, :, None] * cap
-            + jnp.arange(cap, dtype=sel.dtype)[None, None, :]
-            ).reshape(b, m * cap)                     # (B, M·cap)
-    g = cells_x[flat.reshape(-1)]                     # (B·M·cap, F)
-    glam = cells_lam[flat.reshape(-1)].reshape(b, m * cap)
-    gids = cells_ids[flat.reshape(-1)].reshape(b, m * cap)
+    # --- gather the selected units' rows, UNIT granularity ---
+    # cells are contiguous cap-row blocks (the build's two-key sort), so
+    # gather whole (cap, F) units instead of B·M·cap scattered rows: the
+    # unit-granularity gather tells XLA each element is one contiguous
+    # 128-KB slice (cap=256, F=128 f32).  The row-granularity form
+    # (cells_x[flat]) measured ~10 GB/s effective on chip (m-sweep r5);
+    # block slices are the same bytes at sequential-read bandwidth.
+    g = cells_x.reshape(-1, cap, f)[sel.reshape(-1)]  # (B·M, cap, F)
+    glam = cells_lam.reshape(-1, cap)[sel.reshape(-1)].reshape(b, m * cap)
+    gids = cells_ids.reshape(-1, cap)[sel.reshape(-1)].reshape(b, m * cap)
 
     # --- exact canonical-plane scores, matmul family ---
     # queries ride the LHS padded to >= 16 rows, candidates flattened on
@@ -818,11 +821,12 @@ def pruned_topk_union(queries, query_lambdas, cells_x, cells_lam,
         jnp.where(in_union[None, :], neg_inf, bounds), axis=1)
 
     # --- level 2: one shared gather + one batch matmul ---
-    flat = (sel[:, None].astype(jnp.int32) * cap
-            + jnp.arange(cap, dtype=jnp.int32)[None, :]).reshape(-1)
-    gx = cells_x[flat]                                       # (S·cap, F)
-    glam = cells_lam[flat]
-    gids = cells_ids[flat]
+    # unit-granularity gather (contiguous (cap, F) blocks — see
+    # pruned_topk's gather comment)
+    f_dim = cells_x.shape[1]
+    gx = cells_x.reshape(-1, cap, f_dim)[sel].reshape(-1, f_dim)
+    glam = cells_lam.reshape(-1, cap)[sel].reshape(-1)       # (S·cap,)
+    gids = cells_ids.reshape(-1, cap)[sel].reshape(-1)
 
     acos = jax.lax.dot_general(
         qa, gx, dimension_numbers=(((1,), (1,)), ((), ())),
