@@ -962,14 +962,16 @@ class PrunedSearchSession:
                 lloyd_sample=lloyd_sample)
         u = self.cells.cent.shape[0]
         if m_cells is None:
-            # ~4096 gathered candidates per query: the ROW GATHER, not
-            # the matmul, is the per-query cost (measured on chip at
-            # clustered 1M x 128 / cap 256: m=8 -> 4.20 ms, m=16 ->
-            # 4.74, m=32 -> 6.48, m=64 -> 15.06, all 0 flags —
-            # benchmarks/pruned_crossover.py), so the old 4x-padded
-            # default quadrupled latency for flag headroom the bound
-            # did not need.  Floor k cells so k real rows are certain.
-            m_cells = max(self.k, min(u, -(-4096 // self.cells.cap)))
+            # ~8192 gathered candidates per query.  The r5 row-gather
+            # made gather rows the per-query cost (m=8 4.20 ms ... m=64
+            # 15.06, benchmarks/pruned_crossover.py) and sized this to
+            # 4096; the unit-granularity gather flattened that curve
+            # (m=8 3.26 ... m=64 3.63 ms reported, ~0.4-0.8 ms true
+            # device — benchmarks/pruned_gather_ab.py +
+            # amortised_floor_probe.py), so the default now buys 2x the
+            # flag headroom for ~0.1 ms.  Floor k cells so k real rows
+            # are certain.
+            m_cells = max(self.k, min(u, -(-8192 // self.cells.cap)))
         self.m_cells = min(int(m_cells), u)
 
         self._lap = jnp.asarray(gl.matrix, dtype=dt)

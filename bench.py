@@ -121,34 +121,51 @@ def median_time(fn, warmup: int = 3, iters: int = 20) -> float:
 
 def amortised_device_time(jax, jnp, op, first, big_args, repeats=8,
                           iters=5) -> float:
-    """Per-iteration device time of `op(first, *big_args)` with the
-    tunnel RTT amortised: one dispatch runs the op `repeats` times via
-    lax.scan on perturbed inputs (benchmarks/device_time.py
-    methodology — single-dispatch wall−RTT carries ±6 ms of noise).
+    """Per-iteration device time of `op(first, *big_args)`, measured as
+    the SLOPE between two scan lengths: one dispatch runs the op
+    `repeats` times via lax.scan, another 3x that, and
+    t = (wall_3r - wall_r) / (2*repeats).  The slope form is immune to
+    every fixed per-dispatch cost by construction — the old wall_r /
+    repeats form silently carried RTT/repeats ≈ +2.9 ms in EVERY figure
+    (benchmarks/amortised_floor_probe.py, measured on chip r5: a
+    trivial op reads 2.86 ms at repeats=8 but 0.35 at repeats=64 —
+    pure fixed dispatch cost, ~23 ms ≈ the tunnel RTT).  Sub-5 ms
+    kernels were dominated by it; heavy kernels overstated by 15-45%.
 
     DCE-immune by construction: the carry consumes one scalar from
     EVERY output row, so when a B>block batch lowers to ceil(B/block)
     concatenated pallas_calls no call's outputs are dead and XLA cannot
-    elide any of them (benchmarks/dce_audit.py validates this on chip)."""
-    @jax.jit
-    def looped(q, *big):
-        def body(carry, i):
-            qi = q * (1.0 + carry * 0.0) + i.astype(q.dtype) * 1e-7
-            out = op(qi, *big)
-            first = out[0] if isinstance(out, tuple) else out
-            s = jnp.sum(first.reshape(first.shape[0], -1)[:, :1])
-            return carry + s * 1e-20, ()
-        c, _ = jax.lax.scan(body, jnp.zeros((), q.dtype),
-                            jnp.arange(repeats))
-        return c
+    elide any of them (benchmarks/dce_audit.py validates this on chip).
+    The two scan programs share the op's inner compile; the extra scan
+    length costs one more cached program per metric."""
+    def make(reps):
+        @jax.jit
+        def looped(q, *big):
+            def body(carry, i):
+                qi = q * (1.0 + carry * 0.0) + i.astype(q.dtype) * 1e-7
+                out = op(qi, *big)
+                first = out[0] if isinstance(out, tuple) else out
+                s = jnp.sum(first.reshape(first.shape[0], -1)[:, :1])
+                return carry + s * 1e-20, ()
+            c, _ = jax.lax.scan(body, jnp.zeros((), q.dtype),
+                                jnp.arange(reps))
+            return c
+        return looped
 
-    np.asarray(looped(first, *big_args))      # warm/compile
-    ts = []
+    lo, hi = make(repeats), make(3 * repeats)
+    np.asarray(lo(first, *big_args))          # warm/compile
+    np.asarray(hi(first, *big_args))
+    t_lo, t_hi = [], []
     for _ in range(iters):
         t0 = time.perf_counter()
-        np.asarray(looped(first, *big_args))
-        ts.append(time.perf_counter() - t0)
-    return float(np.median(ts)) / repeats
+        np.asarray(lo(first, *big_args))
+        t_lo.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        np.asarray(hi(first, *big_args))
+        t_hi.append(time.perf_counter() - t0)
+    slope = (float(np.median(t_hi)) - float(np.median(t_lo))) \
+        / (2 * repeats)
+    return max(slope, 1e-9)
 
 
 def iris_like(n: int = 150, f: int = 4, seed: int = 3) -> np.ndarray:
