@@ -695,10 +695,12 @@ def pruned_topk(queries, query_lambdas, cells_x, cells_lam, cells_ids,
     neg_inf = jnp.asarray(-jnp.inf, dtype=dt)
     shifted = jnp.where(gids >= 0, shifted, neg_inf)
 
-    # --- oracle tie order: sort by (score desc, global id asc) ---
-    s_sorted, id_sorted = jax.lax.sort((-shifted, gids), num_keys=2)
-    top_s = -s_sorted[:, :k]
-    top_i = id_sorted[:, :k]
+    # --- oracle tie order: (score desc, global id asc).  k <= 32 rides
+    # the masked-extraction passes instead of a (B, m·cap) two-key sort
+    # — the sort was ~40% of the post-gather-fix kernel at m=64
+    # (benchmarks/pruned_floor_decomp.py); rows with < k real
+    # candidates surface as non-finite kth and flag either way ---
+    top_s, top_i = _extract_topk_lowest_id(shifted, gids, k)
 
     if return_next_bound:
         # mesh callers certify against the GLOBAL k-th after their
@@ -713,9 +715,10 @@ def pruned_topk(queries, query_lambdas, cells_x, cells_lam, cells_ids,
 
 def _extract_topk_lowest_id(shifted, gids, k: int):
     """Exact (top-k scores, global ids) from a (B, W) shifted-score
-    plane with SHARED per-column global ids — ties resolve to the
-    LOWEST global id, matching lax.top_k over the full corpus (global
-    ids are corpus positions, so lowest-id == lowest-index).
+    plane — ties resolve to the LOWEST global id, matching lax.top_k
+    over the full corpus (global ids are corpus positions, so
+    lowest-id == lowest-index).  `gids` is (W,) shared per-column (the
+    union kernel) or (B, W) per-row (pruned_topk's per-query gathers).
 
     k <= 32 uses k masked max-extraction passes (~4 VPU reduces over
     (B, W) each) instead of a sort: lax.sort over wide rows is the one
@@ -725,10 +728,12 @@ def _extract_topk_lowest_id(shifted, gids, k: int):
     back to the two-key sort."""
     b, w = shifted.shape
     neg_inf = jnp.asarray(-jnp.inf, dtype=shifted.dtype)
+    gid2 = gids if gids.ndim == 2 else jnp.broadcast_to(gids[None, :],
+                                                        (b, w))
     if k > 32:
-        gid2 = jnp.broadcast_to(gids[None, :], (b, w))
-        sneg, sid = jax.lax.sort((-shifted, gid2), num_keys=2,
-                                 dimension=1)
+        sneg, sid = jax.lax.sort((-shifted,
+                                  jnp.broadcast_to(gid2, (b, w))),
+                                 num_keys=2, dimension=1)
         return -sneg[:, :k], sid[:, :k]
     int_max = jnp.iinfo(jnp.int32).max
     out_s, out_i = [], []
@@ -736,10 +741,10 @@ def _extract_topk_lowest_id(shifted, gids, k: int):
     for _ in range(k):
         mx = jnp.max(cur, axis=1)
         is_max = cur == mx[:, None]
-        pick = jnp.min(jnp.where(is_max, gids[None, :], int_max), axis=1)
+        pick = jnp.min(jnp.where(is_max, gid2, int_max), axis=1)
         out_s.append(mx)
         out_i.append(pick)
-        cur = jnp.where(gids[None, :] == pick[:, None], neg_inf, cur)
+        cur = jnp.where(gid2 == pick[:, None], neg_inf, cur)
     return jnp.stack(out_s, axis=1), \
         jnp.stack(out_i, axis=1).astype(jnp.int32)
 

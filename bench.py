@@ -764,9 +764,10 @@ def pruned_suite(jax, jnp, rtt_s: float) -> None:
            c.lam_lo, c.lam_hi)
 
     def b16_op(q, *bb):
-        # m_cells=8 is the measured-best latency config (crossover
-        # sweep: m8 4.05 / m16 4.89 / m32 6.51 / m64 14.94 ms at 1M —
-        # the row gather scales with m·cap and is the per-query cost)
+        # m_cells=8 kept for run-to-run comparability; since the
+        # unit-granularity gather the m-cost curve is nearly flat
+        # (m8 3.26 .. m64 3.63 ms reported, pruned_gather_ab.py), so
+        # m is a flag-headroom knob now, not a latency knob
         return pruned_topk(q, ql16, *bb, ALPHA, k=K, m_cells=8,
                            cap=256, margin=1e-3)
 
