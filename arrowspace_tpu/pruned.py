@@ -46,7 +46,19 @@ clustered data; universal on adversarially uniform data, where
 high-dimensional cosine bounds are vacuous — the session degrades to
 the full scan's cost, never to wrong results).
 
-MEASURED POSITION (r5 crossover, benchmarks/pruned_crossover.py —
+MEASURED POSITION — r5-FINAL SUPERSEDING NOTE: the two tables below
+predate (a) the unit-granularity block gather + masked top-k
+extraction (16-37x kernel speedup, benchmarks/pruned_gather_ab.py,
+bitwise-equal) and (b) the slope timing harness (the old figures all
+carry a +2.9 ms fixed-dispatch floor, benchmarks/
+amortised_floor_probe.py).  Current figures (BENCH r5): 1M x 128 B=16
+0.048 ms vs stream 0.80 (16.7x, 0 flags); B=256 union 0.46 vs 0.80
+(1.7x, certified 0.99); 10M B=16 0.114 ms vs stream 7.24 (63x, 15/16).
+The tables are kept for the relative structure they establish
+(flag-rate regimes, union locality budgets), their absolute times are
+obsolete.
+
+(r5 crossover, benchmarks/pruned_crossover.py —
 clustered corpora, 1024 centers, cap 256, hot-region batches, v5e):
 
     1M x 128:  B=16 pruned m8 4.05 ms / stream 3.71 (0 flags)

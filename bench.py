@@ -98,13 +98,16 @@ def roofline_fields(device_s: float, flops: float, bytes_moved: float,
     if vpu_ops > 0:
         out["vpu_ops"] = float(f"{vpu_ops:.3e}")
     if out["roofline_pct"] > 100.0:
-        # measurement beat the static model: the bytes estimate
-        # over-counts (multi-block corpus streams overlap/prefetch
-        # better than the naive per-block sum) or the constants are
-        # conservative — report the discrepancy, don't hide it
-        out["note"] = ("measured time beats the static attainable model; "
-                       "bytes/peak estimate is conservative for "
-                       "multi-block streams")
+        # measurement beat the static model: the slope harness measures
+        # STEADY-STATE marginal time, so cross-iteration overlap
+        # (prefetch of the next iteration's HBM reads under the current
+        # compute) legitimately exceeds a static single-kernel model
+        # with conservative peak/op constants — report the discrepancy,
+        # don't hide it
+        out["note"] = ("measured steady-state slope beats the static "
+                       "single-kernel model: cross-iteration overlap + "
+                       "conservative peak/op constants; see "
+                       "amortised_device_time docstring")
     return out
 
 
@@ -152,20 +155,34 @@ def amortised_device_time(jax, jnp, op, first, big_args, repeats=8,
             return c
         return looped
 
-    lo, hi = make(repeats), make(3 * repeats)
-    np.asarray(lo(first, *big_args))          # warm/compile
-    np.asarray(hi(first, *big_args))
-    t_lo, t_hi = [], []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        np.asarray(lo(first, *big_args))
-        t_lo.append(time.perf_counter() - t0)
-        t0 = time.perf_counter()
+    def measure(reps):
+        lo, hi = make(reps), make(3 * reps)
+        np.asarray(lo(first, *big_args))      # warm/compile
         np.asarray(hi(first, *big_args))
-        t_hi.append(time.perf_counter() - t0)
-    slope = (float(np.median(t_hi)) - float(np.median(t_lo))) \
-        / (2 * repeats)
-    return max(slope, 1e-9)
+        t_lo, t_hi = [], []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            np.asarray(lo(first, *big_args))
+            t_lo.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            np.asarray(hi(first, *big_args))
+            t_hi.append(time.perf_counter() - t0)
+        signal = float(np.median(t_hi)) - float(np.median(t_lo))
+        noise = float(max(np.std(t_lo), np.std(t_hi)))
+        return signal / (2 * reps), signal, noise
+
+    # auto-scale the scan length until the slope signal clears the wall
+    # noise: a sub-0.2 ms kernel at repeats=8 has 2r*t ~ 2 ms of signal
+    # against +-3-5 ms of tunnel noise and reads as 0.  Each x8 costs
+    # two more (cached) scan programs; cap at 512 iterations.
+    reps = repeats
+    t, signal, noise = measure(reps)
+    amortised_device_time.last_noise_ms = noise / (2 * reps) * 1e3
+    while signal < 8 * noise and reps < 512 // 3:
+        reps *= 8
+        t, signal, noise = measure(reps)
+        amortised_device_time.last_noise_ms = noise / (2 * reps) * 1e3
+    return max(t, 1e-9)
 
 
 def iris_like(n: int = 150, f: int = 4, seed: int = 3) -> np.ndarray:
@@ -785,8 +802,10 @@ def pruned_suite(jax, jnp, rtt_s: float) -> None:
                                   prepared=True, n_items=N)
 
     t16 = amortised_device_time(jax, jnp, b16_op, q16, big, repeats=8)
+    n16 = amortised_device_time.last_noise_ms
     fl16 = np.asarray(b16_op(q16, *big)[2])
     t256 = amortised_device_time(jax, jnp, b256_op, q256, big, repeats=8)
+    n256 = amortised_device_time.last_noise_ms
     fl256 = np.asarray(b256_op(q256, *big)[2])
     ts = amortised_device_time(jax, jnp, stream_op, q256, (xb, lb),
                                repeats=8)
@@ -804,10 +823,12 @@ def pruned_suite(jax, jnp, rtt_s: float) -> None:
     record("pruned_query_b16_1m_x128", t16 * 1e3, "ms",
            certified_rate=round(cert16, 4),
            vs_stream=round(ts / t16, 2),
+           noise_ms=round(n16, 4),
            kernel="pruned_topk (cell-screened exact, hot-region batch)")
     record("pruned_query_b256_1m_x128", t256 * 1e3, "ms",
            certified_rate=round(cert256, 4),
            vs_stream=round(ts / t256, 2),
+           noise_ms=round(n256, 4),
            stream_ms=round(ts * 1e3, 2),
            kernel="pruned_topk_union (two-level, hot-region batch)")
 
@@ -876,6 +897,7 @@ def pruned_scale10m_suite(jax, jnp, rtt_s: float) -> None:
                            cap=CAP, margin=1e-3)
 
     t_p16 = amortised_device_time(jax, jnp, b16, q16, big, repeats=8)
+    n_p16 = amortised_device_time.last_noise_ms
     fl16 = int(np.asarray(b16(q16, *big)[2]).sum())
     log(f"10M x 128 B=16: stream {t_s16 * 1e3:.2f} ms (HBM floor "
         f"{N * F * 4 / 819e9 * 1e3:.1f} ms) vs pruned m16 "
@@ -883,6 +905,7 @@ def pruned_scale10m_suite(jax, jnp, rtt_s: float) -> None:
         f"{t_cells:.0f}s one-time (device engine, C=2x provisioning)")
     record("pruned_query_b16_10m_x128", t_p16 * 1e3, "ms",
            certified_rate=round(1.0 - fl16 / 16, 4),
+           noise_ms=round(n_p16, 4),
            vs_stream=round(t_s16 / t_p16, 2),
            stream_ms=round(t_s16 * 1e3, 2),
            cells_build_s=round(t_cells, 1),
