@@ -10,7 +10,7 @@ reach its top-k, and a conservative margin + full-scan fallback
 preserves the library's exactness contract (the same flag + repair
 design language as ops/pallas_bintopk's miss detector).  Two kernels
 share the bound plane: pruned_topk (B ≤ 16, per-query cell gather) and
-pruned_topk_union (B ≤ 512, per-query cell VOTES + one shared union
+pruned_topk_union (B in (16, 512], per-query cell VOTES + one shared union
 gather + one flat batch matmul — see its docstring).
 
 Reference anchor: core.rs:760-798 (search_lambda_aware) — the reference
@@ -925,8 +925,17 @@ class PrunedSearchSession:
     scoring matmul carries max(B, 16) query rows, so per-pair work grows
     past B = 16); batch_size in (16, 512] runs pruned_topk_union (the
     two-level screen: per-query cell VOTES, one shared union gather,
-    one flat (B, F)x(F, S·cap) batch matmul).  Past 512 the gathered
-    bytes approach the corpus stream and the binned kernels win.
+    one flat (B, F)x(F, S·cap) batch matmul).  B > 512 was MEASURED
+    NEGATIVE on chip (r5c) and the gate stays at 512: the union's
+    score-plane + masked-extraction work is ~k passes over a
+    (B, S·cap) plane, while the streaming kernel's bin accumulator
+    maintains its pool in ONE pass — at certifying budgets the stream
+    wins every large-B shape tested (1M B=2048: union 14.3 ms vs
+    stream 4.2; 10M B=2048 hot-batch S-sweep: S=384 25.2 ms/35%
+    flagged, S=512 31.9/8.5%, S=768 45.5/0 flags vs stream 39.0 —
+    certification needs S·cap ≈ the hot region's rows, and at that
+    width the extraction alone exceeds the stream).  Use SearchSession
+    past 512.
 
     `auto_budget=True` adds the adaptive sizing policy: when the flag
     rate over the last `auto_window` served queries exceeds
@@ -954,8 +963,8 @@ class PrunedSearchSession:
         aspace, gl = index.aspace, index.gl
         if not (1 <= batch_size <= 512):
             raise ValueError("pruned sessions serve batch_size in "
-                             "[1, 512]; use SearchSession for larger "
-                             "batches")
+                             "[1, 512]; use SearchSession for "
+                             "larger batches")
         self.batch_size = int(batch_size)
         self.k = min(int(k), index.nitems)
         self.alpha = float(alpha)

@@ -833,6 +833,7 @@ def pruned_suite(jax, jnp, rtt_s: float) -> None:
            kernel="pruned_topk_union (two-level, hot-region batch)")
 
 
+
 def pruned_scale10m_suite(jax, jnp, rtt_s: float) -> None:
     """10M x 128 pruned-vs-stream — the screen's STRUCTURAL win (the
     streaming kernel pays the HBM corpus-read floor; the cell gather is
@@ -880,6 +881,7 @@ def pruned_scale10m_suite(jax, jnp, rtt_s: float) -> None:
 
     t_s16 = amortised_device_time(jax, jnp, stream16, q16, (xb, lb),
                                   repeats=8)
+
     del xb, lb
     t0 = time.perf_counter()
     cells = build_cells_device(rows, lam, cap=CAP, seed=1, iters=6,
@@ -911,6 +913,7 @@ def pruned_scale10m_suite(jax, jnp, rtt_s: float) -> None:
            cells_build_s=round(t_cells, 1),
            kernel="pruned_topk over device-built cells; corpus "
                   "device-generated (hot-region batch)")
+
 
 
 def main() -> None:

@@ -694,3 +694,24 @@ def test_union_partial_batch_pads_do_not_displace_votes():
     so, io = idx.search(base, k=5, alpha=0.9)
     np.testing.assert_array_equal(i2, io)
     np.testing.assert_allclose(s2, so, rtol=1e-12)
+
+
+def test_union_kernel_large_batch_exactness():
+    """The union KERNEL stays exact past the session's 512 gate (the
+    gate is a measured LATENCY boundary, not a correctness one — r5c:
+    at certifying budgets the one-pass streaming accumulator beats the
+    union's k-pass extraction for B > 512, see pruned.py's docstring).
+    640 queries over a 900-row corpus, union = all units: unflagged
+    rows equal the full-scan oracle."""
+    rows = _clustered(n=900, f=24, centers=12, seed=31)
+    lam = np.random.default_rng(32).uniform(0, 1, 900)
+    cells = build_cells(rows, lam, cap=32, seed=1, iters=4)
+    rng = np.random.default_rng(33)
+    qi = rng.integers(0, 900, 640)
+    queries = rows[qi] * 1.02
+    qlam = lam[qi]
+    sp, ip, fl = _run_union(cells, queries, qlam, 0.9, 5, m_vote=6,
+                            s_cells=cells.cent.shape[0])
+    assert not fl.any()
+    so, io = _oracle(queries, qlam, rows, lam, 0.9, 5)
+    np.testing.assert_array_equal(ip, io)
