@@ -51,9 +51,10 @@ predate (a) the unit-granularity block gather + masked top-k
 extraction (16-37x kernel speedup, benchmarks/pruned_gather_ab.py,
 bitwise-equal) and (b) the slope timing harness (the old figures all
 carry a +2.9 ms fixed-dispatch floor, benchmarks/
-amortised_floor_probe.py).  Current figures (BENCH r5): 1M x 128 B=16
-0.048 ms vs stream 0.80 (16.7x, 0 flags); B=256 union 0.46 vs 0.80
-(1.7x, certified 0.99); 10M B=16 0.114 ms vs stream 7.24 (63x, 15/16).
+amortised_floor_probe.py).  Current figures (BENCH r5, DCE-hardened
+slope harness): 1M x 128 B=16 0.12 ms vs stream 0.80 (6.7x, 0 flags);
+B=256 union 0.50 vs 0.80 (1.6x, certified 0.99); 10M B=16 0.75 ms vs
+stream 7.24 (9.7x, 15/16).
 The tables are kept for the relative structure they establish
 (flag-rate regimes, union locality budgets), their absolute times are
 obsolete.
@@ -645,7 +646,8 @@ def pruned_topk(queries, query_lambdas, cells_x, cells_lam, cells_ids,
     from the canonical shifted plane in the matmul rounding family.
 
     All shapes static: (B, U) bounds matmul, top-(M+1) cell select,
-    (B·M·cap, F) row gather, one (max(B,16), B·M·cap) scoring matmul via
+    (B·M, cap, F) unit-granularity block gather (contiguous cells),
+    one (max(B,16), B·M·cap) scoring matmul via
     ops/bin_repair._block_diag_dot — queries as the LHS, the shape
     family measured bitwise-consistent with the kernels and the batched
     oracle (duplicate candidate rows are RHS columns sharing the query's
@@ -743,9 +745,8 @@ def _extract_topk_lowest_id(shifted, gids, k: int):
     gid2 = gids if gids.ndim == 2 else jnp.broadcast_to(gids[None, :],
                                                         (b, w))
     if k > 32:
-        sneg, sid = jax.lax.sort((-shifted,
-                                  jnp.broadcast_to(gid2, (b, w))),
-                                 num_keys=2, dimension=1)
+        sneg, sid = jax.lax.sort((-shifted, gid2), num_keys=2,
+                                 dimension=1)
         return -sneg[:, :k], sid[:, :k]
     int_max = jnp.iinfo(jnp.int32).max
     out_s, out_i = [], []

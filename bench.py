@@ -136,19 +136,32 @@ def amortised_device_time(jax, jnp, op, first, big_args, repeats=8,
     kernels were dominated by it; heavy kernels overstated by 15-45%.
 
     DCE-immune by construction: the carry consumes one scalar from
-    EVERY output row, so when a B>block batch lowers to ceil(B/block)
-    concatenated pallas_calls no call's outputs are dead and XLA cannot
-    elide any of them (benchmarks/dce_audit.py validates this on chip).
-    The two scan programs share the op's inner compile; the extra scan
-    length costs one more cached program per metric."""
+    EVERY row of EVERY output.  Per-row consumption stops XLA splitting
+    a B>block batch's concatenated pallas_calls (benchmarks/
+    dce_audit.py); per-OUTPUT consumption stops it eliding the parts of
+    a pure-XLA kernel that feed only the later outputs — the pruned
+    kernels' masked extraction builds top_s as a stack of k dependent
+    passes, and consuming only out[0]'s first column would let the
+    slice-of-stack simplifier drop passes 2..k plus the whole
+    ids/flags/certification chain (r5c review finding).  The two scan
+    programs share the op's inner compile; the extra scan length costs
+    one more cached program per metric."""
     def make(reps):
         @jax.jit
         def looped(q, *big):
             def body(carry, i):
                 qi = q * (1.0 + carry * 0.0) + i.astype(q.dtype) * 1e-7
                 out = op(qi, *big)
-                first = out[0] if isinstance(out, tuple) else out
-                s = jnp.sum(first.reshape(first.shape[0], -1)[:, :1])
+                outs = out if isinstance(out, tuple) else (out,)
+                s = jnp.zeros((), q.dtype)
+                for o in outs:
+                    o2 = o.reshape(o.shape[0], -1) if o.ndim > 0 \
+                        else o.reshape(1, 1)
+                    # first AND last column: a stacked top-k's column 0
+                    # needs only extraction pass 1; column k-1 forces
+                    # the whole dependent pass chain
+                    s = s + jnp.sum(o2[:, :1].astype(q.dtype)) \
+                        + jnp.sum(o2[:, -1:].astype(q.dtype))
                 return carry + s * 1e-20, ()
             c, _ = jax.lax.scan(body, jnp.zeros((), q.dtype),
                                 jnp.arange(reps))
@@ -169,19 +182,25 @@ def amortised_device_time(jax, jnp, op, first, big_args, repeats=8,
             t_hi.append(time.perf_counter() - t0)
         signal = float(np.median(t_hi)) - float(np.median(t_lo))
         noise = float(max(np.std(t_lo), np.std(t_hi)))
-        return signal / (2 * reps), signal, noise
+        return signal / (2 * reps), signal, noise, float(np.median(t_hi))
 
     # auto-scale the scan length until the slope signal clears the wall
     # noise: a sub-0.2 ms kernel at repeats=8 has 2r*t ~ 2 ms of signal
     # against +-3-5 ms of tunnel noise and reads as 0.  Each x8 costs
-    # two more (cached) scan programs; cap at 512 iterations.
+    # two more (cached) scan programs; the long program is capped at
+    # 3*512 = 1536 iterations, and escalation stops once a dispatch
+    # already takes ~2 s (a slow op's slope is resolved without it —
+    # only fast kernels need long scans).  last_snr_ok records whether
+    # the final slope cleared 8x the wall noise; metrics should carry
+    # it so a noise-limited figure cannot read as a clean one.
     reps = repeats
-    t, signal, noise = measure(reps)
+    t, signal, noise, wall_hi = measure(reps)
     amortised_device_time.last_noise_ms = noise / (2 * reps) * 1e3
-    while signal < 8 * noise and reps < 512 // 3:
+    while signal < 8 * noise and reps < 512 and wall_hi < 2.0:
         reps *= 8
-        t, signal, noise = measure(reps)
+        t, signal, noise, wall_hi = measure(reps)
         amortised_device_time.last_noise_ms = noise / (2 * reps) * 1e3
+    amortised_device_time.last_snr_ok = bool(signal >= 8 * noise)
     return max(t, 1e-9)
 
 
@@ -803,9 +822,11 @@ def pruned_suite(jax, jnp, rtt_s: float) -> None:
 
     t16 = amortised_device_time(jax, jnp, b16_op, q16, big, repeats=8)
     n16 = amortised_device_time.last_noise_ms
+    ok16 = amortised_device_time.last_snr_ok
     fl16 = np.asarray(b16_op(q16, *big)[2])
     t256 = amortised_device_time(jax, jnp, b256_op, q256, big, repeats=8)
     n256 = amortised_device_time.last_noise_ms
+    ok256 = amortised_device_time.last_snr_ok
     fl256 = np.asarray(b256_op(q256, *big)[2])
     ts = amortised_device_time(jax, jnp, stream_op, q256, (xb, lb),
                                repeats=8)
@@ -823,12 +844,12 @@ def pruned_suite(jax, jnp, rtt_s: float) -> None:
     record("pruned_query_b16_1m_x128", t16 * 1e3, "ms",
            certified_rate=round(cert16, 4),
            vs_stream=round(ts / t16, 2),
-           noise_ms=round(n16, 4),
+           noise_ms=round(n16, 4), snr_ok=ok16,
            kernel="pruned_topk (cell-screened exact, hot-region batch)")
     record("pruned_query_b256_1m_x128", t256 * 1e3, "ms",
            certified_rate=round(cert256, 4),
            vs_stream=round(ts / t256, 2),
-           noise_ms=round(n256, 4),
+           noise_ms=round(n256, 4), snr_ok=ok256,
            stream_ms=round(ts * 1e3, 2),
            kernel="pruned_topk_union (two-level, hot-region batch)")
 
@@ -900,6 +921,7 @@ def pruned_scale10m_suite(jax, jnp, rtt_s: float) -> None:
 
     t_p16 = amortised_device_time(jax, jnp, b16, q16, big, repeats=8)
     n_p16 = amortised_device_time.last_noise_ms
+    ok_p16 = amortised_device_time.last_snr_ok
     fl16 = int(np.asarray(b16(q16, *big)[2]).sum())
     log(f"10M x 128 B=16: stream {t_s16 * 1e3:.2f} ms (HBM floor "
         f"{N * F * 4 / 819e9 * 1e3:.1f} ms) vs pruned m16 "
@@ -907,7 +929,7 @@ def pruned_scale10m_suite(jax, jnp, rtt_s: float) -> None:
         f"{t_cells:.0f}s one-time (device engine, C=2x provisioning)")
     record("pruned_query_b16_10m_x128", t_p16 * 1e3, "ms",
            certified_rate=round(1.0 - fl16 / 16, 4),
-           noise_ms=round(n_p16, 4),
+           noise_ms=round(n_p16, 4), snr_ok=ok_p16,
            vs_stream=round(t_s16 / t_p16, 2),
            stream_ms=round(t_s16 * 1e3, 2),
            cells_build_s=round(t_cells, 1),

@@ -6,9 +6,15 @@ build's two-key sort), but the original kernel gathered candidates as
 B*M*cap individual rows (`cells_x[flat]`), which the r5 m-sweep measured
 at ~10 GB/s effective — 80x below HBM.  The unit-granularity form
 (`cells_x.reshape(U, cap, F)[sel]`) hands XLA one contiguous 128-KB
-slice per gathered element.  This bench measures both forms on the SAME
-cells at B=16, m in {8, 16, 32, 64}, and asserts bitwise-identical
-outputs (the gather form cannot change values, only speed).
+slice per gathered element.  The baseline below is the FULL pre-r5c
+kernel (row gather + two-key sort); at HEAD pruned_topk also uses
+masked top-k extraction, so the measured ratio is the COMBINED r5c
+kernel win, not the gather alone (the gather-only A/B — both sides
+sort-based — measured 1.26-3.9x on 2026-08-21; final DCE-hardened
+figures for the combined kernel are in BENCH r5: 6.7x vs the stream
+at 1M B=16, 9.7x at 10M).  Outputs are asserted
+bitwise-identical on certified rows (neither change can alter
+values).
 
 Usage: nohup python benchmarks/pruned_gather_ab.py > /tmp/pga.log 2>&1 &
 """
