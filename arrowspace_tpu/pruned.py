@@ -47,11 +47,10 @@ high-dimensional cosine bounds are vacuous — the session degrades to
 the full scan's cost, never to wrong results).
 
 MEASURED POSITION — r5-FINAL SUPERSEDING NOTE: the two tables below
-predate (a) the unit-granularity block gather + masked top-k
-extraction (16-37x kernel speedup, benchmarks/pruned_gather_ab.py,
-bitwise-equal) and (b) the slope timing harness (the old figures all
-carry a +2.9 ms fixed-dispatch floor, benchmarks/
-amortised_floor_probe.py).  Current figures (BENCH r5, DCE-hardened
+predate (a) the unit-granularity block gather (1.3-3.9x, benchmarks/
+pruned_gather_ab.py, bitwise-equal) + masked top-k extraction and
+(b) the slope timing harness (the old figures all carry a +2.9 ms
+fixed-dispatch floor, benchmarks/amortised_floor_probe.py).  Current figures (BENCH r5, DCE-hardened
 slope harness): 1M x 128 B=16 0.12 ms vs stream 0.80 (6.7x, 0 flags);
 B=256 union 0.50 vs 0.80 (1.6x, certified 0.99); 10M B=16 0.75 ms vs
 stream 7.24 (9.7x, 15/16).
