@@ -715,3 +715,30 @@ def test_union_kernel_large_batch_exactness():
     assert not fl.any()
     so, io = _oracle(queries, qlam, rows, lam, 0.9, 5)
     np.testing.assert_array_equal(ip, io)
+
+
+def test_pruned_k_above_32_sort_fallback_matches_oracle():
+    """k > 32 routes _extract_topk_lowest_id to the two-key sort (the
+    masked passes are capped at 32); both pruned kernels must still
+    equal the full-scan oracle there — ids, scores, and the
+    lowest-global-id tie order the sort implements directly."""
+    rows = _clustered(n=700, f=24, centers=10, seed=51)
+    lam = np.random.default_rng(52).uniform(0, 1, 700)
+    cells = build_cells(rows, lam, cap=64, seed=1, iters=4)
+    rng = np.random.default_rng(53)
+    qi = rng.integers(0, 700, 8)
+    queries = rows[qi] * 1.02
+    qlam = lam[qi]
+    k = 40
+    so, io = _oracle(queries, qlam, rows, lam, 0.9, k)
+
+    sp, ip, fl = _run_pruned(cells, queries, qlam, 0.9, k,
+                             m_cells=cells.cent.shape[0])
+    assert not fl.any()          # all units screened -> certified
+    np.testing.assert_array_equal(ip, io)
+    np.testing.assert_allclose(sp, so, rtol=1e-12)
+
+    up, ui, ufl = _run_union(cells, queries, qlam, 0.9, k, m_vote=4,
+                             s_cells=cells.cent.shape[0])
+    assert not ufl.any()
+    np.testing.assert_array_equal(ui, io)
