@@ -47,16 +47,18 @@ METRICS = []
 PEAK_MXU_BF16 = 197e12
 PEAK_MXU_F32 = 98.5e12
 HBM_BYTES_S = 819e9
-# VPU peak: one (8, 128) vector ALU op per cycle at 940 MHz ≈ 0.96e12
-# f32 element-ops/s.  Used for kernels whose work is NOT matmuls — the
-# τ bisection selection chain is compare/select/add-reduce element ops
-# that never touch the MXU, so quoting them against the MXU peak made
-# lambda_tau_1m_x128_device report 4.5% "of roofline" while the kernel
-# was actually at its vector-unit limit (VERDICT r4 item 3: make the
-# accounting honest).  Op models that feed this constant are stated at
-# each metric; compare+select pairs may fuse on the VPU, so the models
-# over-count slightly and roofline_pct is conservative (can exceed 100).
-PEAK_VPU_OPS = 0.96e12
+# VPU peak: MEASURED at 2.34-2.54e12 f32 element-ops/s on this chip
+# (benchmarks/vpu_peak_probe.py, r5: sequentially-dependent
+# cmp/fma/select and abs/min chains over a resident 8M array,
+# slope-timed) — the hand-derived 0.96e12 (one (8,128) op/cycle at
+# 940 MHz) under-counted the VPU's per-cycle ALU throughput ~2.5x and
+# made the λτ kernel read 140% "of roofline".  The conservative end of
+# the measured band is used; op models that feed this constant are
+# stated at each metric.  Used for kernels whose work is NOT matmuls —
+# the τ bisection selection chain never touches the MXU, so quoting it
+# against the MXU peak made lambda_tau_1m_x128_device report 4.5% "of
+# roofline" while the kernel is VPU-bound (VERDICT r4 item 3).
+PEAK_VPU_OPS = 2.34e12
 
 
 def log(msg: str) -> None:
@@ -424,12 +426,15 @@ def big_corpus_suite(jax, jnp, rtt_s: float) -> None:
     # (one masked min ≈ 3·F) + the λ chain's element stages (powers
     # x²/x³/x⁴, four weighted-sum reduces, five rs mul+add reduces
     # ≈ 30·F/item) → N·F·(96 + 3 + 30).  At 1M×128 that is 1.65e10 ops
-    # ≈ 17.2 ms attainable at PEAK_VPU_OPS — the kernel measures ~15.7,
-    # i.e. AT (slightly beating, via compare/select fusion) its vector-
-    # unit roofline; the old 4.5% figure was this work quoted against
-    # the MXU peak.  The measured-negative attack log (bisect4, MXU
-    # counting, histogram/pass-reduction analyses) lives in
-    # ops/pallas_tau.py's module docstring.
+    # ≈ 7.1 ms attainable at the MEASURED PEAK_VPU_OPS (2.34e12,
+    # benchmarks/vpu_peak_probe.py — the hand-derived 0.96e12 made the
+    # kernel read "140% of roofline") — the kernel measures ~12.3 ms
+    # under the slope harness, i.e. ~57% of the calibrated VPU bound;
+    # the old 4.5% figure was this work quoted against the MXU peak.
+    # The measured-negative attack log (bisect4, MXU counting,
+    # histogram/pass-reduction analyses) lives in ops/pallas_tau.py's
+    # module docstring; the residual ~1.7x is un-attacked headroom
+    # under the calibrated accounting.
     lam_flops = 10 * n_big * f_big * n_graph
     lam_vpu = n_big * f_big * (32 * 3 + 3 + 30)
     lam_bytes = n_big * f_big * 4 + n_big * 4
