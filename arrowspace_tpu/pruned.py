@@ -1,8 +1,8 @@
 """Exact cell-screened low-latency search (the "fewer pairs" path).
 
 The full-scan serving kernels stream every corpus row per query — the
-right shape for large batches (the binned kernel runs at 57-69 % of the
-MXU roofline at B=2048), but a single query still pays the whole corpus
+right shape for large batches (the binned kernel runs at ~90 % of the
+MXU roofline at B=2048, r5 slope harness), but a single query still pays the whole corpus
 stream.  This module prunes that work EXACTLY for small-to-mid
 batches: the corpus is grouped into balanced cells with precomputed
 score upper bounds, a query exact-scores only the cells whose bound can
